@@ -1,0 +1,313 @@
+"""GraphCatalog — the property-graph-over-DataFrames data model.
+
+Reference semantics: EntityTable / RelationshipTable / Context
+(reference: packages/pycypher/src/pycypher/relational_models.py:917-1338,
+282-718). A "graph" is a set of node tables (one per label, `id` +
+attribute columns) and edge tables (one per relationship type,
+`id`, `src`, `dst` + attribute columns) — exactly the GraphX/GraphFrames
+edge-list layout, so every Cypher operation compiles to DataFrame ops.
+
+Transactions: the reference's shadow-layer (relational_models.py:589-708)
+maps naturally onto immutable DataFrames — a mutation produces a *new*
+DataFrame for each touched label; commit atomically swaps the catalog's
+pointers; rollback drops the shadows.
+
+Scale notes (100 TB design):
+  * node/edge tables are *lazy* DataFrames (``spark.read.parquet``) —
+    registration never materializes anything;
+  * FK-derived edge ids use ``xxhash64`` of the natural key, which is
+    deterministic and fully distributed (no max+1 driver round-trip);
+  * small dimension tables can be marked broadcastable so pattern joins
+    against them skip the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ID = "id"
+SRC = "src"
+DST = "dst"
+
+# Labels whose tables are small enough to always broadcast in pattern joins.
+BROADCAST_ROW_THRESHOLD = 10_000_000  # bytes are what matter; rows as proxy
+
+
+@dataclass
+class TableMeta:
+    """Side-car metadata for a registered node/edge table."""
+
+    broadcastable: bool = False
+    row_estimate: int | None = None
+
+
+class GraphCatalog:
+    """Registry of label -> nodes DataFrame and reltype -> edges DataFrame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._nodes: dict[str, DataFrame] = {}
+        self._edges: dict[str, DataFrame] = {}
+        self._meta: dict[tuple[str, str], TableMeta] = {}
+        # edge type -> (src label, dst label) when known; used for compile-time
+        # label inference on unlabeled pattern nodes.
+        self._edge_endpoints: dict[str, tuple[str | None, str | None]] = {}
+        # shadow layer for in-flight mutations (query-scoped transaction)
+        self._shadow_nodes: dict[str, DataFrame] | None = None
+        self._shadow_edges: dict[str, DataFrame] | None = None
+        # registered Cypher scalar functions / procedures
+        self.functions: dict[str, object] = {}
+        self.procedures: dict[str, object] = {}
+
+    # ------------------------------------------------------------------ #
+    # registration
+    # ------------------------------------------------------------------ #
+    def register_nodes(
+        self,
+        label: str,
+        df: DataFrame,
+        id_col: str = ID,
+        broadcastable: bool | None = None,
+        row_estimate: int | None = None,
+    ) -> None:
+        if id_col != ID:
+            df = df.withColumnRenamed(id_col, ID)
+        if ID not in df.columns:
+            raise ValueError(f"nodes for label {label!r} need an {ID!r} column")
+        self._nodes[label] = df
+        self._meta[("n", label)] = TableMeta(
+            broadcastable=bool(broadcastable), row_estimate=row_estimate
+        )
+
+    def register_edges(
+        self,
+        rel_type: str,
+        df: DataFrame,
+        id_col: str = ID,
+        src_col: str = SRC,
+        dst_col: str = DST,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+        broadcastable: bool | None = None,
+    ) -> None:
+        for have, want in ((id_col, ID), (src_col, SRC), (dst_col, DST)):
+            if have != want:
+                df = df.withColumnRenamed(have, want)
+        missing = {SRC, DST} - set(df.columns)
+        if missing:
+            raise ValueError(f"edges for {rel_type!r} missing columns {missing}")
+        if ID not in df.columns:
+            # deterministic distributed edge id: hash of endpoints
+            df = df.withColumn(ID, F.xxhash64(F.col(SRC), F.col(DST)))
+        self._edges[rel_type] = df
+        self._edge_endpoints[rel_type] = (src_label, dst_label)
+        self._meta[("e", rel_type)] = TableMeta(broadcastable=bool(broadcastable))
+
+    # ------------------------------------------------------------------ #
+    # lookup
+    # ------------------------------------------------------------------ #
+    def nodes(self, label: str) -> DataFrame:
+        store = self._shadow_nodes if self._shadow_nodes is not None else self._nodes
+        if label not in store:
+            raise KeyError(f"unknown node label {label!r}; known: {sorted(store)}")
+        return store[label]
+
+    def edges(self, rel_type: str) -> DataFrame:
+        store = self._shadow_edges if self._shadow_edges is not None else self._edges
+        if rel_type not in store:
+            raise KeyError(f"unknown relationship type {rel_type!r}; known: {sorted(store)}")
+        return store[rel_type]
+
+    def has_label(self, label: str) -> bool:
+        store = self._shadow_nodes if self._shadow_nodes is not None else self._nodes
+        return label in store
+
+    def has_rel_type(self, rel_type: str) -> bool:
+        store = self._shadow_edges if self._shadow_edges is not None else self._edges
+        return rel_type in store
+
+    def labels(self) -> list[str]:
+        store = self._shadow_nodes if self._shadow_nodes is not None else self._nodes
+        return sorted(store)
+
+    def rel_types(self) -> list[str]:
+        store = self._shadow_edges if self._shadow_edges is not None else self._edges
+        return sorted(store)
+
+    def edge_endpoints(self, rel_type: str) -> tuple[str | None, str | None]:
+        return self._edge_endpoints.get(rel_type, (None, None))
+
+    def property_keys(self) -> list[str]:
+        keys: set[str] = set()
+        for df in list(self._nodes.values()) + list(self._edges.values()):
+            keys.update(c for c in df.columns if c not in (ID, SRC, DST))
+        return sorted(keys)
+
+    def is_broadcastable(self, kind: str, name: str) -> bool:
+        meta = self._meta.get((kind, name))
+        return bool(meta and meta.broadcastable)
+
+    # ------------------------------------------------------------------ #
+    # transactions (shadow layer -> atomic pointer swap)
+    # ------------------------------------------------------------------ #
+    def begin(self) -> None:
+        """Open a query-scoped shadow transaction.
+
+        Reference: relational_models.py:589-646 (begin_query). DataFrame
+        immutability means the shadow is just a dict copy of pointers.
+        """
+        self._shadow_nodes = dict(self._nodes)
+        self._shadow_edges = dict(self._edges)
+
+    def commit(self) -> None:
+        """Promote shadows to canonical tables (atomic pointer swap).
+
+        Reference: relational_models.py:647-668 (commit_query).
+        """
+        if self._shadow_nodes is not None:
+            self._nodes = self._shadow_nodes
+            self._edges = self._shadow_edges
+        self._shadow_nodes = None
+        self._shadow_edges = None
+
+    def rollback(self) -> None:
+        """Discard uncommitted shadows (reference: rollback_query)."""
+        self._shadow_nodes = None
+        self._shadow_edges = None
+
+    def in_transaction(self) -> bool:
+        return self._shadow_nodes is not None
+
+    def set_nodes(self, label: str, df: DataFrame) -> None:
+        """Write a node table into the active shadow (or canonical store)."""
+        store = self._shadow_nodes if self._shadow_nodes is not None else self._nodes
+        store[label] = df
+
+    def set_edges(self, rel_type: str, df: DataFrame) -> None:
+        store = self._shadow_edges if self._shadow_edges is not None else self._edges
+        store[rel_type] = df
+        self._edge_endpoints.setdefault(rel_type, (None, None))
+
+    # ------------------------------------------------------------------ #
+    # convenience builders
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_tpch(cls, spark: SparkSession, sf_dir: str) -> "GraphCatalog":
+        """Build the property graph over the driver's TPC-H-ish parquet tables.
+
+        Mapping per FIXTURES.md §5: node labels Region/Nation/Customer/
+        Supplier/Part/Order/Document with the TPC-H prefix stripped from
+        property names; FK-derived relationships IN_REGION / FROM_NATION /
+        SUPP_NATION / PLACED / CONTAINS / SUPPLIED_BY. Everything stays a
+        lazy parquet scan — nothing is materialized here.
+        """
+        cat = cls(spark)
+        rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+
+        region = rd("region")
+        nation = rd("nation")
+        customer = rd("customer")
+        supplier = rd("supplier")
+        part = rd("part")
+        orders = rd("orders")
+        lineitem = rd("lineitem")
+        documents = rd("documents")
+
+        def strip(df: DataFrame, prefix: str, idc: str) -> DataFrame:
+            cols = [
+                F.col(idc).alias(ID)
+                if c == idc
+                else F.col(c).alias(c[len(prefix):] if c.startswith(prefix) else c)
+                for c in df.columns
+            ]
+            return df.select(*cols)
+
+        cat.register_nodes("Region", strip(region, "r_", "r_regionkey"), broadcastable=True)
+        cat.register_nodes("Nation", strip(nation, "n_", "n_nationkey"), broadcastable=True)
+        cat.register_nodes("Customer", strip(customer, "c_", "c_custkey"))
+        cat.register_nodes("Supplier", strip(supplier, "s_", "s_suppkey"), broadcastable=True)
+        cat.register_nodes("Part", strip(part, "p_", "p_partkey"))
+        cat.register_nodes("Order", strip(orders, "o_", "o_orderkey"))
+        cat.register_nodes("Document", documents.withColumnRenamed("doc_id", ID))
+
+        cat.register_edges(
+            "IN_REGION",
+            nation.select(
+                F.col("n_nationkey").alias(SRC), F.col("n_regionkey").alias(DST)
+            ),
+            src_label="Nation",
+            dst_label="Region",
+            broadcastable=True,
+        )
+        cat.register_edges(
+            "FROM_NATION",
+            customer.select(
+                F.col("c_custkey").alias(SRC), F.col("c_nationkey").alias(DST)
+            ),
+            src_label="Customer",
+            dst_label="Nation",
+        )
+        cat.register_edges(
+            "SUPP_NATION",
+            supplier.select(
+                F.col("s_suppkey").alias(SRC), F.col("s_nationkey").alias(DST)
+            ),
+            src_label="Supplier",
+            dst_label="Nation",
+            broadcastable=True,
+        )
+        cat.register_edges(
+            "PLACED",
+            orders.select(
+                F.col("o_custkey").alias(SRC), F.col("o_orderkey").alias(DST)
+            ),
+            src_label="Customer",
+            dst_label="Order",
+        )
+        li_props = [
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+            "l_linenumber",
+            "l_suppkey",
+        ]
+        cat.register_edges(
+            "CONTAINS",
+            lineitem.select(
+                F.col("l_orderkey").alias(SRC),
+                F.col("l_partkey").alias(DST),
+                *[F.col(c).alias(c[2:]) for c in li_props],
+            ),
+            src_label="Order",
+            dst_label="Part",
+        )
+        cat.register_edges(
+            "SUPPLIED_BY",
+            lineitem.select(
+                F.col("l_orderkey").alias(SRC), F.col("l_suppkey").alias(DST)
+            ).dropDuplicates([SRC, DST]),
+            src_label="Order",
+            dst_label="Supplier",
+        )
+        return cat
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, nodes: dict, edges: dict) -> "GraphCatalog":
+        """Build a catalog from in-memory dicts of pandas DataFrames / row lists.
+
+        Mirrors the reference's ContextBuilder.from_dict
+        (reference: packages/pycypher/src/pycypher/ingestion/context_builder.py:45-227).
+        """
+        cat = cls(spark)
+        for label, data in nodes.items():
+            cat.register_nodes(label, spark.createDataFrame(data))
+        for rel, data in edges.items():
+            cat.register_edges(rel, spark.createDataFrame(data))
+        return cat

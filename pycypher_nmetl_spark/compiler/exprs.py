@@ -1,0 +1,427 @@
+"""Expression compiler: Cypher AST expression -> pyspark Column.
+
+Cypher semantics that differ from Spark defaults are handled here
+(SURVEY.md §1.2, reference: arithmetic_evaluator.py:50-181,
+boolean_evaluator.py:40-339, comparison_evaluator.py:99-192):
+
+  * integer `/` is integer division (truncation toward zero, Java-style)
+    -> ``(l / r).cast(long)``;
+  * `%` follows the dividend's sign — Spark's `%` already does;
+  * `^` is float pow -> ``F.pow``;
+  * Kleene 3-valued AND/OR/NOT/XOR — Spark NULL semantics match natively
+    (XOR compiles to `!=` on booleans, which is null-propagating);
+  * `=~` matches the FULL string -> pattern anchored with ^(?:...)$;
+  * list index is 0-based, out-of-bounds -> null (try_element_at);
+  * temporal component access (d.year) compiles to extract().
+
+Pattern-shaped sub-expressions (EXISTS subqueries, pattern predicates,
+pattern comprehensions) cannot be pure Columns — they are materialized
+into hidden boolean/array columns on the bindings frame *before* this
+compiler runs (see patterns.materialize_subpatterns), and looked up here
+via ``subst`` (an id(ast-node) -> column-name map).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pycypher_nmetl_spark.compiler.bindings import Bindings, pcol
+from pycypher_nmetl_spark.cypher.ast_nodes import (
+    BinOp, BoolOp, CaseExpr, Cmp, CountStar, ExistsSub, Expr, FuncCall,
+    Index, InList, IsNull, LabelPred, ListComp, ListLit, Literal, MapLit,
+    MapProjection, Not, Param, PatternComp, PatternPred, Prop, Quantifier,
+    Reduce, Slice, StringPred, UnaryOp, Var,
+)
+from pycypher_nmetl_spark.functions.scalar import AGGREGATE_FUNCTIONS, SCALAR_FUNCTIONS
+
+_TEMPORAL_FIELDS = {
+    "year": "year", "month": "month", "day": "day", "hour": "hour",
+    "minute": "minute", "second": "second", "week": "week",
+    "quarter": "quarter", "dayofweek": "dayofweek", "ordinalday": "doy",
+    "epochmillis": None, "epochseconds": None,
+}
+
+_INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def lit_value(value: Any) -> Column:
+    """Python value -> literal Column (lists/maps supported, for params)."""
+    if isinstance(value, list):
+        return F.array(*[lit_value(v) for v in value])
+    if isinstance(value, dict):
+        return F.struct(*[lit_value(v).alias(k) for k, v in value.items()])
+    return F.lit(value)
+
+
+class ExprCompiler:
+    def __init__(
+        self,
+        bindings: Bindings,
+        params: dict[str, Any] | None = None,
+        subst: dict[int, str] | None = None,
+        functions: dict[str, Any] | None = None,
+        agg_map: dict[Any, str] | None = None,
+    ):
+        self.bindings = bindings
+        self.params = params or {}
+        self.subst = subst or {}  # id(ast node) -> physical column name
+        self.lambda_vars: dict[str, Column] = {}
+        self.functions = functions or {}
+        # structural-key -> column name for pre-computed aggregates
+        # (lets ORDER BY count(*) find the same agg as the RETURN item)
+        self.agg_map = agg_map or {}
+
+    # ------------------------------------------------------------------ #
+    def col(self, e: Expr) -> Column:
+        if id(e) in self.subst:
+            return self.bindings.df[self.subst[id(e)]]
+        method = getattr(self, f"_c_{type(e).__name__}", None)
+        if method is None:
+            raise NotImplementedError(f"cannot compile {type(e).__name__}")
+        return method(e)
+
+    # ------------------------------------------------------------------ #
+    def _c_Literal(self, e: Literal) -> Column:
+        if e.value is None:
+            return F.lit(None)
+        return F.lit(e.value)
+
+    def _c_ListLit(self, e: ListLit) -> Column:
+        if not e.items:
+            return F.array()
+        return F.array(*[self.col(x) for x in e.items])
+
+    def _c_MapLit(self, e: MapLit) -> Column:
+        return F.struct(*[self.col(v).alias(k) for k, v in e.pairs])
+
+    def _c_Param(self, e: Param) -> Column:
+        if e.name not in self.params:
+            raise KeyError(f"missing parameter ${e.name}")
+        return lit_value(self.params[e.name])
+
+    def _c_Var(self, e: Var) -> Column:
+        if e.name in self.lambda_vars:
+            return self.lambda_vars[e.name]
+        info = self.bindings.vars.get(e.name)
+        if info is None:
+            raise KeyError(
+                f"undefined variable {e.name!r}; in scope: {sorted(self.bindings.vars)}"
+            )
+        if info.kind == "path":
+            return F.col(f"{e.name}__length")
+        return self.bindings.df[e.name]
+
+    def _c_Prop(self, e: Prop) -> Column:
+        if isinstance(e.target, Var) and e.target.name not in self.lambda_vars:
+            info = self.bindings.vars.get(e.target.name)
+            if info is None:
+                raise KeyError(f"undefined variable {e.target.name!r}")
+            if info.kind in ("node", "rel"):
+                if e.key == "id":
+                    # the `id` property IS the entity id column
+                    return self.bindings.df[e.target.name]
+                phys = pcol(e.target.name, e.key)
+                if phys in self.bindings.df.columns:
+                    return self.bindings.df[phys]
+                return F.lit(None)
+        target = self.col(e.target)
+        return self._dynamic_prop(target, e.key)
+
+    def _dynamic_prop(self, target: Column, key: str) -> Column:
+        dt = self.bindings.dtype(target)
+        if isinstance(dt, T.StructType):
+            if key in dt.fieldNames():
+                return target.getField(key)
+            return F.lit(None)
+        if isinstance(dt, T.MapType):
+            return F.try_element_at(target, F.lit(key))
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            fld = key.lower()
+            if fld == "epochmillis":
+                return (target.cast("timestamp").cast("double") * 1000).cast("long")
+            if fld == "epochseconds":
+                return target.cast("timestamp").cast("double").cast("long")
+            if fld in _TEMPORAL_FIELDS:
+                unit = _TEMPORAL_FIELDS[fld]
+                return F.extract(F.lit(unit), target).cast("long")
+        if isinstance(dt, T.DayTimeIntervalType) or dt.simpleString() == "interval":
+            # duration component access — approximate via casts
+            secs = target.cast("bigint")
+            comps = {
+                "days": secs / 86400, "hours": secs / 3600,
+                "minutes": secs / 60, "seconds": secs,
+            }
+            if key in comps:
+                return comps[key].cast("long")
+        return F.lit(None)
+
+    # ------------------------------------------------------------------ #
+    def _numeric_kinds(self, *cols: Column):
+        return [self.bindings.dtype(c) for c in cols]
+
+    def _c_BinOp(self, e: BinOp) -> Column:
+        l, r = self.col(e.left), self.col(e.right)
+        if e.op == "+":
+            lt, rt = self._numeric_kinds(l, r)
+            if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
+                return F.concat(l.cast("string"), r.cast("string"))
+            if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
+                return F.concat(l, r)
+            if isinstance(lt, T.ArrayType):
+                return F.concat(l, F.array(r))
+            if isinstance(rt, T.ArrayType):
+                return F.concat(F.array(l), r)
+            return l + r
+        if e.op == "-":
+            return l - r
+        if e.op == "*":
+            return l * r
+        if e.op == "%":
+            return l % r
+        if e.op == "^":
+            return F.pow(l, r)
+        if e.op == "/":
+            lt, rt = self._numeric_kinds(l, r)
+            if isinstance(lt, _INT_TYPES) and isinstance(rt, _INT_TYPES):
+                # Cypher integer division truncates toward zero
+                # (reference: arithmetic_evaluator.py:50-103)
+                return (l - (l % r)) / r  # exact; avoids double rounding
+            return l / r
+        raise NotImplementedError(f"operator {e.op}")
+
+    def _c_UnaryOp(self, e: UnaryOp) -> Column:
+        c = self.col(e.operand)
+        return -c if e.op == "-" else c
+
+    def _c_Cmp(self, e: Cmp) -> Column:
+        ops = {
+            "=": lambda a, b: a == b,
+            "<>": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        left = self.col(e.first)
+        conds = []
+        for op, rhs_ast in e.rest:
+            right = self.col(rhs_ast)
+            conds.append(ops[op](left, right))
+            left = right
+        return functools.reduce(lambda a, b: a & b, conds)
+
+    def _c_BoolOp(self, e: BoolOp) -> Column:
+        cols = [self.col(x).cast("boolean") for x in e.operands]
+        if e.op == "AND":
+            return functools.reduce(lambda a, b: a & b, cols)
+        if e.op == "OR":
+            return functools.reduce(lambda a, b: a | b, cols)
+        # XOR: null-propagating inequality on booleans (Kleene-correct)
+        return functools.reduce(lambda a, b: a != b, cols)
+
+    def _c_Not(self, e: Not) -> Column:
+        return ~self.col(e.operand).cast("boolean")
+
+    def _c_IsNull(self, e: IsNull) -> Column:
+        c = self.col(e.operand)
+        return c.isNotNull() if e.negated else c.isNull()
+
+    def _c_StringPred(self, e: StringPred) -> Column:
+        l, r = self.col(e.left), self.col(e.right)
+        if e.kind == "STARTS_WITH":
+            return l.startswith(r)
+        if e.kind == "ENDS_WITH":
+            return l.endswith(r)
+        if e.kind == "CONTAINS":
+            return l.contains(r)
+        # full-string regex match (Cypher `=~`)
+        if isinstance(e.right, Literal) and isinstance(e.right.value, str):
+            return l.rlike(f"^(?:{e.right.value})$")
+        return F.regexp_like(l, F.concat(F.lit("^(?:"), r, F.lit(")$")))
+
+    def _c_InList(self, e: InList) -> Column:
+        item = self.col(e.item)
+        if isinstance(e.collection, ListLit) and all(
+            isinstance(x, Literal) for x in e.collection.items
+        ):
+            return item.isin([x.value for x in e.collection.items])
+        return F.array_contains(self.col(e.collection), item)
+
+    def _c_Index(self, e: Index) -> Column:
+        target = self.col(e.target)
+        dt = self.bindings.dtype(target)
+        idx = self.col(e.index)
+        if isinstance(dt, T.MapType):
+            return F.try_element_at(target, idx)
+        if isinstance(dt, T.StructType):
+            if isinstance(e.index, Literal) and isinstance(e.index.value, str):
+                if e.index.value in dt.fieldNames():
+                    return target.getField(e.index.value)
+                return F.lit(None)
+            raise NotImplementedError("dynamic struct key lookup")
+        if isinstance(e.index, Literal) and isinstance(e.index.value, int):
+            i = e.index.value
+            return F.try_element_at(target, F.lit(i + 1 if i >= 0 else i))
+        idx = idx.cast("int")
+        return F.when(idx >= 0, F.try_element_at(target, idx + F.lit(1))).otherwise(
+            F.try_element_at(target, idx)
+        )
+
+    def _c_Slice(self, e: Slice) -> Column:
+        xs = self.col(e.target)
+        n = F.size(xs)
+        lo = self.col(e.lo).cast("int") if e.lo is not None else F.lit(0)
+        hi = self.col(e.hi).cast("int") if e.hi is not None else n
+        lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
+        hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+        length = F.greatest(hi - lo, F.lit(0))
+        return F.when(length == 0, F.slice(xs, 1, 0)).otherwise(F.slice(xs, lo + 1, length))
+
+    def _c_CaseExpr(self, e: CaseExpr) -> Column:
+        result = None
+        if e.operand is not None:
+            op = self.col(e.operand)
+            for cond_ast, val_ast in e.whens:
+                cond = op == self.col(cond_ast)
+                val = self.col(val_ast)
+                result = F.when(cond, val) if result is None else result.when(cond, val)
+        else:
+            for cond_ast, val_ast in e.whens:
+                cond = self.col(cond_ast).cast("boolean")
+                val = self.col(val_ast)
+                result = F.when(cond, val) if result is None else result.when(cond, val)
+        if e.default is not None:
+            result = result.otherwise(self.col(e.default))
+        return result
+
+    # ------------------------------------------------------------------ #
+    # higher-order list operations -> Spark lambda functions
+    # (reference: collection_evaluator.py:319-733)
+    # ------------------------------------------------------------------ #
+    def _with_lambda(self, name: str, col: Column, body_fn):
+        saved = self.lambda_vars.get(name)
+        self.lambda_vars[name] = col
+        try:
+            return body_fn()
+        finally:
+            if saved is None:
+                self.lambda_vars.pop(name, None)
+            else:
+                self.lambda_vars[name] = saved
+
+    def _c_ListComp(self, e: ListComp) -> Column:
+        out = self.col(e.collection)
+        if e.where is not None:
+            out = F.filter(
+                out,
+                lambda x: self._with_lambda(
+                    e.var, x, lambda: self.col(e.where).cast("boolean")
+                ),
+            )
+        if e.projection is not None:
+            out = F.transform(
+                out, lambda x: self._with_lambda(e.var, x, lambda: self.col(e.projection))
+            )
+        return out
+
+    def _c_Quantifier(self, e: Quantifier) -> Column:
+        coll = self.col(e.collection)
+        pred = lambda x: self._with_lambda(  # noqa: E731
+            e.var, x, lambda: self.col(e.where).cast("boolean")
+        ) if e.where is not None else F.lit(True)
+        if e.kind == "ALL":
+            return F.forall(coll, pred)
+        if e.kind == "ANY":
+            return F.exists(coll, pred)
+        if e.kind == "NONE":
+            return ~F.exists(coll, pred)
+        # SINGLE
+        return F.size(F.filter(coll, pred)) == 1
+
+    def _c_Reduce(self, e: Reduce) -> Column:
+        coll = self.col(e.collection)
+        init = self.col(e.init)
+
+        def merge(acc, x):
+            def body():
+                saved = self.lambda_vars.get(e.acc)
+                self.lambda_vars[e.acc] = acc
+                try:
+                    return self.col(e.body)
+                finally:
+                    if saved is None:
+                        self.lambda_vars.pop(e.acc, None)
+                    else:
+                        self.lambda_vars[e.acc] = saved
+
+            return self._with_lambda(e.var, x, body)
+
+        return F.aggregate(coll, init, merge)
+
+    # ------------------------------------------------------------------ #
+    def _c_LabelPred(self, e: LabelPred) -> Column:
+        info = self.bindings.vars.get(e.var)
+        if info is None:
+            raise KeyError(f"undefined variable {e.var!r}")
+        label_col = pcol(e.var, "label")
+        if label_col in self.bindings.df.columns:
+            return self.bindings.df[label_col].isin(list(e.labels))
+        hit = all(l in info.labels for l in e.labels)
+        return F.when(self.bindings.df[e.var].isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(hit))
+
+    def _c_MapProjection(self, e: MapProjection) -> Column:
+        info = self.bindings.vars.get(e.var)
+        fields: list[Column] = []
+        for kind, payload in e.items:
+            if kind == "prop":
+                fields.append(self.col(Prop(Var(e.var), payload)).alias(payload))
+            elif kind == "var":
+                fields.append(self.col(Var(payload)).alias(payload))
+            elif kind == "expr":
+                key, expr = payload
+                fields.append(self.col(expr).alias(key))
+            elif kind == "all":
+                if info and info.kind in ("node", "rel"):
+                    for c in self.bindings.prop_columns(e.var):
+                        fields.append(self.bindings.df[c].alias(c[len(e.var) + 2 :]))
+        return F.struct(*fields)
+
+    def _c_FuncCall(self, e: FuncCall) -> Column:
+        name = e.name
+        if name in AGGREGATE_FUNCTIONS:
+            if self.agg_map:
+                from pycypher_nmetl_spark.compiler.astutil import ast_key
+
+                k = ast_key(e)
+                if k in self.agg_map:
+                    return self.bindings.df[self.agg_map[k]]
+            raise ValueError(
+                f"aggregate function {name}() used outside RETURN/WITH projection"
+            )
+        if name in self.functions:
+            return self.functions[name](self, e.args)
+        if name in SCALAR_FUNCTIONS:
+            return SCALAR_FUNCTIONS[name](self, e.args)
+        raise KeyError(f"unknown function {name}()")
+
+    def _c_CountStar(self, e: CountStar) -> Column:
+        if self.agg_map:
+            from pycypher_nmetl_spark.compiler.astutil import ast_key
+
+            k = ast_key(e)
+            if k in self.agg_map:
+                return self.bindings.df[self.agg_map[k]]
+        raise ValueError("count(*) used outside RETURN/WITH projection")
+
+    def _c_ExistsSub(self, e: ExistsSub) -> Column:
+        raise NotImplementedError(
+            "EXISTS subquery must be materialized before expression compilation"
+        )
+
+    _c_PatternPred = _c_ExistsSub
+    _c_PatternComp = _c_ExistsSub

@@ -1,0 +1,480 @@
+"""Mutation clauses: CREATE / SET / REMOVE / DELETE / MERGE / FOREACH.
+
+Reference semantics: mutation_engine.py:118-1143, shadow write-back
+binding_frame.py:1487-1777. Spark-first re-expression (SURVEY.md §2.10):
+every mutation produces *new* DataFrames for the touched labels which are
+written into the catalog's shadow dicts; `CypherEngine._execute_query`
+promotes them with an atomic pointer swap at commit.
+
+ID allocation (100 TB note): the reference allocates max+1 per table
+sequentially (mutation_engine.py:229-322). We allocate
+``max_id + 1 + monotonically_increasing_id()`` — one tiny agg action for
+the max, then fully distributed, gap-tolerant id assignment with no
+driver round-trip per row.
+
+Determinism note: a DataFrame with freshly-allocated ids is
+``localCheckpoint``-ed before it is used twice (catalog union + continued
+bindings) — otherwise lazy re-evaluation could assign different ids to
+the two consumers (the classic monotonically_increasing_id recompute
+trap). At production scale this materialization would be a Delta/parquet
+write instead; the checkpoint is its local-mode stand-in.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
+from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
+from pycypher_nmetl_spark.cypher.ast_nodes import (
+    Create, Delete, Foreach, MapLit, Match, Merge, NodePattern, Param,
+    PathPattern, Prop, Remove, RelPattern, SetClause, SetItem, Unwind, Var,
+)
+
+if TYPE_CHECKING:
+    from pycypher_nmetl_spark.engine import CypherEngine
+
+ID, SRC, DST = "id", "src", "dst"
+
+
+def _max_id(df: DataFrame) -> int:
+    row = df.agg(F.max(ID).alias("m")).collect()[0]
+    return row["m"] if row["m"] is not None else 0
+
+
+def _props_pairs(engine, props, params) -> list[tuple[str, object]]:
+    """Property map of a pattern -> [(key, value_expr_ast)]; supports
+    inline maps and `$param` maps (literalized driver-side)."""
+    if props is None:
+        return []
+    if isinstance(props, MapLit):
+        return list(props.pairs)
+    if isinstance(props, Param):
+        from pycypher_nmetl_spark.cypher.ast_nodes import Literal
+
+        value = params.get(props.name)
+        if not isinstance(value, dict):
+            raise ValueError(f"${props.name} must be a map for a property pattern")
+        return [(k, Literal(v)) for k, v in value.items()]
+    raise ValueError(f"unsupported property map {type(props).__name__}")
+
+
+# ------------------------------------------------------------------------- #
+# CREATE (mutation_engine.py:459-617)
+# ------------------------------------------------------------------------- #
+def compile_create(
+    engine: "CypherEngine", bindings: Bindings, clause: Create, params: dict
+) -> Bindings:
+    cat = engine.catalog
+    for path in clause.paths:
+        elements = path.elements
+        # pass 1: create unbound node vars (one new node per binding row)
+        for el in elements:
+            if isinstance(el, NodePattern):
+                var = el.var or fresh_name("_anon")
+                el.var = var
+                if var in bindings.vars:
+                    if el.labels or el.props:
+                        raise ValueError(
+                            f"variable {var!r} already bound; CREATE cannot re-specify it"
+                        )
+                    continue
+                bindings = _create_nodes(engine, bindings, el, params)
+        # pass 2: create one edge per binding row for each rel pattern
+        i = 1
+        while i < len(elements):
+            rel: RelPattern = elements[i]
+            left: NodePattern = elements[i - 1]
+            right: NodePattern = elements[i + 1]
+            bindings = _create_edges(engine, bindings, left, rel, right, params)
+            i += 2
+    return bindings
+
+
+def _create_nodes(
+    engine: "CypherEngine", bindings: Bindings, np: NodePattern, params: dict
+) -> Bindings:
+    cat = engine.catalog
+    if len(np.labels) != 1:
+        raise ValueError(f"CREATE node needs exactly one label, got {np.labels}")
+    label = np.labels[0]
+    var = np.var
+
+    known = cat.has_label(label)
+
+    cc = ExprCompiler(bindings, params, {}, engine.functions)
+    pairs = _props_pairs(engine, np.props, params)
+    explicit_id = next((expr for key, expr in pairs if key == ID), None)
+    if explicit_id is not None:
+        # an `id` property IS the entity id in our data model
+        df = bindings.df.withColumn(var, cc.col(explicit_id))
+    else:
+        base_max = _max_id(cat.nodes(label)) if known else 0
+        df = bindings.df.withColumn(
+            var, F.lit(base_max + 1) + F.monotonically_increasing_id()
+        )
+    for key, expr_ast in pairs:
+        if key == ID:
+            continue
+        df = df.withColumn(pcol(var, key), cc.col(expr_ast))
+    # materialize allocated ids before they fan out to two consumers
+    df = df.localCheckpoint()
+
+    new_rows = df.select(
+        F.col(var).alias(ID),
+        *[
+            F.col(c).alias(c[len(var) + 2 :])
+            for c in df.columns
+            if c.startswith(f"{var}__")
+        ],
+    )
+    if known:
+        table = cat.nodes(label).unionByName(new_rows, allowMissingColumns=True)
+    else:
+        table = new_rows
+    cat.set_nodes(label, table)
+    return Bindings(df, {**bindings.vars, var: VarInfo("node", (label,), anon=var.startswith("_anon"))})
+
+
+def _create_edges(
+    engine: "CypherEngine",
+    bindings: Bindings,
+    left: NodePattern,
+    rel: RelPattern,
+    right: NodePattern,
+    params: dict,
+) -> Bindings:
+    cat = engine.catalog
+    if len(rel.types) != 1:
+        raise ValueError(f"CREATE relationship needs exactly one type, got {rel.types}")
+    if rel.direction == "U":
+        raise ValueError("CREATE relationship must be directed")
+    rtype = rel.types[0]
+    rvar = rel.var or fresh_name("_anon")
+    src_var, dst_var = (left.var, right.var) if rel.direction == "R" else (right.var, left.var)
+
+    known = cat.has_rel_type(rtype)
+    base_max = max(_max_id(cat.edges(rtype)), 0) if known else 0
+
+    cc = ExprCompiler(bindings, params, {}, engine.functions)
+    df = bindings.df.withColumn(
+        rvar, F.lit(base_max + 1) + F.monotonically_increasing_id()
+    )
+    df = df.withColumn(pcol(rvar, "src"), F.col(src_var))
+    df = df.withColumn(pcol(rvar, "dst"), F.col(dst_var))
+    for key, expr_ast in _props_pairs(engine, rel.props, params):
+        df = df.withColumn(pcol(rvar, key), cc.col(expr_ast))
+    df = df.localCheckpoint()
+
+    skip = {pcol(rvar, "src"), pcol(rvar, "dst")}
+    new_rows = df.select(
+        F.col(rvar).alias(ID),
+        F.col(pcol(rvar, "src")).alias(SRC),
+        F.col(pcol(rvar, "dst")).alias(DST),
+        *[
+            F.col(c).alias(c[len(rvar) + 2 :])
+            for c in df.columns
+            if c.startswith(f"{rvar}__") and c not in skip
+        ],
+    )
+    if known:
+        table = cat.edges(rtype).unionByName(new_rows, allowMissingColumns=True)
+    else:
+        table = new_rows
+    cat.set_edges(rtype, table)
+    return Bindings(
+        df, {**bindings.vars, rvar: VarInfo("rel", (rtype,), anon=rel.var is None)}
+    )
+
+
+# ------------------------------------------------------------------------- #
+# SET (mutation_engine.py:118-228, binding_frame.py:1487-1777)
+# ------------------------------------------------------------------------- #
+def _candidate_labels(engine, bindings: Bindings, var: str) -> tuple[str, list[str]]:
+    """(kind, tables-to-touch) for a mutated variable."""
+    info = bindings.vars.get(var)
+    if info is None:
+        raise KeyError(f"undefined variable {var!r}")
+    cat = engine.catalog
+    if info.kind == "node":
+        return "n", list(info.labels) if info.labels else cat.labels()
+    if info.kind == "rel":
+        return "e", list(info.labels) if info.labels else cat.rel_types()
+    raise ValueError(f"cannot mutate {info.kind} variable {var!r}")
+
+
+def _apply_column_updates(
+    engine: "CypherEngine",
+    bindings: Bindings,
+    var: str,
+    updates: list[tuple[str, object]],
+    params: dict,
+    replace_all: bool = False,
+) -> Bindings:
+    """Upsert-by-join: evaluate per-row values, join into each candidate
+    table on id, write through where matched (classic SET-as-left-join,
+    SURVEY.md §2.10)."""
+    cat = engine.catalog
+    cc = ExprCompiler(bindings, params, {}, engine.functions)
+    kind, tables = _candidate_labels(engine, bindings, var)
+
+    val_cols = [cc.col(expr).alias(f"_set_{key}") for key, expr in updates]
+    upd = (
+        bindings.df.select(F.col(var).alias(ID), *val_cols)
+        .dropDuplicates([ID])
+        .withColumn("_hit", F.lit(True))
+    )
+
+    keys = [k for k, _ in updates]
+    for table_name in tables:
+        tdf = cat.nodes(table_name) if kind == "n" else cat.edges(table_name)
+        joined = tdf.join(upd, on=ID, how="left")
+        protected = {ID, SRC, DST}
+        if replace_all:
+            for c in tdf.columns:
+                if c in protected or c in keys:
+                    continue
+                joined = joined.withColumn(
+                    c, F.when(F.col("_hit"), F.lit(None)).otherwise(F.col(c))
+                )
+        for key in keys:
+            new = F.col(f"_set_{key}")
+            if key in tdf.columns:
+                col = F.when(F.col("_hit"), new).otherwise(F.col(key))
+            else:
+                col = F.when(F.col("_hit"), new)
+            joined = joined.withColumn(key, col)
+        out = joined.drop("_hit", *[f"_set_{k}" for k in keys])
+        if kind == "n":
+            cat.set_nodes(table_name, out)
+        else:
+            cat.set_edges(table_name, out)
+
+    # refresh the carried satellite columns in the bindings frame
+    df = bindings.df
+    for key, expr in updates:
+        df = df.withColumn(pcol(var, key), cc.col(expr))
+    return bindings.with_df(df)
+
+
+def compile_set(
+    engine: "CypherEngine", bindings: Bindings, items: list[SetItem], params: dict
+) -> Bindings:
+    cat = engine.catalog
+    # group prop-sets per variable so one join handles many properties
+    by_var: dict[str, list[tuple[str, object]]] = {}
+    order: list[tuple[str, object]] = []
+    for item in items:
+        if item.kind == "prop":
+            assert isinstance(item.target, Prop) and isinstance(item.target.target, Var)
+            by_var.setdefault(item.target.target.name, []).append(
+                (item.target.key, item.value)
+            )
+        else:
+            order.append(("special", item))
+    for var, updates in by_var.items():
+        bindings = _apply_column_updates(engine, bindings, var, updates, params)
+
+    for _, item in order:
+        var = item.target.name if isinstance(item.target, Var) else None
+        if item.kind in ("map_add", "map_replace"):
+            pairs = _props_pairs(engine, item.value, params)
+            bindings = _apply_column_updates(
+                engine, bindings, var, pairs, params,
+                replace_all=(item.kind == "map_replace"),
+            )
+        elif item.kind == "labels":
+            for label in item.labels:
+                bindings = _set_label(engine, bindings, var, label)
+        elif item.kind == "dynamic":
+            # SET n[key] = v with a *literal/param* key reduces to a prop set
+            cc = ExprCompiler(bindings, params, {}, engine.functions)
+            from pycypher_nmetl_spark.cypher.ast_nodes import Literal
+
+            key_ast = item.key_expr
+            if isinstance(key_ast, Param):
+                key = params[key_ast.name]
+            elif isinstance(key_ast, Literal):
+                key = key_ast.value
+            else:
+                raise NotImplementedError("dynamic SET key must be literal or parameter")
+            bindings = _apply_column_updates(
+                engine, bindings, var, [(key, item.value)], params
+            )
+        else:
+            raise NotImplementedError(f"SET item {item.kind}")
+    return bindings
+
+
+def _set_label(engine, bindings: Bindings, var: str, label: str) -> Bindings:
+    """SET n:Label — add the bound nodes (with carried props) to a label."""
+    cat = engine.catalog
+    rows = bindings.df.select(
+        F.col(var).alias(ID),
+        *[
+            F.col(c).alias(c[len(var) + 2 :])
+            for c in bindings.prop_columns(var)
+        ],
+    ).dropDuplicates([ID])
+    if cat.has_label(label):
+        existing = cat.nodes(label)
+        new = rows.join(existing.select(ID), on=ID, how="left_anti")
+        cat.set_nodes(label, existing.unionByName(new, allowMissingColumns=True))
+    else:
+        cat.set_nodes(label, rows)
+    return bindings
+
+
+# ------------------------------------------------------------------------- #
+# REMOVE (mutation_engine.py:1020-1060)
+# ------------------------------------------------------------------------- #
+def compile_remove(
+    engine: "CypherEngine", bindings: Bindings, clause: Remove, params: dict
+) -> Bindings:
+    from pycypher_nmetl_spark.cypher.ast_nodes import Literal
+
+    cat = engine.catalog
+    for item in clause.items:
+        if item.kind == "prop":
+            prop: Prop = item.target
+            var = prop.target.name
+            bindings = _apply_column_updates(
+                engine, bindings, var, [(prop.key, Literal(None))], params
+            )
+        else:  # labels
+            var = item.target.name
+            ids = bindings.df.select(F.col(var).alias(ID)).dropDuplicates()
+            for label in item.labels:
+                if cat.has_label(label):
+                    cat.set_nodes(label, cat.nodes(label).join(ids, on=ID, how="left_anti"))
+    return bindings
+
+
+# ------------------------------------------------------------------------- #
+# DELETE / DETACH DELETE (mutation_engine.py:619-745)
+# ------------------------------------------------------------------------- #
+def compile_delete(
+    engine: "CypherEngine", bindings: Bindings, clause: Delete, params: dict
+) -> Bindings:
+    cat = engine.catalog
+    for expr in clause.exprs:
+        if not isinstance(expr, Var):
+            raise ValueError("DELETE expects bound variables")
+        var = expr.name
+        kind, tables = _candidate_labels(engine, bindings, var)
+        ids = bindings.df.select(F.col(var).alias(ID)).dropDuplicates().localCheckpoint()
+        if kind == "n":
+            for label in tables:
+                cat.set_nodes(label, cat.nodes(label).join(ids, on=ID, how="left_anti"))
+            if clause.detach:
+                for rtype in cat.rel_types():
+                    edf = cat.edges(rtype)
+                    edf = edf.join(ids.select(F.col(ID).alias(SRC)), on=SRC, how="left_anti")
+                    edf = edf.join(ids.select(F.col(ID).alias(DST)), on=DST, how="left_anti")
+                    cat.set_edges(rtype, edf)
+        else:
+            for rtype in tables:
+                cat.set_edges(rtype, cat.edges(rtype).join(ids, on=ID, how="left_anti"))
+    return bindings
+
+
+# ------------------------------------------------------------------------- #
+# MERGE (mutation_engine.py:746-855)
+# ------------------------------------------------------------------------- #
+def compile_merge(
+    engine: "CypherEngine", bindings: Bindings, clause: Merge, params: dict
+) -> Bindings:
+    """Match-else-create without per-row branching: OPTIONAL-match the
+    pattern, split on null, CREATE for the unmatched slice, union back
+    (the two-phase join+anti-join plan from SURVEY.md §7.3)."""
+    from pycypher_nmetl_spark.compiler.patterns import compile_match
+
+    path = clause.path
+    # name every pattern element so we can split/reunite frames
+    for el in path.elements:
+        if isinstance(el, NodePattern) and el.var is None:
+            el.var = fresh_name("_anon")
+        if isinstance(el, RelPattern) and el.var is None:
+            el.var = fresh_name("_anon")
+    probe_var = next(
+        el.var for el in path.elements if isinstance(el, NodePattern)
+    )
+
+    # a label/type not in the catalog yet can't match anything -> pure CREATE
+    cat = engine.catalog
+    unknown = any(
+        (isinstance(el, NodePattern) and any(not cat.has_label(l) for l in el.labels))
+        or (isinstance(el, RelPattern) and any(not cat.has_rel_type(t) for t in el.types))
+        for el in path.elements
+    )
+    if unknown:
+        miss_df = bindings.df.dropDuplicates() if bindings.df.columns else bindings.df
+        miss = Bindings(miss_df, dict(bindings.vars))
+        created = compile_create(engine, miss, Create(paths=[path]), params)
+        if clause.on_create:
+            created = compile_set(engine, created, clause.on_create, params)
+        return created
+
+    pre_cols = list(bindings.df.columns)
+    matched = compile_match(
+        engine, bindings, Match(paths=[path], optional=True), params
+    )
+    matched = matched.with_df(matched.df.localCheckpoint())
+
+    hit = matched.with_df(matched.df.filter(F.col(probe_var).isNotNull()))
+    miss_df = matched.df.filter(F.col(probe_var).isNull()).select(*pre_cols)
+    # MERGE creates one instance per *distinct* key row, not per duplicate
+    miss_df = miss_df.dropDuplicates() if pre_cols else miss_df.limit(1)
+    miss = Bindings(miss_df, dict(bindings.vars))
+
+    created = compile_create(engine, miss, Create(paths=[path]), params)
+    if clause.on_create:
+        created = compile_set(engine, created, clause.on_create, params)
+    if clause.on_match:
+        hit = compile_set(engine, hit, clause.on_match, params)
+
+    # align columns & union the two slices
+    all_cols = list(dict.fromkeys(hit.df.columns + created.df.columns))
+    hdf = hit.df
+    cdf = created.df
+    for c in all_cols:
+        if c not in hdf.columns:
+            hdf = hdf.withColumn(c, F.lit(None))
+        if c not in cdf.columns:
+            cdf = cdf.withColumn(c, F.lit(None))
+    vars_ = {**created.vars, **hit.vars}
+    return Bindings(hdf.select(*all_cols).unionByName(cdf.select(*all_cols)), vars_)
+
+
+# ------------------------------------------------------------------------- #
+# FOREACH (mutation_engine.py:856-1019)
+# ------------------------------------------------------------------------- #
+def compile_foreach(
+    engine: "CypherEngine", bindings: Bindings, clause: Foreach, params: dict
+) -> Bindings:
+    """Explode the list, run the mutations on the exploded frame, keep the
+    original bindings (FOREACH introduces no variables downstream)."""
+    cc = ExprCompiler(bindings, params, {}, engine.functions)
+    inner_df = bindings.df.withColumn(clause.var, F.explode(cc.col(clause.collection)))
+    inner = Bindings(inner_df, {**bindings.vars, clause.var: VarInfo("value")})
+    for sub in clause.clauses:
+        if isinstance(sub, SetClause):
+            inner = compile_set(engine, inner, sub.items, params)
+        elif isinstance(sub, Create):
+            inner = compile_create(engine, inner, sub, params)
+        elif isinstance(sub, Delete):
+            inner = compile_delete(engine, inner, sub, params)
+        elif isinstance(sub, Remove):
+            inner = compile_remove(engine, inner, sub, params)
+        elif isinstance(sub, Merge):
+            inner = compile_merge(engine, inner, sub, params)
+        elif isinstance(sub, Foreach):
+            inner = compile_foreach(engine, inner, sub, params)
+        else:
+            raise NotImplementedError(
+                f"FOREACH cannot contain {type(sub).__name__}"
+            )
+    return bindings

@@ -1,0 +1,323 @@
+"""Variable-length paths & shortest paths (reference: path_expander.py:93-490).
+
+openCypher semantics implemented:
+
+  * ``(a)-[r:T*m..n]->(b)`` — one output row per *path*; ``r`` binds to
+    the list of edge ids along the path; edges within one path are
+    distinct (relationship isomorphism), enforced with an
+    ``array_contains`` check against the accumulated edge list;
+  * ``shortestPath(...)`` / ``allShortestPaths(...)`` — min-hop path(s)
+    per (start, end) pair, found by level-synchronous BFS with a
+    visited-set (so the search space stays linear in reachable pairs,
+    not exponential in paths);
+  * zero-length (``*0..``) binds b = a with an empty edge list.
+
+Execution strategy (scale notes):
+
+  * the frontier starts from the DISTINCT start ids of the incoming
+    bindings, so duplicated binding rows don't multiply the traversal;
+    results join back on the start id at the end;
+  * bounded small expansions (max ≤ LAZY_MAX_LEVELS) compile to one lazy
+    union-of-joins plan — Catalyst sees everything, no driver actions;
+  * larger / unbounded expansions run a driver BFS loop with
+    ``localCheckpoint`` per level (truncates the lineage exactly like
+    GraphFrames' BFS) and an early exit when the frontier empties —
+    the count() per level is the only extra action;
+  * hop caps (MAX_HOPS) mirror the reference's guard rails
+    (path_expander.py:40-50).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
+from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
+from pycypher_nmetl_spark.cypher.ast_nodes import NodePattern, PathPattern, RelPattern
+
+if TYPE_CHECKING:
+    from pycypher_nmetl_spark.engine import CypherEngine
+
+MAX_HOPS = 20  # unbounded `*..` cap (reference: path_expander.py:40-50)
+LAZY_MAX_LEVELS = 8  # above this, switch to checkpointed driver loop
+
+
+def build_varlength_path(
+    engine: "CypherEngine",
+    path: PathPattern,
+    outer: Bindings,
+    params: dict,
+) -> tuple[Bindings, list[tuple[str, tuple[str, ...]]]]:
+    """Build a path frame for a pattern containing var-length segments."""
+    from pycypher_nmetl_spark.compiler.patterns import (
+        _ensure_var, _expand, _scan_node_into,
+    )
+
+    elements = path.elements
+    rel_vars: list[tuple[str, tuple[str, ...]]] = []
+    first: NodePattern = elements[0]
+    pb = _scan_node_into(engine, None, first, outer, params)
+    prev_var = _ensure_var(first)
+    hop_cols: list = []  # Columns counting hops, for length(p)
+
+    i = 1
+    while i < len(elements):
+        rel: RelPattern = elements[i]
+        nxt: NodePattern = elements[i + 1]
+        if rel.varlength:
+            pb, rvar, hop_col = _expand_varlength(
+                engine, pb, prev_var, rel, nxt, outer, params, path.shortest
+            )
+            hop_cols.append(hop_col)
+        else:
+            pb, rvar = _expand(engine, pb, prev_var, rel, nxt, outer, params)
+            hop_cols.append(F.lit(1))
+        rel_vars.append((rvar, tuple(rel.types)))
+        prev_var = _ensure_var(nxt)
+        i += 2
+
+    if path.var:
+        total = hop_cols[0]
+        for h in hop_cols[1:]:
+            total = total + h
+        pb = pb.with_df(pb.df.withColumn(f"{path.var}__length", total))
+        pb = pb.add_var(path.var, VarInfo("path"))
+    return pb, rel_vars
+
+
+# --------------------------------------------------------------------- #
+def _edge_hop_table(
+    engine: "CypherEngine", rel: RelPattern, params: dict
+) -> DataFrame:
+    """Edge table reduced to (_eid, _from, _to) in traversal orientation."""
+    from pycypher_nmetl_spark.compiler.patterns import edge_scan
+
+    tmp = fresh_name("_vl")
+    edf, rinfo = edge_scan(engine, tmp, rel.types)
+    src_c, dst_c = pcol(tmp, "src"), pcol(tmp, "dst")
+
+    if rel.props:
+        cc = ExprCompiler(Bindings(edf, {tmp: rinfo}), params)
+        for key, expr in rel.props.pairs:
+            phys = pcol(tmp, key)
+            target = edf[phys] if phys in edf.columns else F.lit(None)
+            edf = edf.filter(target == cc.col(expr))
+
+    if rel.direction == "R":
+        sel = edf.select(
+            F.col(tmp).alias("_eid"), F.col(src_c).alias("_from"), F.col(dst_c).alias("_to")
+        )
+    elif rel.direction == "L":
+        sel = edf.select(
+            F.col(tmp).alias("_eid"), F.col(dst_c).alias("_from"), F.col(src_c).alias("_to")
+        )
+    else:  # undirected: both orientations; edge-uniqueness stops backtracking
+        fwd = edf.select(
+            F.col(tmp).alias("_eid"), F.col(src_c).alias("_from"), F.col(dst_c).alias("_to")
+        )
+        bwd = edf.select(
+            F.col(tmp).alias("_eid"), F.col(dst_c).alias("_from"), F.col(src_c).alias("_to")
+        )
+        sel = fwd.unionByName(bwd)
+    return sel
+
+
+def _expand_varlength(
+    engine: "CypherEngine",
+    pb: Bindings,
+    prev_var: str,
+    rel: RelPattern,
+    nxt: NodePattern,
+    outer: Bindings,
+    params: dict,
+    shortest: str | None,
+):
+    from pycypher_nmetl_spark.compiler.patterns import _ensure_var, node_scan
+
+    cat = engine.catalog
+    rvar = rel.var or fresh_name("_anon")
+    lo = rel.min_hops if rel.min_hops is not None else 1
+    hi = rel.max_hops if rel.max_hops is not None else MAX_HOPS
+    hi = min(hi, MAX_HOPS)
+    if lo > hi:
+        raise ValueError(f"invalid hop range *{lo}..{hi}")
+
+    edges = _edge_hop_table(engine, rel, params)
+    starts = pb.df.select(F.col(prev_var).alias("_start")).dropDuplicates()
+
+    if shortest:
+        paths = _bfs_shortest(engine, starts, edges, lo, hi, shortest)
+    elif hi <= LAZY_MAX_LEVELS:
+        paths = _enumerate_lazy(starts, edges, lo, hi)
+    else:
+        paths = _enumerate_checkpointed(engine, starts, edges, lo, hi)
+    # paths: (_start, _tip, _edges array<edge id>)
+
+    nvar = _ensure_var(nxt)
+    already_bound = nvar in pb.vars
+    tipname = fresh_name("_tip")
+    edgename = rvar
+    paths = paths.select(
+        F.col("_start").alias("_vlstart"),
+        F.col("_tip").alias(tipname),
+        F.col("_edges").alias(edgename),
+    )
+
+    df = pb.df.join(paths, pb.df[prev_var] == paths["_vlstart"]).drop("_vlstart")
+    vars_ = dict(pb.vars)
+    vars_[rvar] = VarInfo("rel", tuple(rel.types), anon=rel.var is None)
+    pb = Bindings(df, vars_)
+
+    if already_bound:
+        pb = pb.with_df(pb.df.filter(F.col(tipname) == F.col(nvar)).drop(tipname))
+    else:
+        labels = list(nxt.labels)
+        if not labels and nvar in outer.vars and outer.vars[nvar].labels:
+            labels = list(outer.vars[nvar].labels)
+        if labels:
+            ndf, ninfo = node_scan(engine, nvar, labels)
+            df = pb.df.join(ndf, pb.df[tipname] == ndf[nvar], "inner").drop(tipname)
+            pb = Bindings(
+                df, {**pb.vars, nvar: VarInfo("node", tuple(labels), anon=nxt.var is None)}
+            )
+        else:
+            pb = pb.with_df(pb.df.withColumnRenamed(tipname, nvar))
+            pb = pb.add_var(nvar, VarInfo("node", (), anon=nxt.var is None))
+        if nxt.props:
+            cc = ExprCompiler(pb, params)
+            for key, expr in nxt.props.pairs:
+                phys = pcol(nvar, key)
+                target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+                pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
+
+    return pb, rvar, F.size(F.col(edgename))
+
+
+# --------------------------------------------------------------------- #
+def _zero_hop(starts: DataFrame) -> DataFrame:
+    return starts.select(
+        F.col("_start"),
+        F.col("_start").alias("_tip"),
+        F.array().cast("array<long>").alias("_edges"),
+    )
+
+
+def _enumerate_lazy(starts: DataFrame, edges: DataFrame, lo: int, hi: int) -> DataFrame:
+    """All paths of length lo..hi as one lazy union-of-joins plan."""
+    out: list[DataFrame] = [] if lo > 0 else [_zero_hop(starts)]
+    level = starts.join(edges, starts["_start"] == edges["_from"]).select(
+        "_start", F.col("_to").alias("_tip"), F.array("_eid").alias("_edges")
+    )
+    if lo <= 1:
+        out.append(level)
+    for k in range(2, hi + 1):
+        level = (
+            level.join(edges, level["_tip"] == edges["_from"])
+            .filter(~F.array_contains(F.col("_edges"), F.col("_eid")))
+            .select(
+                "_start",
+                F.col("_to").alias("_tip"),
+                F.array_append("_edges", F.col("_eid")).alias("_edges"),
+            )
+        )
+        if k >= lo:
+            out.append(level)
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _enumerate_checkpointed(
+    engine: "CypherEngine", starts: DataFrame, edges: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """Driver BFS loop with lineage truncation + empty-frontier early exit."""
+    level = (
+        starts.join(edges, starts["_start"] == edges["_from"])
+        .select("_start", F.col("_to").alias("_tip"), F.array("_eid").alias("_edges"))
+        .localCheckpoint()
+    )
+    collected: list[DataFrame] = [] if lo > 0 else [_zero_hop(starts)]
+    if lo <= 1:
+        collected.append(level)
+    k = 1
+    while k < hi:
+        if level.isEmpty():
+            break
+        level = (
+            level.join(edges, level["_tip"] == edges["_from"])
+            .filter(~F.array_contains(F.col("_edges"), F.col("_eid")))
+            .select(
+                "_start",
+                F.col("_to").alias("_tip"),
+                F.array_append("_edges", F.col("_eid")).alias("_edges"),
+            )
+            .localCheckpoint()
+        )
+        k += 1
+        if k >= lo:
+            collected.append(level)
+    res = collected[0]
+    for p in collected[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _bfs_shortest(
+    engine: "CypherEngine",
+    starts: DataFrame,
+    edges: DataFrame,
+    lo: int,
+    hi: int,
+    mode: str,
+) -> DataFrame:
+    """Level-synchronous BFS with a visited set per start.
+
+    shortestPath -> one min-hop path per (start, end);
+    allShortestPaths -> every min-hop path per (start, end)
+    (reference: path_expander.py:299-490).
+    """
+    visited = starts.select(F.col("_start"), F.col("_start").alias("_tip")).localCheckpoint()
+    frontier = _zero_hop(starts).localCheckpoint()
+    found: list[DataFrame] = [] if lo > 0 else [frontier]
+    k = 0
+    while k < hi:
+        nxt = (
+            frontier.join(edges, frontier["_tip"] == edges["_from"])
+            .select(
+                "_start",
+                F.col("_to").alias("_tip"),
+                F.array_append("_edges", F.col("_eid")).alias("_edges"),
+            )
+            .join(visited, on=["_start", "_tip"], how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        k += 1
+        if k >= lo:
+            found.append(nxt)
+        visited = (
+            visited.unionByName(nxt.select("_start", "_tip").dropDuplicates())
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        frontier = nxt
+    if not found:
+        return _zero_hop(starts).limit(0)
+    res = found[0]
+    for p in found[1:]:
+        res = res.unionByName(p)
+    if mode == "shortest":
+        w = Window.partitionBy("_start", "_tip").orderBy(F.size("_edges"), F.col("_edges"))
+        res = (
+            res.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # 'allshortest': every path at the first level a pair was reached —
+    # the visited-set anti-join already guarantees min-hop only.
+    return res

@@ -1,0 +1,441 @@
+"""MATCH pattern compiler: graph patterns -> DataFrame joins.
+
+Reference semantics: pattern_matcher.py:152-798, frame_joiner.py:70-310.
+Spark-first re-expression (SURVEY.md §2.4):
+
+  * node scan            -> ``nodes_df.select(id AS var, props AS var__p)``
+                            (+ broadcast hint for small dimension labels);
+  * fixed hop            -> equi-join bindings.prev == edges.src, promote
+                            ``dst`` to the next variable, then join the
+                            endpoint label table for its properties;
+  * undirected           -> union of both orientations of the edge table;
+  * cyclic back-reference-> equality filter instead of a new column;
+  * multi-path MATCH     -> join path frames on shared variables, else
+                            cross join (frame_joiner.py:70-188);
+  * OPTIONAL MATCH       -> left join on shared variables; with no shared
+                            variables, ``left join ON TRUE`` preserves left
+                            rows even when the right side is empty;
+  * relationship uniqueness (openCypher isomorphism) -> pairwise ``!=``
+    filters between relationship ids bound in the same MATCH clause;
+  * EXISTS / pattern predicates / pattern comprehensions -> materialized
+    into hidden boolean/array columns via semi-join-shaped aggregations
+    *before* scalar expression compilation (exists_evaluator.py:79-428).
+
+Scale notes: every construct here is a plain equi-join/aggregation, so
+Catalyst/AQE pick broadcast vs sort-merge, reorder joins, and apply
+dynamic partition pruning; we add explicit ``F.broadcast`` only for
+catalog-declared small dimension tables.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.compiler.astutil import walk
+from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
+from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
+from pycypher_nmetl_spark.cypher.ast_nodes import (
+    ExistsSub, Match, NodePattern, PathPattern, PatternComp, PatternPred,
+    RelPattern,
+)
+
+if TYPE_CHECKING:
+    from pycypher_nmetl_spark.engine import CypherEngine
+
+
+# ---------------------------------------------------------------------- #
+# node scans
+# ---------------------------------------------------------------------- #
+def node_scan(engine: "CypherEngine", var: str, labels: list[str]) -> tuple[DataFrame, VarInfo]:
+    """Scan a label (or all labels) into var-prefixed columns."""
+    cat = engine.catalog
+    if labels:
+        df = cat.nodes(labels[0])
+        for extra in labels[1:]:
+            df = df.join(cat.nodes(extra).select("id"), on="id", how="left_semi")
+        out = df.select(
+            F.col("id").alias(var),
+            *[F.col(c).alias(pcol(var, c)) for c in df.columns if c != "id"],
+        )
+        if cat.is_broadcastable("n", labels[0]):
+            out = F.broadcast(out)
+        return out, VarInfo("node", tuple(labels))
+    # unlabeled: union-all over every label with a var__label discriminator
+    # (reference: pattern_matcher.py:152-284 __MULTI__ sentinel)
+    frames = []
+    for label in cat.labels():
+        df = cat.nodes(label)
+        frames.append(
+            df.select(
+                F.col("id").alias(var),
+                F.lit(label).alias(pcol(var, "label")),
+                *[F.col(c).alias(pcol(var, c)) for c in df.columns if c != "id"],
+            )
+        )
+    if not frames:
+        raise ValueError("catalog has no node labels")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out, VarInfo("node", ())
+
+
+def edge_scan(engine: "CypherEngine", rvar: str, types: list[str]) -> tuple[DataFrame, VarInfo]:
+    """Scan edge table(s) into rvar-prefixed columns (id, src, dst, props)."""
+    cat = engine.catalog
+    use_types = types if types else cat.rel_types()
+    frames = []
+    for t in use_types:
+        df = cat.edges(t)
+        cols = [
+            F.col("id").alias(rvar),
+            F.col("src").alias(pcol(rvar, "src")),
+            F.col("dst").alias(pcol(rvar, "dst")),
+        ]
+        if len(use_types) > 1:
+            cols.append(F.lit(t).alias(pcol(rvar, "type")))
+        cols += [
+            F.col(c).alias(pcol(rvar, c))
+            for c in df.columns
+            if c not in ("id", "src", "dst")
+        ]
+        frames.append(df.select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    if len(use_types) == 1 and cat.is_broadcastable("e", use_types[0]):
+        out = F.broadcast(out)
+    return out, VarInfo("rel", tuple(use_types))
+
+
+# ---------------------------------------------------------------------- #
+# path construction
+# ---------------------------------------------------------------------- #
+def build_path_frame(
+    engine: "CypherEngine",
+    path: PathPattern,
+    outer: Bindings,
+    params: dict,
+) -> tuple[Bindings, list[tuple[str, tuple[str, ...]]]]:
+    """Build one path's frame from fresh scans.
+
+    Returns (frame, rel_vars) where rel_vars lists (var, typeset) for the
+    relationship-uniqueness filters applied per MATCH clause.
+    """
+    elements = path.elements
+    rel_vars: list[tuple[str, tuple[str, ...]]] = []
+
+    if path.shortest is not None or any(
+        isinstance(e, RelPattern) and e.varlength for e in elements
+    ):
+        from pycypher_nmetl_spark.compiler.paths import build_varlength_path
+
+        return build_varlength_path(engine, path, outer, params)
+
+    first: NodePattern = elements[0]
+    pb = _scan_node_into(engine, None, first, outer, params)
+
+    i = 1
+    while i < len(elements):
+        rel: RelPattern = elements[i]
+        nxt: NodePattern = elements[i + 1]
+        pb, rvar = _expand(engine, pb, _node_var(first if i == 1 else elements[i - 1]), rel, nxt, outer, params)
+        rel_vars.append((rvar, tuple(rel.types)))
+        i += 2
+
+    if path.var:
+        hops = sum(1 for e in elements if isinstance(e, RelPattern))
+        pb = pb.with_df(pb.df.withColumn(f"{path.var}__length", F.lit(hops)))
+        pb = pb.add_var(path.var, VarInfo("path"))
+    return pb, rel_vars
+
+
+def _node_var(np: NodePattern) -> str:
+    assert np.var is not None
+    return np.var
+
+
+def _ensure_var(np: NodePattern) -> str:
+    if np.var is None:
+        np.var = fresh_name("_anon")
+    return np.var
+
+
+def _scan_node_into(
+    engine: "CypherEngine",
+    pb: Bindings | None,
+    np: NodePattern,
+    outer: Bindings,
+    params: dict,
+) -> Bindings:
+    """Start (or extend) a path frame with a node pattern scan."""
+    var = _ensure_var(np)
+    labels = list(np.labels)
+    # inherit label info from the outer scope for correlated patterns
+    if not labels and var in outer.vars and outer.vars[var].labels:
+        labels = list(outer.vars[var].labels)
+    if pb is not None and var in pb.vars:
+        out = pb
+    else:
+        df, info = node_scan(engine, var, labels)
+        info = VarInfo(info.kind, info.labels, anon=np.var.startswith("_anon"))
+        frame = Bindings(df, {var: info})
+        out = frame if pb is None else _merge(pb, frame, "inner")
+    if np.props:
+        cc = ExprCompiler(out, params)
+        for key, expr in np.props.pairs:
+            phys = pcol(var, key)
+            target = out.df[phys] if phys in out.df.columns else F.lit(None)
+            out = out.with_df(out.df.filter(target == cc.col(expr)))
+    return out
+
+
+def _expand(
+    engine: "CypherEngine",
+    pb: Bindings,
+    prev_var: str,
+    rel: RelPattern,
+    nxt: NodePattern,
+    outer: Bindings,
+    params: dict,
+) -> tuple[Bindings, str]:
+    """One fixed-length hop: bindings ⋈ edges ⋈ endpoint label table."""
+    cat = engine.catalog
+    rvar = rel.var or fresh_name("_anon")
+    edf, rinfo = edge_scan(engine, rvar, rel.types)
+    rinfo = VarInfo(rinfo.kind, rinfo.labels, anon=rel.var is None)
+
+    src_c, dst_c = pcol(rvar, "src"), pcol(rvar, "dst")
+    if rel.direction == "U":
+        # undirected: traverse both orientations (src/dst swapped copy).
+        # startNode()/endNode() on an undirected rel reflect traversal order.
+        swapped = edf.withColumnsRenamed({src_c: "__tmp", dst_c: src_c}).withColumnRenamed(
+            "__tmp", dst_c
+        )
+        edf = edf.unionByName(swapped)
+        join_col, other_col = src_c, dst_c
+    elif rel.direction == "R":
+        join_col, other_col = src_c, dst_c
+    else:  # 'L'
+        join_col, other_col = dst_c, src_c
+
+    if rel.props:
+        cc = ExprCompiler(Bindings(edf, {rvar: rinfo}), params)
+        for key, expr in rel.props.pairs:
+            phys = pcol(rvar, key)
+            target = edf[phys] if phys in edf.columns else F.lit(None)
+            edf = edf.filter(target == cc.col(expr))
+
+    df = pb.df.join(edf, pb.df[prev_var] == edf[join_col], "inner")
+    pb = Bindings(df, {**pb.vars, rvar: rinfo})
+
+    nvar = _ensure_var(nxt)
+    if nvar in pb.vars:
+        # cyclic back-reference (pattern_matcher.py:502-570)
+        pb = pb.with_df(pb.df.filter(F.col(other_col) == F.col(nvar)))
+        if nxt.labels:
+            # label check on an already-bound var: semi-join
+            pb = pb.with_df(
+                pb.df.join(
+                    cat.nodes(nxt.labels[0]).select(F.col("id").alias(nvar)),
+                    on=nvar,
+                    how="left_semi",
+                )
+            )
+        return pb, rvar
+
+    labels = list(nxt.labels)
+    if not labels:
+        if nvar in outer.vars and outer.vars[nvar].labels:
+            labels = list(outer.vars[nvar].labels)
+        else:
+            # compile-time label inference from the edge's registered endpoints
+            src_l, dst_l = cat.edge_endpoints(rel.types[0]) if len(rel.types) == 1 else (None, None)
+            if rel.direction == "R":
+                inferred = dst_l
+            elif rel.direction == "L":
+                inferred = src_l
+            else:
+                inferred = None
+            if inferred:
+                labels = [inferred]
+
+    if labels:
+        ndf, ninfo = node_scan(engine, nvar, labels)
+        ninfo = VarInfo(ninfo.kind, ninfo.labels, anon=nxt.var is None or nxt.var.startswith("_anon"))
+        df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])
+        df = df.withColumn(nvar, F.col(other_col))
+        pb = Bindings(df, {**pb.vars, nvar: ninfo})
+    else:
+        # no label knowledge: endpoint id only, properties unavailable
+        df = pb.df.withColumn(nvar, F.col(other_col))
+        pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", (), anon=nxt.var is None)})
+
+    if nxt.props:
+        cc = ExprCompiler(pb, params)
+        for key, expr in nxt.props.pairs:
+            phys = pcol(nvar, key)
+            target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+            pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
+    return pb, rvar
+
+
+# ---------------------------------------------------------------------- #
+# merging frames (frame_joiner.py:70-310)
+# ---------------------------------------------------------------------- #
+def _merge(left: Bindings, right: Bindings, how: str) -> Bindings:
+    if left.is_unit:
+        if how == "left":
+            # OPTIONAL MATCH as the first clause: one all-null row when
+            # the pattern finds nothing (openCypher).
+            return Bindings(
+                left.df.join(right.df, F.lit(True), "left"), dict(right.vars)
+            )
+        return right
+    shared = left.shared_vars(right)
+    vars_ = {**left.vars, **right.vars}
+    if shared:
+        # drop the right side's copies of shared-var satellite columns
+        drop = []
+        for v in shared:
+            drop.extend(c for c in right.var_columns(v) if c != v and c in left.df.columns)
+        rdf = right.df.drop(*drop)
+        df = left.df.join(rdf, on=shared, how=how)
+        return Bindings(df, vars_)
+    if how == "inner":
+        return Bindings(left.df.crossJoin(right.df), vars_)
+    # OPTIONAL MATCH with no shared vars: left join ON TRUE preserves the
+    # left rows (null-filled) even when the right frame is empty.
+    return Bindings(left.df.join(right.df, F.lit(True), "left"), vars_)
+
+
+def apply_rel_uniqueness(
+    bindings: Bindings, rel_vars: list[tuple[str, tuple[str, ...]]]
+) -> Bindings:
+    """openCypher relationship isomorphism: no edge may appear twice in one
+    MATCH. Pairwise disjointness on edge-id columns whose type sets may
+    overlap; var-length rel vars hold *arrays* of edge ids, so the check
+    becomes array_contains / arrays_overlap."""
+    df = bindings.df
+    types = dict(df.dtypes)
+    for i in range(len(rel_vars)):
+        for j in range(i + 1, len(rel_vars)):
+            v1, t1 = rel_vars[i]
+            v2, t2 = rel_vars[j]
+            if t1 and t2 and not (set(t1) & set(t2)):
+                continue  # provably different types -> different edges
+            a1 = types.get(v1, "").startswith("array")
+            a2 = types.get(v2, "").startswith("array")
+            if a1 and a2:
+                cond = ~F.arrays_overlap(F.col(v1), F.col(v2))
+            elif a1:
+                cond = ~F.array_contains(F.col(v1), F.col(v2))
+            elif a2:
+                cond = ~F.array_contains(F.col(v2), F.col(v1))
+            else:
+                cond = ~(F.col(v1).eqNullSafe(F.col(v2)))
+            df = df.filter(cond)
+    return bindings.with_df(df)
+
+
+# ---------------------------------------------------------------------- #
+# MATCH clause
+# ---------------------------------------------------------------------- #
+def compile_match(
+    engine: "CypherEngine", bindings: Bindings, m: Match, params: dict
+) -> Bindings:
+    # Build each path frame independently, merge on shared vars — the
+    # declarative plan lets Catalyst reorder the resulting join tree.
+    combined: Bindings | None = None
+    all_rel_vars: list[tuple[str, tuple[str, ...]]] = []
+    for path in m.paths:
+        frame, rel_vars = build_path_frame(engine, path, bindings, params)
+        all_rel_vars.extend(rel_vars)
+        combined = frame if combined is None else _merge(combined, frame, "inner")
+    combined = apply_rel_uniqueness(combined, all_rel_vars)
+
+    if m.optional:
+        if m.where is not None:
+            combined, subst = materialize_subpatterns(engine, combined, [m.where], params)
+            cc = ExprCompiler(combined, params, subst, engine.functions)
+            combined = combined.with_df(combined.df.filter(cc.col(m.where).cast("boolean")))
+        return _merge(bindings, combined, "left")
+
+    out = _merge(bindings, combined, "inner")
+    if m.where is not None:
+        out, subst = materialize_subpatterns(engine, out, [m.where], params)
+        cc = ExprCompiler(out, params, subst, engine.functions)
+        out = out.with_df(out.df.filter(cc.col(m.where).cast("boolean")))
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# EXISTS / pattern predicates / pattern comprehensions
+# ---------------------------------------------------------------------- #
+def materialize_subpatterns(
+    engine: "CypherEngine",
+    bindings: Bindings,
+    exprs: list,
+    params: dict,
+) -> tuple[Bindings, dict[int, str]]:
+    """Precompute pattern-shaped subexpressions into hidden columns.
+
+    EXISTS {...} / (a)-[:T]->(b)   -> boolean column via distinct-key join
+    [(a)-[r]->(b) | e]             -> array column via groupBy+collect_list
+
+    Composable with arbitrary boolean structure (OR/NOT around EXISTS),
+    unlike a bare left_semi join. Reference: exists_evaluator.py:79-428.
+    """
+    subst: dict[int, str] = {}
+    targets = [
+        n
+        for e in exprs
+        for n in walk(e)
+        if isinstance(n, (ExistsSub, PatternPred, PatternComp))
+    ]
+    for node in targets:
+        col = fresh_name("_sub")
+        if isinstance(node, PatternComp):
+            paths = [node.path]
+            where = node.where
+        else:
+            paths = node.paths if isinstance(node, ExistsSub) else [node.path]
+            where = node.where if isinstance(node, ExistsSub) else None
+
+        sub: Bindings | None = None
+        for p in paths:
+            frame, rel_vars = build_path_frame(engine, p, bindings, params)
+            sub = frame if sub is None else _merge(sub, frame, "inner")
+        sub = apply_rel_uniqueness(sub, [])
+        if where is not None:
+            # allow outer vars inside the subquery WHERE via correlation:
+            # any var shared with the outer frame is already a column here
+            sub, inner_subst = materialize_subpatterns(engine, sub, [where], params)
+            cc = ExprCompiler(sub, params, inner_subst, engine.functions)
+            sub = sub.with_df(sub.df.filter(cc.col(where).cast("boolean")))
+
+        shared = [v for v in sub.vars if v in bindings.vars]
+        if isinstance(node, PatternComp):
+            cc = ExprCompiler(sub, params, {}, engine.functions)
+            proj = cc.col(node.projection).alias("_proj")
+            if shared:
+                agg = sub.df.groupBy(*shared).agg(F.collect_list(proj).alias(col))
+                df = bindings.df.join(agg, on=shared, how="left")
+            else:
+                agg = sub.df.agg(F.collect_list(proj).alias(col))
+                df = bindings.df.join(agg, F.lit(True), "left")
+            df = df.withColumn(col, F.coalesce(F.col(col), F.array()))
+        else:
+            if shared:
+                flags = sub.df.select(*shared).dropDuplicates().withColumn(col, F.lit(True))
+                df = bindings.df.join(flags, on=shared, how="left")
+            else:
+                flags = sub.df.limit(1).select(F.lit(True).alias(col))
+                df = bindings.df.join(flags, F.lit(True), "left")
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(False)))
+        bindings = Bindings(df, dict(bindings.vars))
+        subst[id(node)] = col
+    return bindings, subst

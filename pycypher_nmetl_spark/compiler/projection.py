@@ -1,0 +1,314 @@
+"""WITH / RETURN compiler: projection, implicit group-by, modifiers.
+
+Cypher aggregation is implicit GROUP BY (reference:
+aggregation_planner.py:74-157,245-): any RETURN/WITH item containing an
+aggregate makes all non-aggregate items the grouping keys. The compiler:
+
+  1. materializes pattern sub-expressions (EXISTS / pattern comprehension)
+     into hidden columns;
+  2. computes grouping-key expressions into internal columns ``_k<i>``;
+  3. runs ONE ``groupBy(keys).agg(...)`` computing every distinct
+     aggregate sub-expression into ``_a<i>`` (shared between RETURN items
+     and ORDER BY via a structural ast-key map — Spark's partial
+     aggregation makes this a single map-side-combined shuffle);
+  4. compiles each item expression on the aggregated frame (aggregates
+     resolve to their ``_a<i>`` columns);
+  5. applies DISTINCT → ORDER BY → SKIP → LIMIT → trailing WHERE in
+     Cypher's order (projection_planner.py:124-412).
+
+ORDER BY may reference output aliases or pre-projection variables;
+we keep both visible while sorting and select the outputs last, so the
+sort+limit still fuses into TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.compiler.astutil import ast_key, contains_aggregate, find_aggregates
+from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
+from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
+from pycypher_nmetl_spark.compiler.patterns import materialize_subpatterns
+from pycypher_nmetl_spark.cypher.ast_nodes import (
+    CountStar, FuncCall, Projection, ReturnItem, Var,
+)
+
+if TYPE_CHECKING:
+    from pycypher_nmetl_spark.engine import CypherEngine
+
+
+def _compile_aggregate(node, cc: ExprCompiler) -> Column:
+    """One aggregate AST node -> Spark aggregate Column.
+
+    Reference semantics: aggregation_evaluator.py:32-196 — all aggregates
+    ignore nulls; count(*) counts rows.
+    """
+    if isinstance(node, CountStar):
+        return F.count(F.lit(1))
+    assert isinstance(node, FuncCall)
+    name = node.name
+    if name == "count":
+        arg = cc.col(node.args[0])
+        return F.count_distinct(arg) if node.distinct else F.count(arg)
+    arg = cc.col(node.args[0])
+    if name == "sum":
+        return F.sum_distinct(arg) if node.distinct else F.sum(arg)
+    if name == "avg":
+        if node.distinct:
+            return F.sum_distinct(arg) / F.count_distinct(arg)
+        return F.avg(arg)
+    if name == "min":
+        return F.min(arg)
+    if name == "max":
+        return F.max(arg)
+    if name == "collect":
+        # openCypher: collect() drops nulls; Spark collect_list does too.
+        return F.collect_set(arg) if node.distinct else F.collect_list(arg)
+    if name == "stdev":
+        return F.stddev_samp(arg)
+    if name == "stdevp":
+        return F.stddev_pop(arg)
+    if name == "percentilecont":
+        return F.percentile(arg, cc.col(node.args[1]))
+    if name == "percentiledisc":
+        # exact lower-interpolation percentile: smallest element whose
+        # cumulative fraction >= p (aggregation_evaluator.py:95-134)
+        p = cc.col(node.args[1])
+        xs = F.sort_array(F.collect_list(arg))
+        idx = F.greatest(F.lit(1), F.ceil(p * F.size(xs)).cast("int"))
+        return F.element_at(xs, idx)
+    raise NotImplementedError(f"aggregate {name}()")
+
+
+def compile_projection(
+    engine: "CypherEngine", bindings: Bindings, proj: Projection, params: dict
+) -> tuple[Bindings, DataFrame | None]:
+    """Compile WITH or RETURN.
+
+    Returns (new_bindings, result_df). result_df is non-None iff RETURN.
+    """
+    items = list(proj.items)
+    if proj.star:
+        star_items = [
+            ReturnItem(Var(v), v, v)
+            for v in sorted(bindings.vars)
+            if not bindings.vars[v].anon
+        ]
+        items = star_items + items
+
+    # pattern-shaped sub-expressions -> hidden columns first
+    all_exprs = [it.expr for it in items] + [o.expr for o in proj.order_by]
+    if proj.where is not None:
+        all_exprs.append(proj.where)
+    bindings, subst = materialize_subpatterns(engine, bindings, all_exprs, params)
+
+    out_names = [it.alias or it.text for it in items]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate column names in projection: {out_names}")
+
+    has_agg = any(contains_aggregate(it.expr) for it in items) or any(
+        contains_aggregate(o.expr) for o in proj.order_by
+    )
+
+    if has_agg:
+        new_b, internal = _aggregate_projection(
+            engine, bindings, items, proj, params, subst
+        )
+    else:
+        new_b, internal = _plain_projection(engine, bindings, items, proj, params, subst)
+
+    # ---- modifiers, in Cypher's order ---------------------------------- #
+    df = new_b.df
+
+    if proj.distinct:
+        df = df.select(*internal.values()).dropDuplicates()
+        new_b = Bindings(df, new_b.vars)
+
+    if proj.order_by:
+        df = _apply_order(engine, new_b, proj, params, internal)
+
+    cc = ExprCompiler(Bindings(df, new_b.vars), params, subst, engine.functions)
+    if proj.skip is not None:
+        df = df.offset(int(_const(cc, proj.skip)))
+    if proj.limit is not None:
+        df = df.limit(int(_const(cc, proj.limit)))
+
+    # ---- finalize ------------------------------------------------------- #
+    if proj.is_return:
+        result = df.select(
+            *[F.col(internal[name]).alias(name) for name in out_names]
+        )
+        return new_b, result
+
+    # WITH: rescope — keep only projected vars, rename to aliases
+    keep_cols: list[Column] = []
+    vars_: dict[str, VarInfo] = {}
+    for it, name in zip(items, out_names):
+        icol = internal[name]
+        if isinstance(it.expr, Var) and it.expr.name in new_b.vars:
+            src = it.expr.name
+            info = new_b.vars[src]
+            keep_cols.append(F.col(icol).alias(name))
+            # carry satellite columns under the new name
+            for c in new_b.var_columns(src):
+                if c != src and c in df.columns:
+                    keep_cols.append(F.col(c).alias(name + c[len(src):]))
+            vars_[name] = VarInfo(info.kind, info.labels)
+        else:
+            keep_cols.append(F.col(icol).alias(name))
+            vars_[name] = VarInfo("value")
+    out = Bindings(df.select(*keep_cols), vars_)
+
+    if proj.where is not None:
+        out, wsubst = materialize_subpatterns(engine, out, [proj.where], params)
+        cc = ExprCompiler(out, params, wsubst, engine.functions)
+        out = out.with_df(out.df.filter(cc.col(proj.where).cast("boolean")))
+    return out, None
+
+
+def _const(cc: ExprCompiler, expr) -> int:
+    """SKIP/LIMIT operand: literal or parameter (projection_planner.py:241-261)."""
+    from pycypher_nmetl_spark.cypher.ast_nodes import Literal, Param
+
+    if isinstance(expr, Literal):
+        return expr.value
+    if isinstance(expr, Param):
+        return cc.params[expr.name]
+    raise ValueError("SKIP/LIMIT must be a literal or parameter")
+
+
+# ------------------------------------------------------------------------- #
+def _plain_projection(
+    engine, bindings: Bindings, items, proj, params, subst
+) -> tuple[Bindings, dict[str, str]]:
+    """No aggregates: append item columns, keep originals visible for ORDER BY."""
+    cc = ExprCompiler(bindings, params, subst, engine.functions)
+    internal: dict[str, str] = {}
+    df = bindings.df
+    new_cols: dict[str, Column] = {}
+    vars_ = dict(bindings.vars)
+    for it in items:
+        name = it.alias or it.text
+        if isinstance(it.expr, Var) and it.expr.name in bindings.vars:
+            internal[name] = it.expr.name
+            continue
+        icol = fresh_name("_prj")
+        new_cols[icol] = cc.col(it.expr)
+        internal[name] = icol
+    if new_cols:
+        df = df.withColumns(new_cols)
+    # map output aliases into scope for ORDER BY (Cypher allows both)
+    for it in items:
+        name = it.alias or it.text
+        if name not in vars_:
+            vars_[name] = VarInfo("value")
+    b = Bindings(df, vars_)
+    # alias columns must be addressable by output name for ORDER BY
+    for it in items:
+        name = it.alias or it.text
+        icol = internal[name]
+        if icol != name and name not in b.df.columns and name.isidentifier():
+            b = b.with_df(b.df.withColumn(name, F.col(icol)))
+            internal[name] = name
+    return b, internal
+
+
+def _aggregate_projection(
+    engine, bindings: Bindings, items, proj, params, subst
+) -> tuple[Bindings, dict[str, str]]:
+    cc = ExprCompiler(bindings, params, subst, engine.functions)
+
+    # 1. grouping keys = items without aggregates
+    key_items = [it for it in items if not contains_aggregate(it.expr)]
+    group_cols: list[str] = []
+    df = bindings.df
+    key_internal: dict[str, str] = {}  # out name -> internal col
+    vars_: dict[str, VarInfo] = {}
+    carry: list[str] = []  # satellite columns grouped alongside bare vars
+    for it in key_items:
+        name = it.alias or it.text
+        if isinstance(it.expr, Var) and it.expr.name in bindings.vars:
+            v = it.expr.name
+            group_cols.append(v)
+            key_internal[name] = v
+            vars_[v] = bindings.vars[v]
+            # satellites are functionally dependent on the id — grouping by
+            # them too keeps properties available after aggregation with
+            # identical group granularity.
+            carry.extend(c for c in bindings.var_columns(v) if c != v)
+        else:
+            icol = fresh_name("_k")
+            df = df.withColumn(icol, cc.col(it.expr))
+            group_cols.append(icol)
+            key_internal[name] = icol
+
+    # 2. every distinct aggregate sub-expression -> one agg column
+    agg_nodes: dict = {}
+    for it in items:
+        for node in find_aggregates(it.expr):
+            agg_nodes.setdefault(ast_key(node), node)
+    for o in proj.order_by:
+        for node in find_aggregates(o.expr):
+            agg_nodes.setdefault(ast_key(node), node)
+
+    cc2 = ExprCompiler(Bindings(df, bindings.vars), params, subst, engine.functions)
+    agg_map: dict = {}
+    agg_exprs: list[Column] = []
+    for k, node in agg_nodes.items():
+        icol = fresh_name("_a")
+        agg_exprs.append(_compile_aggregate(node, cc2).alias(icol))
+        agg_map[k] = icol
+
+    if group_cols or carry:
+        gdf = df.groupBy(*group_cols, *dict.fromkeys(carry)).agg(*agg_exprs)
+    else:
+        gdf = df.agg(*agg_exprs)
+
+    # 3. compile item expressions on the aggregated frame
+    agg_b = Bindings(gdf, vars_)
+    cc3 = ExprCompiler(agg_b, params, subst, engine.functions, agg_map)
+    internal: dict[str, str] = {}
+    new_cols: dict[str, Column] = {}
+    for it in items:
+        name = it.alias or it.text
+        if name in key_internal:
+            internal[name] = key_internal[name]
+            continue
+        icol = fresh_name("_prj")
+        new_cols[icol] = cc3.col(it.expr)
+        internal[name] = icol
+    if new_cols:
+        gdf = gdf.withColumns(new_cols)
+
+    out_vars = dict(vars_)
+    for it in items:
+        name = it.alias or it.text
+        out_vars.setdefault(name, VarInfo("value"))
+    b = Bindings(gdf, out_vars)
+    for name, icol in list(internal.items()):
+        if icol != name and name not in b.df.columns and name.isidentifier():
+            b = b.with_df(b.df.withColumn(name, F.col(icol)))
+            internal[name] = name
+    b._agg_map = agg_map  # ORDER BY reuses precomputed aggregates
+    return b, internal
+
+
+def _apply_order(engine, b: Bindings, proj, params, internal) -> DataFrame:
+    agg_map = getattr(b, "_agg_map", {})
+    cc = ExprCompiler(b, params, {}, engine.functions, agg_map)
+    sort_cols = []
+    for o in proj.order_by:
+        # output alias takes priority (Cypher: ORDER BY may use aliases)
+        if isinstance(o.expr, Var) and o.expr.name in internal:
+            c = F.col(internal[o.expr.name])
+        else:
+            c = cc.col(o.expr)
+        if o.ascending:
+            c = c.asc_nulls_first() if o.nulls == "FIRST" else c.asc_nulls_last()
+        else:
+            c = c.desc_nulls_last() if o.nulls == "LAST" else c.desc_nulls_first()
+        sort_cols.append(c)
+    return b.df.orderBy(*sort_cols)

@@ -1,0 +1,198 @@
+"""CypherEngine — compiles a Cypher query to one lazy Spark DataFrame plan.
+
+Replaces the reference's interpreted per-clause loop
+(reference: packages/pycypher/src/pycypher/clause_executor.py:469-587,
+star.py:620-929) with a *compiler*: each clause appends transformations
+to the bindings DataFrame, Catalyst sees the entire query at once
+(global filter pushdown / column pruning / join reordering), and exactly
+one Spark action happens when the caller consumes the RETURN DataFrame.
+
+Mutations run inside a query-scoped shadow transaction
+(relational_models.py:589-708): new label DataFrames accumulate in the
+catalog's shadow dicts and are promoted by an atomic pointer swap at
+commit; any error rolls back by discarding them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.catalog import GraphCatalog
+from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo
+from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
+from pycypher_nmetl_spark.compiler.patterns import compile_match, materialize_subpatterns
+from pycypher_nmetl_spark.compiler.projection import compile_projection
+from pycypher_nmetl_spark.cypher.ast_nodes import (
+    CallProc, Clause, Create, Delete, Foreach, Match, Merge, Projection,
+    Query, Remove, SetClause, UnionQuery, Unwind,
+)
+from pycypher_nmetl_spark.cypher.parser import parse
+
+MUTATION_CLAUSES = (Create, SetClause, Remove, Delete, Merge, Foreach)
+
+
+class CypherEngine:
+    """Executes Cypher text against a GraphCatalog.
+
+    >>> engine = CypherEngine(catalog)
+    >>> df = engine.execute("MATCH (n:Person) WHERE n.age > 30 RETURN n.name AS name")
+    """
+
+    def __init__(
+        self,
+        catalog: GraphCatalog,
+        functions: dict[str, Callable] | None = None,
+    ):
+        self.catalog = catalog
+        self.spark = catalog.spark
+        self.functions: dict[str, Callable] = dict(functions or {})
+        from pycypher_nmetl_spark.procedures import BUILTIN_PROCEDURES
+
+        self.procedures: dict[str, Callable] = dict(BUILTIN_PROCEDURES)
+
+    # ------------------------------------------------------------------ #
+    # registration (reference: relational_models.py:710-718, 228-275)
+    # ------------------------------------------------------------------ #
+    def register_function(self, name: str, fn: Callable) -> None:
+        """Register fn(expr_compiler, args) -> Column, callable from Cypher."""
+        self.functions[name.lower()] = fn
+
+    def register_procedure(self, name: str, fn: Callable) -> None:
+        """Register fn(engine, args) -> DataFrame for CALL name(...) YIELD."""
+        self.procedures[name.lower()] = fn
+
+    # ------------------------------------------------------------------ #
+    def execute(self, cypher: str, parameters: dict[str, Any] | None = None) -> DataFrame:
+        """Compile and return the result DataFrame (lazy; caller acts).
+
+        Mutation-only queries execute their catalog updates eagerly and
+        return an empty DataFrame.
+        """
+        ast = parse(cypher)
+        params = parameters or {}
+        if isinstance(ast, UnionQuery):
+            return self._execute_union(ast, params)
+        return self._execute_query(ast, params)
+
+    def explain(self, cypher: str, parameters: dict[str, Any] | None = None) -> None:
+        """Print both plans: our compiled DataFrame's formatted Spark plan."""
+        self.execute(cypher, parameters).explain("formatted")
+
+    # ------------------------------------------------------------------ #
+    def _execute_union(self, ast: UnionQuery, params: dict) -> DataFrame:
+        # openCypher forbids mixing UNION and UNION ALL; dedupe iff UNION.
+        dfs = [self._execute_query(b, params) for b in ast.branches]
+        cols0 = dfs[0].columns
+        for df in dfs[1:]:
+            if df.columns != cols0:
+                raise ValueError(
+                    f"UNION branches must project the same columns: {cols0} vs {df.columns}"
+                )
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        if not all(ast.alls):
+            out = out.dropDuplicates()
+        return out
+
+    def _execute_query(self, ast: Query, params: dict) -> DataFrame:
+        has_mutation = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
+        if not has_mutation:
+            return self._run_clauses(ast.clauses, params)
+        # mutation transaction: shadow -> atomic swap (or discard on error)
+        self.catalog.begin()
+        try:
+            result = self._run_clauses(ast.clauses, params)
+            self.catalog.commit()
+            return result
+        except Exception:
+            self.catalog.rollback()
+            raise
+
+    def _run_clauses(self, clauses: list[Clause], params: dict) -> DataFrame:
+        from pycypher_nmetl_spark.compiler import mutations
+
+        bindings = Bindings.unit(self.spark)
+        for clause in clauses:
+            if isinstance(clause, Match):
+                bindings = compile_match(self, bindings, clause, params)
+            elif isinstance(clause, Projection):
+                bindings, result = compile_projection(self, bindings, clause, params)
+                if result is not None:
+                    return result
+            elif isinstance(clause, Unwind):
+                bindings = self._compile_unwind(bindings, clause, params)
+            elif isinstance(clause, Create):
+                bindings = mutations.compile_create(self, bindings, clause, params)
+            elif isinstance(clause, SetClause):
+                bindings = mutations.compile_set(self, bindings, clause.items, params)
+            elif isinstance(clause, Remove):
+                bindings = mutations.compile_remove(self, bindings, clause, params)
+            elif isinstance(clause, Delete):
+                bindings = mutations.compile_delete(self, bindings, clause, params)
+            elif isinstance(clause, Merge):
+                bindings = mutations.compile_merge(self, bindings, clause, params)
+            elif isinstance(clause, Foreach):
+                bindings = mutations.compile_foreach(self, bindings, clause, params)
+            elif isinstance(clause, CallProc):
+                bindings = self._compile_call(bindings, clause, params)
+            else:
+                raise NotImplementedError(f"clause {type(clause).__name__}")
+        # no RETURN: mutation-only query -> empty result
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    # ------------------------------------------------------------------ #
+    def _compile_unwind(self, bindings: Bindings, clause: Unwind, params: dict) -> Bindings:
+        """UNWIND expr AS x -> explode (reference: clause_executor.py:158-250).
+
+        UNWIND of null / empty list produces no rows (explode's semantics
+        match the reference's dropna exactly); a non-list value unwinds to
+        itself (openCypher).
+        """
+        bindings, subst = materialize_subpatterns(self, bindings, [clause.expr], params)
+        cc = ExprCompiler(bindings, params, subst, self.functions)
+        col = cc.col(clause.expr)
+        dt = bindings.dtype(col)
+        df = bindings.df
+        if dt.typeName() == "array":
+            df = df.withColumn(clause.var, F.explode(col))
+        else:
+            df = df.withColumn(clause.var, col).filter(F.col(clause.var).isNotNull())
+        return Bindings(df, {**bindings.vars, clause.var: VarInfo("value")})
+
+    def _compile_call(self, bindings: Bindings, clause: CallProc, params: dict) -> Bindings:
+        """CALL proc(...) YIELD ... (reference: mutation_engine.py:1061-1143).
+
+        The procedure returns a DataFrame; its rows are cross-joined into
+        the bindings (standalone CALL: bindings is the unit frame).
+        """
+        name = clause.name.lower()
+        if name not in self.procedures:
+            raise KeyError(f"unknown procedure {clause.name}; known: {sorted(self.procedures)}")
+        cc = ExprCompiler(bindings, params, {}, self.functions)
+        proc_df: DataFrame = self.procedures[name](self, [cc.col(a) for a in clause.args])
+        if clause.yields:
+            sel = []
+            new_vars = []
+            for fld, alias in clause.yields:
+                out = alias or fld
+                sel.append(F.col(fld).alias(out))
+                new_vars.append(out)
+        else:
+            sel = [F.col(c) for c in proc_df.columns]
+            new_vars = list(proc_df.columns)
+        proc_df = proc_df.select(*sel)
+        df = proc_df if bindings.is_unit else bindings.df.crossJoin(proc_df)
+        vars_ = dict(bindings.vars)
+        for v in new_vars:
+            vars_[v] = VarInfo("value")
+        out = Bindings(df, vars_)
+        if clause.where is not None:
+            cc = ExprCompiler(out, params, {}, self.functions)
+            out = out.with_df(out.df.filter(cc.col(clause.where).cast("boolean")))
+        return out
