@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query names mirror the reference's baseline_report.json workload
+(BASELINE.md) re-expressed on the TPC-H-ish graph at comparable row
+scales; timings include full execution + collect to the driver (same
+materialization the pandas reference pays).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# (name, cypher) — shapes matching BASELINE.md's workload
+BENCH_QUERIES = [
+    ("simple_scan", "MATCH (o:Order) RETURN o.orderpriority AS p, o.totalprice AS t"),
+    (
+        "filtered_scan",
+        "MATCH (o:Order) WHERE o.totalprice > 150000.0 "
+        "RETURN o.orderpriority AS p, o.totalprice AS t",
+    ),
+    (
+        "single_hop",
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "RETURN c.name AS cust, o.totalprice AS total",
+    ),
+    (
+        "filtered_hop",
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal > 0.0 "
+        "RETURN c.name AS cust, o.totalprice AS total, o.orderstatus AS st",
+    ),
+    (
+        "two_hop",
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN c.name AS cust, r.name AS region",
+    ),
+    (
+        "aggregation_count",
+        "MATCH (c:Customer) RETURN c.mktsegment AS seg, count(*) AS cnt",
+    ),
+    (
+        "aggregation_avg",
+        "MATCH (c:Customer) RETURN c.mktsegment AS seg, avg(c.acctbal) AS avg_bal",
+    ),
+    (
+        "varlength_path",
+        "MATCH (a:Lineitem)-[:NEXT_LINE*1..3]->(b:Lineitem) "
+        "WHERE a.linenumber = 1 RETURN a.orderkey AS ok, b.linenumber AS ln",
+    ),
+    (
+        "agg_pricing_summary",
+        "MATCH (:Order)-[l:CONTAINS]->(:Part) WHERE l.shipdate.year <= 1997 "
+        "RETURN l.returnflag AS rf, l.linestatus AS ls, "
+        "round(sum(l.quantity), 2) AS sum_qty, count(*) AS cnt",
+    ),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog, get_spark
+
+    spark = get_spark(app_name="bench")
+    engine = CypherEngine(GraphCatalog.from_tpch(spark, sf_dir))
+
+    # warm the JVM/readers so fixed startup cost isn't billed to query 1
+    engine.execute("MATCH (r:Region) RETURN count(*) AS c").collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        out = engine.execute(q).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = len(out)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,17 @@ class GraphCatalog:
         lazy parquet scan — nothing is materialized here.
         """
         cat = cls(spark)
+
+        def _nanos_to_ts(df: DataFrame, *cols: str) -> DataFrame:
+            # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong=true);
+            # convert to a real timestamp (micros precision)
+            for c in cols:
+                if dict(df.dtypes).get(c) == "bigint":
+                    df = df.withColumn(
+                        c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    )
+            return df
+
         rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
 
         region = rd("region")
@@ -212,8 +223,8 @@ class GraphCatalog:
         customer = rd("customer")
         supplier = rd("supplier")
         part = rd("part")
-        orders = rd("orders")
-        lineitem = rd("lineitem")
+        orders = _nanos_to_ts(rd("orders"), "o_orderdate")
+        lineitem = _nanos_to_ts(rd("lineitem"), "l_shipdate")
         documents = rd("documents")
 
         def strip(df: DataFrame, prefix: str, idc: str) -> DataFrame:
@@ -232,6 +243,36 @@ class GraphCatalog:
         cat.register_nodes("Part", strip(part, "p_", "p_partkey"))
         cat.register_nodes("Order", strip(orders, "o_", "o_orderkey"))
         cat.register_nodes("Document", documents.withColumnRenamed("doc_id", ID))
+        # Lineitem as a node label with a synthetic arithmetic id
+        # (orderkey*10 + linenumber; linenumber <= 7) so the DuckDB oracle
+        # can reproduce ids; NEXT_LINE chains consecutive lines of an order
+        # — gives the graph a real multi-hop topology for path operators.
+        # (orderkey, linenumber) repeats in the synthetic data, so the node
+        # set is the DISTINCT pairs (id must be unique per node).
+        li_pairs = lineitem.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+        ).dropDuplicates()
+        cat.register_nodes(
+            "Lineitem",
+            li_pairs.select(
+                (F.col("orderkey") * 10 + F.col("linenumber")).alias(ID),
+                "orderkey",
+                "linenumber",
+            ),
+        )
+        events = _nanos_to_ts(rd("events"), "ts")
+        cat.register_nodes(
+            "Event",
+            events.select(
+                F.col("event_id").alias(ID),
+                F.col("ts"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            ),
+        )
 
         cat.register_edges(
             "IN_REGION",
@@ -281,12 +322,31 @@ class GraphCatalog:
         cat.register_edges(
             "CONTAINS",
             lineitem.select(
+                # (orderkey, partkey) repeats in TPC-H: include linenumber in
+                # the edge id so relationship-uniqueness stays sound
+                F.xxhash64("l_orderkey", "l_partkey", "l_linenumber").alias(ID),
                 F.col("l_orderkey").alias(SRC),
                 F.col("l_partkey").alias(DST),
                 *[F.col(c).alias(c[2:]) for c in li_props],
             ),
             src_label="Order",
             dst_label="Part",
+        )
+        li2 = li_pairs.select(
+            F.col("orderkey").alias("ok"), F.col("linenumber").alias("ln")
+        )
+        nxt = li2.alias("a").join(
+            li2.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("b.ln") == F.col("a.ln") + 1),
+        )
+        cat.register_edges(
+            "NEXT_LINE",
+            nxt.select(
+                (F.col("a.ok") * 10 + F.col("a.ln")).alias(SRC),
+                (F.col("b.ok") * 10 + F.col("b.ln")).alias(DST),
+            ),
+            src_label="Lineitem",
+            dst_label="Lineitem",
         )
         cat.register_edges(
             "SUPPLIED_BY",

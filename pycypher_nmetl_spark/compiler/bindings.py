@@ -75,8 +75,15 @@ class Bindings:
 
     def dtype(self, column: Column) -> T.DataType:
         """Probe the Spark type of an expression against this frame
-        (driver-side Catalyst analysis only — never an action)."""
-        return self.df.select(column.alias("_t")).schema[0].dataType
+        (driver-side Catalyst analysis only — never an action).
+
+        Expressions referencing lambda variables can't be analyzed
+        standalone; report NullType so callers fall back to generic
+        behavior."""
+        try:
+            return self.df.select(column.alias("_t")).schema[0].dataType
+        except Exception:
+            return T.NullType()
 
     def with_df(self, df: DataFrame) -> "Bindings":
         return Bindings(df, dict(self.vars))

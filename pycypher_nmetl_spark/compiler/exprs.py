@@ -133,6 +133,9 @@ class ExprCompiler:
         return self._dynamic_prop(target, e.key)
 
     def _dynamic_prop(self, target: Column, key: str) -> Column:
+        if self.lambda_vars:
+            # un-analyzable inside a lambda: getItem covers struct & map
+            return target.getItem(key)
         dt = self.bindings.dtype(target)
         if isinstance(dt, T.StructType):
             if key in dt.fieldNames():
@@ -140,7 +143,7 @@ class ExprCompiler:
             return F.lit(None)
         if isinstance(dt, T.MapType):
             return F.try_element_at(target, F.lit(key))
-        if isinstance(dt, (T.DateType, T.TimestampType)):
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
             fld = key.lower()
             if fld == "epochmillis":
                 return (target.cast("timestamp").cast("double") * 1000).cast("long")
@@ -162,6 +165,10 @@ class ExprCompiler:
 
     # ------------------------------------------------------------------ #
     def _numeric_kinds(self, *cols: Column):
+        # inside a lambda body the expression can't be analyzed standalone;
+        # report unknown so callers use generic numeric behavior
+        if self.lambda_vars:
+            return [T.NullType() for _ in cols]
         return [self.bindings.dtype(c) for c in cols]
 
     def _c_BinOp(self, e: BinOp) -> Column:
@@ -254,7 +261,7 @@ class ExprCompiler:
 
     def _c_Index(self, e: Index) -> Column:
         target = self.col(e.target)
-        dt = self.bindings.dtype(target)
+        dt = T.NullType() if self.lambda_vars else self.bindings.dtype(target)
         idx = self.col(e.index)
         if isinstance(dt, T.MapType):
             return F.try_element_at(target, idx)

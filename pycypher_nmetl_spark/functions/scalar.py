@@ -68,7 +68,26 @@ simple("left", lambda s, n: F.substring(s, 1, n), 2, 2)
 simple("right", lambda s, n: s.substr(F.length(s) - n + 1, n), 2, 2)
 simple("replace", F.replace, 3, 3)
 simple("split", F.split, 2, 2)
-simple("join", lambda arr, sep=None: F.array_join(arr, sep if sep is not None else F.lit("")), 1, 2)
+def _join_fn(cc, args):
+    from pycypher_nmetl_spark.cypher.ast_nodes import Literal
+
+    arr = cc.col(args[0])
+    if len(args) == 1:
+        return F.array_join(arr, "")
+    if isinstance(args[1], Literal):
+        return F.array_join(arr, str(args[1].value))
+    sep = cc.col(args[1])  # dynamic separator: left fold
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.when(F.size(arr) == 0, F.lit("")).otherwise(
+        F.aggregate(
+            rest,
+            F.element_at(arr, 1).cast("string"),
+            lambda acc, x: F.concat(acc, sep, x.cast("string")),
+        )
+    )
+
+
+SCALAR_FUNCTIONS["join"] = _join_fn
 simple("lpad", lambda s, n, p=None: F.lpad(s, n, p if p is not None else " "), 2, 3)
 simple("rpad", lambda s, n, p=None: F.rpad(s, n, p if p is not None else " "), 2, 3)
 simple("repeat", F.repeat, 2, 2)
