@@ -71,6 +71,8 @@ class ExprCompiler:
         self.params = params or {}
         self.subst = subst or {}  # id(ast node) -> physical column name
         self.lambda_vars: dict[str, Column] = {}
+        # statically-inferred kind per lambda var: 'int'|'float'|'string'|'array'|None
+        self.lambda_kinds: dict[str, str | None] = {}
         self.functions = functions or {}
         # structural-key -> column name for pre-computed aggregates
         # (lets ORDER BY count(*) find the same agg as the RETURN item)
@@ -171,9 +173,86 @@ class ExprCompiler:
             return [T.NullType() for _ in cols]
         return [self.bindings.dtype(c) for c in cols]
 
+    # -- lightweight static type inference (needed inside lambda bodies,
+    #    where Catalyst can't analyze sub-expressions standalone) -------- #
+    def _static_kind(self, e) -> str | None:
+        from pycypher_nmetl_spark.cypher.ast_nodes import (
+            BinOp as _B, ListLit as _LL, Literal as _L, Var as _V, FuncCall as _FC,
+        )
+
+        if isinstance(e, _L):
+            v = e.value
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return None
+        if isinstance(e, _LL):
+            return "array"
+        if isinstance(e, _V) and e.name in self.lambda_kinds:
+            return self.lambda_kinds[e.name]
+        if isinstance(e, _FC):
+            if e.name in ("tostring", "join", "toupper", "tolower", "trim", "substring"):
+                return "string"
+            if e.name in ("tointeger", "size", "length"):
+                return "int"
+            if e.name in ("tofloat",):
+                return "float"
+            if e.name in ("range", "collect", "split", "tail", "sort", "flatten"):
+                return "array"
+        if isinstance(e, _B) and e.op == "+":
+            lk, rk = self._static_kind(e.left), self._static_kind(e.right)
+            if "string" in (lk, rk):
+                return "string"
+            if "array" in (lk, rk):
+                return "array"
+            if "float" in (lk, rk):
+                return "float"
+            if lk == rk == "int":
+                return "int"
+        return None
+
+    def _elem_kind(self, collection) -> str | None:
+        """Element kind of a list expression (for lambda var typing)."""
+        from pycypher_nmetl_spark.cypher.ast_nodes import ListLit as _LL, FuncCall as _FC
+
+        if isinstance(collection, _LL):
+            kinds = {self._static_kind(x) for x in collection.items}
+            return kinds.pop() if len(kinds) == 1 else None
+        if isinstance(collection, _FC) and collection.name == "range":
+            return "int"
+        if not self.lambda_vars:
+            dt = self.bindings.dtype(self.col(collection))
+            if isinstance(dt, T.ArrayType):
+                el = dt.elementType
+                if isinstance(el, T.StringType):
+                    return "string"
+                if isinstance(el, _INT_TYPES):
+                    return "int"
+                if isinstance(el, (T.DoubleType, T.FloatType)):
+                    return "float"
+                if isinstance(el, T.ArrayType):
+                    return "array"
+        return None
+
     def _c_BinOp(self, e: BinOp) -> Column:
         l, r = self.col(e.left), self.col(e.right)
         if e.op == "+":
+            lk, rk = self._static_kind(e.left), self._static_kind(e.right)
+            if "string" in (lk, rk):
+                return F.concat(l.cast("string"), r.cast("string"))
+            if lk == "array" and rk == "array":
+                return F.concat(l, r)
+            if lk == "array":
+                return F.concat(l, F.array(r))
+            if rk == "array":
+                return F.concat(F.array(l), r)
+            if lk in ("int", "float") and rk in ("int", "float"):
+                return l + r
             lt, rt = self._numeric_kinds(l, r)
             if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
                 return F.concat(l.cast("string"), r.cast("string"))
@@ -193,11 +272,16 @@ class ExprCompiler:
         if e.op == "^":
             return F.pow(l, r)
         if e.op == "/":
+            lk, rk = self._static_kind(e.left), self._static_kind(e.right)
+            if lk == rk == "int":
+                return ((l - (l % r)) / r).cast("long")
+            if "float" in (lk, rk):
+                return l / r
             lt, rt = self._numeric_kinds(l, r)
             if isinstance(lt, _INT_TYPES) and isinstance(rt, _INT_TYPES):
                 # Cypher integer division truncates toward zero
                 # (reference: arithmetic_evaluator.py:50-103)
-                return (l - (l % r)) / r  # exact; avoids double rounding
+                return ((l - (l % r)) / r).cast("long")
             return l / r
         raise NotImplementedError(f"operator {e.op}")
 
@@ -310,36 +394,45 @@ class ExprCompiler:
     # higher-order list operations -> Spark lambda functions
     # (reference: collection_evaluator.py:319-733)
     # ------------------------------------------------------------------ #
-    def _with_lambda(self, name: str, col: Column, body_fn):
+    def _with_lambda(self, name: str, col: Column, body_fn, kind: str | None = None):
         saved = self.lambda_vars.get(name)
+        saved_kind = self.lambda_kinds.get(name)
         self.lambda_vars[name] = col
+        self.lambda_kinds[name] = kind
         try:
             return body_fn()
         finally:
             if saved is None:
                 self.lambda_vars.pop(name, None)
+                self.lambda_kinds.pop(name, None)
             else:
                 self.lambda_vars[name] = saved
+                self.lambda_kinds[name] = saved_kind
 
     def _c_ListComp(self, e: ListComp) -> Column:
+        ek = self._elem_kind(e.collection)
         out = self.col(e.collection)
         if e.where is not None:
             out = F.filter(
                 out,
                 lambda x: self._with_lambda(
-                    e.var, x, lambda: self.col(e.where).cast("boolean")
+                    e.var, x, lambda: self.col(e.where).cast("boolean"), ek
                 ),
             )
         if e.projection is not None:
             out = F.transform(
-                out, lambda x: self._with_lambda(e.var, x, lambda: self.col(e.projection))
+                out,
+                lambda x: self._with_lambda(
+                    e.var, x, lambda: self.col(e.projection), ek
+                ),
             )
         return out
 
     def _c_Quantifier(self, e: Quantifier) -> Column:
+        ek = self._elem_kind(e.collection)
         coll = self.col(e.collection)
         pred = lambda x: self._with_lambda(  # noqa: E731
-            e.var, x, lambda: self.col(e.where).cast("boolean")
+            e.var, x, lambda: self.col(e.where).cast("boolean"), ek
         ) if e.where is not None else F.lit(True)
         if e.kind == "ALL":
             return F.forall(coll, pred)
@@ -351,22 +444,28 @@ class ExprCompiler:
         return F.size(F.filter(coll, pred)) == 1
 
     def _c_Reduce(self, e: Reduce) -> Column:
+        ek = self._elem_kind(e.collection)
+        ak = self._static_kind(e.init)
         coll = self.col(e.collection)
         init = self.col(e.init)
 
         def merge(acc, x):
             def body():
                 saved = self.lambda_vars.get(e.acc)
+                saved_kind = self.lambda_kinds.get(e.acc)
                 self.lambda_vars[e.acc] = acc
+                self.lambda_kinds[e.acc] = ak
                 try:
                     return self.col(e.body)
                 finally:
                     if saved is None:
                         self.lambda_vars.pop(e.acc, None)
+                        self.lambda_kinds.pop(e.acc, None)
                     else:
                         self.lambda_vars[e.acc] = saved
+                        self.lambda_kinds[e.acc] = saved_kind
 
-            return self._with_lambda(e.var, x, body)
+            return self._with_lambda(e.var, x, body, ek)
 
         return F.aggregate(coll, init, merge)
 

@@ -326,6 +326,13 @@ class Parser:
             inner = self.parse_path_elements()
             self.expect_sym(")")
             return PathPattern(inner, var=var, shortest=shortest)
+        # optional parenthesized path: p = ((a)-[..]->(b)) — peek for a
+        # '(' whose next token starts a nested node pattern
+        if self.at_sym("(") and self.at_sym("(", k=1):
+            self.advance()
+            inner = self.parse_path_elements()
+            self.expect_sym(")")
+            return PathPattern(inner, var=var, shortest=None)
         return PathPattern(self.parse_path_elements(), var=var, shortest=None)
 
     def parse_path_elements(self) -> list:

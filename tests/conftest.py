@@ -1,0 +1,74 @@
+"""Shared fixtures: one SparkSession per test run, golden graph per test.
+
+Golden graph mirrors the reference's hand-verifiable fixtures
+(reference: tests/test_golden_ir.py:38-130; FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pycypher_nmetl_spark import CypherEngine, GraphCatalog, get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark(app_name="tests", shuffle_partitions=4)
+
+
+@pytest.fixture()
+def golden(spark):
+    """Fresh golden-graph engine per test (mutations are isolated)."""
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Person",
+        spark.createDataFrame(
+            [
+                (1, "Alice", 30, "Engineering", 100.0),
+                (2, "Bob", 25, "Sales", 80.0),
+                (3, "Carol", 35, "Engineering", 120.0),
+                (4, "Dave", 28, "Sales", None),
+            ],
+            "id long, name string, age long, dept string, salary double",
+        ),
+    )
+    cat.register_nodes(
+        "Company",
+        spark.createDataFrame(
+            [(10, "Acme", "Tech"), (11, "Globex", "Finance")],
+            "id long, cname string, industry string",
+        ),
+    )
+    cat.register_edges(
+        "KNOWS",
+        spark.createDataFrame(
+            [(100, 1, 2, 2015), (101, 1, 3, 2018), (102, 2, 3, 2020)],
+            "id long, src long, dst long, since long",
+        ),
+        src_label="Person",
+        dst_label="Person",
+    )
+    cat.register_edges(
+        "WORKS_AT",
+        spark.createDataFrame(
+            [(200, 1, 10), (201, 2, 10), (202, 1, 11)],
+            "id long, src long, dst long",
+        ),
+        src_label="Person",
+        dst_label="Company",
+    )
+    return CypherEngine(cat)
+
+
+def rows(df, *cols):
+    """Collect to a sorted list of tuples for order-insensitive compare."""
+    data = [tuple(r[c] for c in (cols or df.columns)) for r in df.collect()]
+    return sorted(data, key=repr)
+
+
+@pytest.fixture()
+def run(golden):
+    def _run(q, params=None):
+        return rows(golden.execute(q, params))
+
+    return _run

@@ -1,0 +1,143 @@
+"""Mutation matrix: CREATE / SET / REMOVE / DELETE / MERGE / FOREACH.
+
+Reference: mutation_engine.py + tests/test_set_operations_comprehensive.py
+(semantics only; all Spark-side re-implementation).
+"""
+
+
+def test_create_node(golden, run):
+    golden.execute("CREATE (:Person {id: 50, name: 'Eve', age: 22})")
+    assert run("MATCH (n:Person {name:'Eve'}) RETURN n.age AS age") == [(22,)]
+    assert run("MATCH (n:Person) RETURN count(*) AS c") == [(5,)]
+
+
+def test_create_allocates_distinct_ids(golden):
+    golden.execute("UNWIND [1,2,3] AS i CREATE (:Tag {v: i})")
+    out = golden.execute("MATCH (t:Tag) RETURN id(t) AS i").collect()
+    ids = [r["i"] for r in out]
+    assert len(set(ids)) == 3
+
+
+def test_create_edge_between_matched(golden, run):
+    golden.execute(
+        "MATCH (a:Person {name:'Carol'}), (b:Person {name:'Dave'}) "
+        "CREATE (a)-[:KNOWS {since: 2024}]->(b)"
+    )
+    assert run(
+        "MATCH (:Person {name:'Carol'})-[r:KNOWS]->(b:Person) "
+        "RETURN b.name AS b, r.since AS s"
+    ) == [("Dave", 2024)]
+
+
+def test_create_full_path(golden, run):
+    golden.execute("CREATE (:City {name:'Rome'})-[:IN]->(:Country {name:'Italy'})")
+    assert run(
+        "MATCH (c:City)-[:IN]->(k:Country) RETURN c.name AS c, k.name AS k"
+    ) == [("Rome", "Italy")]
+
+
+def test_set_property(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'}) SET n.age = 26")
+    assert run("MATCH (n:Person {name:'Bob'}) RETURN n.age AS age") == [(26,)]
+
+
+def test_set_new_property_column(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'}) SET n.nickname = 'Bobby'")
+    assert run(
+        "MATCH (n:Person) WHERE n.nickname IS NOT NULL RETURN n.name AS name"
+    ) == [("Bob",)]
+
+
+def test_set_plus_equals_map(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'}) SET n += {age: 99, extra: 'x'}")
+    assert run(
+        "MATCH (n:Person {name:'Bob'}) RETURN n.age AS age, n.extra AS e, n.dept AS d"
+    ) == [(99, "x", "Sales")]
+
+
+def test_set_replace_map(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'}) SET n = {name: 'Bob', age: 1}")
+    assert run(
+        "MATCH (n:Person {name:'Bob'}) RETURN n.age AS age, n.dept AS dept"
+    ) == [(1, None)]
+
+
+def test_set_label(golden, run):
+    golden.execute("MATCH (n:Person) WHERE n.age > 29 SET n:Senior")
+    assert run("MATCH (n:Senior) RETURN n.name AS name") == [("Alice",), ("Carol",)]
+
+
+def test_remove_property(golden, run):
+    golden.execute("MATCH (n:Person {name:'Alice'}) REMOVE n.age")
+    assert run("MATCH (n:Person {name:'Alice'}) RETURN n.age AS age") == [(None,)]
+
+
+def test_delete_node(golden, run):
+    golden.execute("MATCH (n:Person {name:'Dave'}) DELETE n")
+    assert run("MATCH (n:Person) RETURN count(*) AS c") == [(3,)]
+
+
+def test_detach_delete_removes_edges(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'}) DETACH DELETE n")
+    assert run(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    ) == [("Alice", "Carol")]
+
+
+def test_delete_relationship(golden, run):
+    golden.execute("MATCH (:Person)-[r:KNOWS]->(:Person) WHERE r.since = 2015 DELETE r")
+    assert run("MATCH (:Person)-[r:KNOWS]->(:Person) RETURN count(*) AS c") == [(2,)]
+
+
+def test_merge_matches_existing(golden, run):
+    golden.execute("MERGE (n:Person {name: 'Alice'}) ON MATCH SET n.seen = 1 ON CREATE SET n.seen = 2")
+    assert run("MATCH (n:Person {name:'Alice'}) RETURN n.seen AS s") == [(1,)]
+    assert run("MATCH (n:Person) RETURN count(*) AS c") == [(4,)]
+
+
+def test_merge_creates_missing(golden, run):
+    golden.execute("MERGE (n:Person {name: 'Zed'}) ON CREATE SET n.age = 1")
+    assert run("MATCH (n:Person {name:'Zed'}) RETURN n.age AS age") == [(1,)]
+    assert run("MATCH (n:Person) RETURN count(*) AS c") == [(5,)]
+
+
+def test_merge_is_idempotent(golden, run):
+    golden.execute("MERGE (c:City {name: 'Berlin'})")
+    golden.execute("MERGE (c:City {name: 'Berlin'})")
+    assert run("MATCH (c:City) RETURN count(*) AS c") == [(1,)]
+
+
+def test_merge_relationship(golden, run):
+    q = (
+        "MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+        "MERGE (a)-[r:KNOWS]->(b) ON CREATE SET r.since = 2030"
+    )
+    golden.execute(q)
+    # edge existed (since 2015): ON CREATE must not fire, no duplicate
+    assert run(
+        "MATCH (:Person {name:'Alice'})-[r:KNOWS]->(:Person {name:'Bob'}) "
+        "RETURN count(*) AS c, min(r.since) AS s"
+    ) == [(1, 2015)]
+
+
+def test_foreach_create(golden, run):
+    golden.execute("FOREACH (i IN [1,2,3] | CREATE (:Item {n: i}))")
+    assert run("MATCH (i:Item) RETURN count(*) AS c") == [(3,)]
+
+
+def test_unwind_create(golden, run):
+    golden.execute("UNWIND ['x','y'] AS v CREATE (:Thing {name: v})")
+    assert run("MATCH (t:Thing) RETURN t.name AS n") == [("x",), ("y",)]
+
+
+def test_create_then_return(run):
+    assert run("CREATE (n:Robot {name: 'R2'}) RETURN n.name AS name") == [("R2",)]
+
+
+def test_rollback_on_error(golden, run):
+    import pytest
+
+    with pytest.raises(Exception):
+        golden.execute("MATCH (n:Person) SET n.age = bogusfn(n.age)")
+    # failed mutation must not leak partial state
+    assert run("MATCH (n:Person {name:'Alice'}) RETURN n.age AS age") == [(30,)]
