@@ -251,6 +251,186 @@ _ORACLE: dict[str, str] = {
 }
 
 
+# --------------------------------------------------------------------- #
+# LLM-pipeline operators (SURVEY.md §7.2 M8) over documents/embeddings
+# --------------------------------------------------------------------- #
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct(F.md5("text")).alias("uniq"),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.7)
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, num_perm=32, bands=16,
+        threshold=0.7,
+    )
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_token_count(spark, sf_dir):
+    from pycypher_nmetl_spark.llmops import add_token_count
+
+    d = add_token_count(_docs(spark, sf_dir), "text")
+    return d.select("doc_id", "n_tokens", "n_tokens_bpe_est")
+
+
+def _q_text_quality(spark, sf_dir):
+    from pycypher_nmetl_spark.llmops import add_quality
+
+    d = add_quality(_docs(spark, sf_dir), "text")
+    return d.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality_score"
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import add_lang_id
+
+    d = add_lang_id(_docs(spark, sf_dir), "text")
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from pycypher_nmetl_spark.llmops import add_fingerprint
+
+    return add_fingerprint(_docs(spark, sf_dir), "text").select("doc_id", "fingerprint")
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import brute_force_topk
+
+    e = _embs(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = brute_force_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", list(query), k=10, id_col="vec_id"
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import near_dup_pairs
+
+    out = near_dup_pairs(_embs(spark, sf_dir), "embedding", threshold=0.45, id_col="vec_id")
+    return out.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_simhash_buckets(spark, sf_dir):
+    from pycypher_nmetl_spark.llmops import simhash_buckets
+
+    return simhash_buckets(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_LLMOPS_QUERIES = {
+    "llm_dedup_exact": _q_dedup_exact,
+    "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
+    "llm_minhash_lsh_pairs": _q_minhash_lsh,
+    "llm_token_count": _q_token_count,
+    "llm_text_quality": _q_text_quality,
+    "llm_lang_id": _q_lang_id,
+    "llm_fingerprint": _q_fingerprint,
+    "llm_embedding_topk": _q_embedding_topk,
+    "llm_embedding_neardup": _q_embedding_neardup,
+    "llm_simhash_buckets": _q_simhash_buckets,  # rows-only (no SQL analogue)
+}
+
+_JACCARD_PAIRS_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
+    "FOR i IN range(1, len(t) - 1)]) AS s FROM toks), "
+    "ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh), "
+    "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared, "
+    "any_value(a.n) AS na, any_value(b.n) AS nb FROM ex a "
+    "JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id1, id2, round(shared / (na + nb - shared), 4) AS jaccard "
+    "FROM pairs WHERE shared / (na + nb - shared) >= 0.7"
+)
+
+_LLMOPS_ORACLE = {
+    "llm_dedup_exact": (
+        "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents"
+    ),
+    "llm_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "llm_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,  # verified LSH = exact set
+    "llm_token_count": (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est FROM documents"
+    ),
+    "llm_text_quality": (
+        "WITH toks AS (SELECT doc_id, text, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "q AS (SELECT doc_id, len(t) AS n_tokens, "
+        "round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1), 4) "
+        "AS mean_token_len, "
+        "round(len(list_intersect(t, ['the','a','of','and','to','in','is','it'])) "
+        "/ greatest(len(t), 1), 4) AS stopword_ratio, "
+        "round(length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) "
+        "/ greatest(length(text), 1), 4) AS punct_ratio FROM toks) "
+        "SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, "
+        "round(least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3 "
+        "+ least(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score FROM q"
+    ),
+    "llm_lang_id": (
+        "SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        "WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru' "
+        "WHEN regexp_matches(text, '[äöüß]') THEN 'de' "
+        "WHEN regexp_matches(text, '[éèêàçîô]') THEN 'fr' "
+        "WHEN regexp_matches(text, '[ñ¿¡áí]') THEN 'es' ELSE 'en' END AS lang_pred, "
+        "count(*) AS cnt FROM documents GROUP BY 1"
+    ),
+    "llm_fingerprint": (
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint "
+        "FROM documents"
+    ),
+    "llm_embedding_topk": (
+        "SELECT b.vec_id AS vec_id, round(list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 "
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    "llm_embedding_neardup": (
+        "SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _cypher(_CYPHER_QUERIES["two_hop_filter"])(spark, "/root/testdata/sf0.001")
@@ -260,8 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER_QUERIES.items():
         out[name] = _cypher(q, _PARAMS.get(name))
+    out.update(_LLMOPS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {**_ORACLE, **_LLMOPS_ORACLE}

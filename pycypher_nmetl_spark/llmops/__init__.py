@@ -1,0 +1,28 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7.2 M8).
+
+Beyond-reference operators a 100 TB training-data pipeline needs:
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding near-dup), similarity search (brute-force + IVF), text
+analysis (tokens, quality, language, fingerprints), and multimodal
+column plumbing. All hot paths are JVM-side DataFrame expressions —
+no Python row loops; the only Arrow crossings are the (stubbed)
+multimodal decoders.
+"""
+
+from pycypher_nmetl_spark.llmops.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingles,
+    simhash, simhash_buckets,
+)
+from pycypher_nmetl_spark.llmops.similarity import (
+    brute_force_topk, cosine_col, ivf_build, ivf_topk, near_dup_pairs,
+)
+from pycypher_nmetl_spark.llmops.textstats import (
+    add_fingerprint, add_lang_id, add_quality, add_token_count, tokens,
+)
+
+__all__ = [
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
+    "simhash", "simhash_buckets",
+    "brute_force_topk", "cosine_col", "ivf_build", "ivf_topk", "near_dup_pairs",
+    "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
+]

@@ -1,0 +1,217 @@
+"""Deduplication operators, all JVM-side (no Python UDFs in the hot path).
+
+Scale design (100 TB):
+  * exact dedup = hash-partitioned groupBy on a 64-bit content hash —
+    one shuffle, map-side combined;
+  * n-gram Jaccard = inverted-index self-join on shingles (exact; the
+    join fans out only on shared shingles, never a cross join);
+  * MinHash-LSH = signature columns computed per-row (embarrassingly
+    parallel), banding via explode -> groupBy band bucket; candidate
+    verification joins back to shingle sets, so output pairs are exact
+    above the threshold while candidate generation stays sub-quadratic;
+  * SimHash = fixed-width bit-fold over token hashes, bucketed by
+    hash prefix for candidate pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM-side).
+
+    Guarded for texts shorter than k tokens (Spark's sequence(1, 0)
+    would count *down*, producing an invalid slice start)."""
+    toks = tokens_col(text)
+    n = F.size(toks) - (k - 1)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return F.when(n >= 1, sh).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------- #
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per distinct content (hash-groupBy, one shuffle).
+
+    With `cols`, deduplicates on those columns; otherwise on all.
+    """
+    return df.dropDuplicates(cols)
+
+
+def _pair_jaccard(
+    df: DataFrame, id_col: str, shingle_col: Column
+) -> DataFrame:
+    """Exact Jaccard for every pair sharing >= 1 shingle (inverted index)."""
+    base = df.select(F.col(id_col).alias("_id"), shingle_col.alias("_sh"))
+    ex = base.select("_id", F.explode("_sh").alias("_g"), F.size("_sh").alias("_n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a._n").alias("n1"),
+            F.first("b._n").alias("n2"),
+        )
+    )
+    return pairs.withColumn(
+        "jaccard",
+        F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-k-gram Jaccard >= threshold."""
+    return (
+        _pair_jaccard(df, id_col, shingles(F.col(text_col), k))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+def _perm_min(sh: Column, i: int) -> Column:
+    # NOTE: must be a 1-arg lambda — pyspark treats 2-arg transform
+    # lambdas as (element, index)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+
+def minhash_signature(text: Column, k: int = 3, num_perm: int = 32) -> Column:
+    """MinHash signature as an array column: sig[i] = min over shingles of
+    xxhash64(shingle, i). One pass over the shingle array per permutation,
+    all inside whole-stage codegen."""
+    sh = shingles(text, k)
+    return F.array(*[_perm_min(sh, i) for i in range(num_perm)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    bands * rows_per_band = num_perm; candidate probability at Jaccard j
+    is 1-(1-j^r)^b (with r=2, b=16: ~1.0 at j>=0.7). With verify=True the
+    candidates are re-checked with exact Jaccard, so precision is exact
+    and only recall depends on the banding.
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+        minhash_signature(F.col(text_col), k, num_perm).alias("_sig"),
+    ).filter(F.size("_sh") > 0)
+    # shingling + 32 signature folds is the expensive part and feeds three
+    # consumers (banding, both verification joins) — compute it once
+    base = base.persist()
+
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    banded = base.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_bk.band", "_bk.key")
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .dropDuplicates()
+    )
+    if not verify:
+        return candidates
+
+    sh = base.select("_id", "_sh")
+    out = (
+        candidates.join(sh.withColumnsRenamed({"_id": "id1", "_sh": "_sh1"}), on="id1")
+        .join(sh.withColumnsRenamed({"_id": "id2", "_sh": "_sh2"}), on="id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh1", "_sh2"))
+            / (
+                F.size("_sh1")
+                + F.size("_sh2")
+                - F.size(F.array_intersect("_sh1", "_sh2"))
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------- #
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over distinct tokens (JVM-side bit fold).
+
+    bit j of the fingerprint = majority vote of bit j across token
+    hashes. bits is kept small (16/32) because each bit is one
+    aggregate() fold; for 64-bit at extreme scale, a Pandas UDF doing
+    vectorized popcounts would be the fallback.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_weight(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(bit_weight(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, prefix_bits: int = 8
+) -> DataFrame:
+    """(id, simhash, bucket) — bucket by hash prefix for candidate pruning."""
+    h = simhash(F.col(text_col), bits)
+    return df.select(
+        F.col(id_col).alias("id"),
+        h.alias("simhash"),
+        F.shiftright(h, bits - prefix_bits).alias("bucket"),
+    )

@@ -1,0 +1,160 @@
+"""LLM-pipeline operator tests: dedup, similarity, text stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycypher_nmetl_spark.llmops import (
+    add_fingerprint, add_lang_id, add_quality, add_token_count,
+    brute_force_topk, exact_dedup, ivf_build, ivf_topk, minhash_lsh_pairs,
+    near_dup_pairs, ngram_jaccard_pairs, simhash_buckets,
+)
+from pycypher_nmetl_spark.llmops.multimodal import (
+    exact_binary_dedup, extract_audio_features, extract_image_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    assert exact_dedup(docs, ["text"]).count() == 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    pairs = {(r["id1"], r["id2"]) for r in out}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    exact = [r for r in out if (r["id1"], r["id2"]) == (1, 4)]
+    assert exact[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_matches_exact(docs):
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert sorted(map(tuple, lsh.select("id1", "id2").collect())) == sorted(
+        map(tuple, exact.select("id1", "id2").collect())
+    )
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r["id"]: r["simhash"] for r in simhash_buckets(docs, "doc_id", "text").collect()}
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert out[1] == out[4]  # identical text -> identical hash
+    assert ham_near < ham_far
+
+
+def test_token_count_and_quality(docs):
+    out = {r["doc_id"]: r for r in add_token_count(docs, "text").collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[5]["n_tokens"] == 1
+    q = {r["doc_id"]: r for r in add_quality(docs, "text").collect()}
+    assert q[1]["stopword_ratio"] > 0
+    assert 0 <= q[1]["quality_score"] <= 1
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "großes haus über straße"),
+            (3, "你好世界"),
+            (4, "a la mañana señor"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in add_lang_id(df, "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "zh", 4: "es"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(df, "text").collect()}
+    assert out[1] == out[2] != out[3]
+
+
+# ------------------------------------------------------------------ #
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.8, 0.2, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    out = brute_force_topk(vectors, "embedding", [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["id"] for r in out] == [1, 2, 5]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_near_dup_pairs(vectors):
+    out = near_dup_pairs(vectors, "embedding", threshold=0.95)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert (1, 2) in got and (2, 5) in got and (3, 4) not in got
+
+
+def test_ivf_topk_recovers_neighbors(vectors):
+    assigned, cents = ivf_build(vectors, "embedding", n_clusters=3, sample=5, iters=5)
+    out = ivf_topk(assigned, cents, "embedding", [1.0, 0.0, 0.0], k=2, nprobe=3)
+    assert [r["id"] for r in out.collect()] == [1, 2]
+
+
+# ------------------------------------------------------------------ #
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"x" * 100), "image/png", {"w": "10"}),
+        (2, "image", bytearray(b"y" * 200), "image/png", {}),
+        (3, "audio", bytearray(b"z" * 300), "audio/wav", {}),
+        (4, "video", bytearray(b"v" * 400), "video/mp4", {"duration_ms": "3500"}),
+        (5, "image", bytearray(b"x" * 100), "image/png", {}),  # dup content of 1
+    ]
+    from pycypher_nmetl_spark.llmops.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_fake_decoder(media):
+    out = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1]["n_bytes"] == 100
+    assert out[1]["content_hash"] == out[5]["content_hash"]
+    assert out[1]["width"] == 101 and out[1]["height"] == 101
+
+
+def test_image_decoder_stub_raises(media):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # NotImplementedError inside executors
+        extract_image_features(media, fake=False).collect()
+
+
+def test_audio_features_fake_decoder(media):
+    out = extract_audio_features(media, fake=True).collect()
+    assert len(out) == 1 and out[0]["duration_ms"] == 3000
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_ms=1000, max_frames=16).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_exact_binary_dedup(media):
+    assert exact_binary_dedup(media).count() == 4
