@@ -1,0 +1,108 @@
+"""CLI (reference: cli/main.py:39-98 — run/validate/list-queries/query/
+parse/schema/functions surface, Spark-backed).
+
+    python -m pycypher_nmetl_spark run pipeline.yaml
+    python -m pycypher_nmetl_spark validate pipeline.yaml
+    python -m pycypher_nmetl_spark list-queries pipeline.yaml
+    python -m pycypher_nmetl_spark query pipeline.yaml "MATCH ..." [--limit N]
+    python -m pycypher_nmetl_spark parse "MATCH (n) RETURN n"
+    python -m pycypher_nmetl_spark functions
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pycypher-nmetl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("run", "validate", "list-queries"):
+        s = sub.add_parser(name)
+        s.add_argument("config")
+
+    s = sub.add_parser("query")
+    s.add_argument("config")
+    s.add_argument("cypher")
+    s.add_argument("--limit", type=int, default=20)
+
+    s = sub.add_parser("parse")
+    s.add_argument("cypher")
+
+    sub.add_parser("functions")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "parse":
+        from pycypher_nmetl_spark.cypher.parser import parse as parse_cypher
+
+        print(parse_cypher(args.cypher))
+        return 0
+
+    if args.cmd == "functions":
+        from pycypher_nmetl_spark.functions.scalar import (
+            AGGREGATE_FUNCTIONS, SCALAR_FUNCTIONS,
+        )
+
+        print(json.dumps({
+            "scalar": sorted(SCALAR_FUNCTIONS),
+            "aggregate": sorted(AGGREGATE_FUNCTIONS),
+        }, indent=2))
+        return 0
+
+    from pycypher_nmetl_spark.pipeline.config import load_config
+
+    config = load_config(args.config)
+
+    if args.cmd == "validate":
+        errors = config.validate()
+        if errors:
+            print("\n".join(f"ERROR: {e}" for e in errors))
+            return 1
+        print(f"{config.name}: OK ({len(config.queries)} queries, "
+              f"{len(config.entities)} entity sources, "
+              f"{len(config.relationships)} relationship sources)")
+        return 0
+
+    if args.cmd == "list-queries":
+        from pycypher_nmetl_spark.pipeline.runner import order_queries
+
+        for q in order_queries(config.queries):
+            desc = f" — {q.description}" if q.description else ""
+            print(f"{q.id}{desc}")
+        return 0
+
+    from pycypher_nmetl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pipeline:{config.name}")
+
+    if args.cmd == "run":
+        from pycypher_nmetl_spark.pipeline.runner import run_pipeline
+
+        result = run_pipeline(spark, config)
+        for qid in result.order:
+            status = (
+                f"-> {result.written[qid]}" if qid in result.written
+                else f"FAILED: {result.errors[qid]}" if qid in result.errors
+                else "ok"
+            )
+            print(f"{qid}: {status}")
+        return 1 if result.errors else 0
+
+    if args.cmd == "query":
+        from pycypher_nmetl_spark.engine import CypherEngine
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog, load_functions
+
+        engine = CypherEngine(build_catalog(spark, config))
+        load_functions(engine, config.functions)
+        engine.execute(args.cypher).show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

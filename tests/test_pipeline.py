@@ -1,0 +1,180 @@
+"""ETL pipeline: YAML config -> sources -> queries -> outputs.
+
+Mirrors the reference's pipeline surface (cli/pipeline.py,
+examples/retail_analytics/pipeline.yaml shape).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from pycypher_nmetl_spark.pipeline import load_config, run_pipeline
+from pycypher_nmetl_spark.pipeline.runner import order_queries, produces_consumes
+from pycypher_nmetl_spark.sinks.neo4j import (
+    build_edge_merge_cypher, build_node_merge_cypher, coerce_value,
+)
+
+
+@pytest.fixture()
+def project(tmp_path):
+    (tmp_path / "people.csv").write_text(
+        "person_id,name,age,team_id\n1,Alice,30,10\n2,Bob,25,10\n3,Carol,35,11\n"
+    )
+    (tmp_path / "teams.csv").write_text("team_id,team_name\n10,Alpha\n11,Beta\n")
+    (tmp_path / "member.csv").write_text(
+        "person_id,team_id\n1,10\n2,10\n3,11\n"
+    )
+    (tmp_path / "pipeline.yaml").write_text(
+        textwrap.dedent(
+            f"""
+            version: "1.0"
+            project:
+              name: test_pipeline
+            sources:
+              entities:
+                - id: people
+                  uri: "{tmp_path}/people.csv"
+                  entity_type: Person
+                  id_col: person_id
+                  schema_hints:
+                    age: BIGINT
+                - id: teams
+                  uri: "{tmp_path}/teams.csv"
+                  entity_type: Team
+                  id_col: team_id
+                  query: "SELECT team_id, upper(team_name) AS team_name FROM source"
+              relationships:
+                - id: member
+                  uri: "{tmp_path}/member.csv"
+                  relationship_type: MEMBER_OF
+                  source_col: person_id
+                  target_col: team_id
+                  source_label: Person
+                  target_label: Team
+            queries:
+              - id: tag_seniors
+                cypher: "MATCH (p:Person) WHERE p.age > 28 SET p:Senior"
+              - id: team_sizes
+                cypher: "MATCH (p:Person)-[:MEMBER_OF]->(t:Team) RETURN t.team_name AS team, count(*) AS members"
+              - id: senior_names
+                cypher: "MATCH (s:Senior) RETURN s.name AS name"
+            output:
+              - query_id: team_sizes
+                uri: "{tmp_path}/out/team_sizes.csv"
+              - query_id: senior_names
+                uri: "{tmp_path}/out/seniors.csv"
+            """
+        )
+    )
+    return tmp_path
+
+
+def test_load_and_validate(project):
+    config = load_config(project / "pipeline.yaml")
+    assert config.name == "test_pipeline"
+    assert config.validate() == []
+    assert len(config.entities) == 2 and len(config.relationships) == 1
+
+
+def test_dependency_analysis():
+    produced, consumed = produces_consumes(
+        "MATCH (p:Person) WHERE p.age > 28 SET p:Senior"
+    )
+    assert produced == {"Senior"} and consumed == {"Person"}
+    produced, consumed = produces_consumes("MATCH (s:Senior) RETURN s.name AS n")
+    assert consumed == {"Senior"} and produced == set()
+
+
+def test_query_ordering(project):
+    config = load_config(project / "pipeline.yaml")
+    ordered = [q.id for q in order_queries(config.queries)]
+    # senior_names consumes Senior which tag_seniors produces
+    assert ordered.index("tag_seniors") < ordered.index("senior_names")
+
+
+def test_run_pipeline_end_to_end(spark, project):
+    config = load_config(project / "pipeline.yaml")
+    result = run_pipeline(spark, config)
+    assert not result.errors
+    teams = {
+        (r["team"], r["members"]) for r in result.results["team_sizes"].collect()
+    }
+    assert teams == {("ALPHA", 2), ("BETA", 1)}  # SQL transform uppercased
+    seniors = sorted(r["name"] for r in result.results["senior_names"].collect())
+    assert seniors == ["Alice", "Carol"]
+    # outputs written as CSV
+    out = spark.read.option("header", "true").csv(str(project / "out/team_sizes.csv"))
+    assert out.count() == 2
+
+
+def test_env_interpolation(tmp_path, monkeypatch):
+    monkeypatch.setenv("DATA_DIR", str(tmp_path))
+    (tmp_path / "x.csv").write_text("id,v\n1,2\n")
+    (tmp_path / "p.yaml").write_text(
+        textwrap.dedent(
+            """
+            project: {name: env_test}
+            sources:
+              entities:
+                - id: x
+                  uri: "${DATA_DIR}/x.csv"
+                  entity_type: X
+            queries: []
+            """
+        )
+    )
+    config = load_config(tmp_path / "p.yaml")
+    assert config.entities[0].uri == f"{tmp_path}/x.csv"
+
+
+def test_validate_catches_errors(tmp_path):
+    (tmp_path / "bad.yaml").write_text(
+        textwrap.dedent(
+            """
+            project: {name: bad}
+            sources:
+              entities:
+                - {id: a, uri: "x.csv", entity_type: A}
+                - {id: a, uri: "y.csv", entity_type: B}
+            queries:
+              - {id: q1, cypher: "MATCH (n RETURN"}
+            output:
+              - {query_id: nope, uri: "out.csv"}
+            """
+        )
+    )
+    errors = load_config(tmp_path / "bad.yaml").validate()
+    assert len(errors) == 3
+
+
+def test_cli_parse_and_validate(project, capsys):
+    from pycypher_nmetl_spark.cli import main
+
+    assert main(["parse", "MATCH (n:Person) RETURN n.name AS x"]) == 0
+    assert "Projection" in capsys.readouterr().out
+    assert main(["validate", str(project / "pipeline.yaml")]) == 0
+    assert "OK" in capsys.readouterr().out
+    assert main(["list-queries", str(project / "pipeline.yaml")]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out.index("tag_seniors") < out.index("senior_names")
+
+
+def test_neo4j_cypher_builders():
+    q = build_node_merge_cypher("Person", "id", ["name", "age"])
+    assert q == (
+        "UNWIND $rows AS row MERGE (n:Person {id: row.id}) SET n += row.props"
+    )
+    q = build_edge_merge_cypher("KNOWS", "Person", "Person")
+    assert "MATCH (s:Person {id: row.src})" in q and "MERGE (s)-[r:KNOWS]->(t)" in q
+    with pytest.raises(ValueError):
+        build_node_merge_cypher("Bad Label;", "id", [])
+
+
+def test_neo4j_value_coercion():
+    import datetime
+
+    assert coerce_value(float("nan")) is None
+    assert coerce_value(datetime.date(2024, 1, 2)) == "2024-01-02"
+    assert coerce_value({"a": [float("nan"), 1]}) == {"a": [None, 1]}
