@@ -78,7 +78,9 @@ def main() -> None:
     rows: dict[str, int] = {}
     for name, q in BENCH_QUERIES:
         t0 = time.perf_counter()
-        out = engine.execute(q).collect()
+        # Arrow-batched materialization to the driver — the same
+        # pandas-DataFrame endpoint the reference's pandas backend pays
+        out = engine.execute(q).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
         rows[name] = len(out)
 

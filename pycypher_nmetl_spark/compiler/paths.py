@@ -50,16 +50,26 @@ def build_varlength_path(
     path: PathPattern,
     outer: Bindings,
     params: dict,
+    var_preds: dict[str, list] | None = None,
+    applied: set[str] | None = None,
 ) -> tuple[Bindings, list[tuple[str, tuple[str, ...]]]]:
-    """Build a path frame for a pattern containing var-length segments."""
+    """Build a path frame for a pattern containing var-length segments.
+
+    Pushable WHERE conjuncts on the start variable are applied *before*
+    the BFS expansion — the frontier starts from the filtered set, not
+    the whole label (the single biggest win for selective path queries).
+    """
     from pycypher_nmetl_spark.compiler.patterns import (
-        _ensure_var, _expand, _scan_node_into,
+        _ensure_var, _expand, _scan_node_into, apply_var_preds,
     )
 
+    var_preds = var_preds or {}
+    applied = applied if applied is not None else set()
     elements = path.elements
     rel_vars: list[tuple[str, tuple[str, ...]]] = []
     first: NodePattern = elements[0]
     pb = _scan_node_into(engine, None, first, outer, params)
+    pb = apply_var_preds(engine, pb, var_preds, applied, params)
     prev_var = _ensure_var(first)
     hop_cols: list = []  # Columns counting hops, for length(p)
 
@@ -77,6 +87,7 @@ def build_varlength_path(
             hop_cols.append(F.lit(1))
         rel_vars.append((rvar, tuple(rel.types)))
         prev_var = _ensure_var(nxt)
+        pb = apply_var_preds(engine, pb, var_preds, applied, params)
         i += 2
 
     if path.var:
@@ -146,6 +157,8 @@ def _expand_varlength(
         raise ValueError(f"invalid hop range *{lo}..{hi}")
 
     edges = _edge_hop_table(engine, rel, params)
+    # (measured: persisting the hop table here is a net loss — AQE's
+    # ReuseExchange already dedupes the per-level scans at this scale)
     starts = pb.df.select(F.col(prev_var).alias("_start")).dropDuplicates()
 
     if shortest:

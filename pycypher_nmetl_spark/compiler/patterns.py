@@ -38,9 +38,81 @@ from pycypher_nmetl_spark.compiler.astutil import walk
 from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
 from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    ExistsSub, Match, NodePattern, PathPattern, PatternComp, PatternPred,
-    RelPattern,
+    BoolOp, ExistsSub, ListComp, Match, NodePattern, PathPattern,
+    PatternComp, PatternPred, Quantifier, Reduce, RelPattern, Var,
 )
+
+
+# ---------------------------------------------------------------------- #
+# WHERE-predicate pushdown into pattern construction
+# (reference: frame_joiner.py:335-401 per-path predicate split)
+# ---------------------------------------------------------------------- #
+def _split_conjuncts(expr) -> list:
+    if isinstance(expr, BoolOp) and expr.op == "AND":
+        out = []
+        for o in expr.operands:
+            out.extend(_split_conjuncts(o))
+        return out
+    return [expr]
+
+
+def _referenced_vars(expr) -> set[str] | None:
+    """Free variables of a predicate, or None if it contains pattern
+    sub-expressions (those are never pushed)."""
+    names: set[str] = set()
+    bound: set[str] = set()
+    for n in walk(expr):
+        if isinstance(n, (ExistsSub, PatternPred, PatternComp)):
+            return None
+        if isinstance(n, Var):
+            names.add(n.name)
+        if isinstance(n, (ListComp, Quantifier)):
+            bound.add(n.var)
+        if isinstance(n, Reduce):
+            bound.update((n.var, n.acc))
+    return names - bound
+
+
+def split_pushable_predicates(
+    where, outer_vars: set[str]
+) -> tuple[dict[str, list], list]:
+    """Split a WHERE into per-variable pushable conjuncts (single free
+    variable, introduced by this MATCH) and the residual list. Pushing a
+    monotone conjunct to the moment its variable is bound is equivalence-
+    preserving for both MATCH and OPTIONAL MATCH (it narrows the pattern,
+    not the preserved side), and it prunes BFS frontiers *before*
+    expansion instead of after."""
+    if where is None:
+        return {}, []
+    var_preds: dict[str, list] = {}
+    residual: list = []
+    for c in _split_conjuncts(where):
+        vs = _referenced_vars(c)
+        if vs is not None and len(vs) == 1:
+            v = next(iter(vs))
+            if v not in outer_vars:
+                var_preds.setdefault(v, []).append(c)
+                continue
+        residual.append(c)
+    return var_preds, residual
+
+
+def apply_var_preds(
+    engine: "CypherEngine",
+    pb: Bindings,
+    var_preds: dict[str, list],
+    applied: set[str],
+    params: dict,
+) -> Bindings:
+    """Apply pushable predicates for any newly-bound variables."""
+    for v in list(pb.vars):
+        if v in applied or v not in var_preds:
+            continue
+        cc = ExprCompiler(pb, params, {}, engine.functions)
+        for pred in var_preds[v]:
+            pb = pb.with_df(pb.df.filter(cc.col(pred).cast("boolean")))
+        applied.add(v)
+    return pb
 
 if TYPE_CHECKING:
     from pycypher_nmetl_spark.engine import CypherEngine
@@ -119,24 +191,31 @@ def build_path_frame(
     path: PathPattern,
     outer: Bindings,
     params: dict,
+    var_preds: dict[str, list] | None = None,
+    applied: set[str] | None = None,
 ) -> tuple[Bindings, list[tuple[str, tuple[str, ...]]]]:
     """Build one path's frame from fresh scans.
 
     Returns (frame, rel_vars) where rel_vars lists (var, typeset) for the
-    relationship-uniqueness filters applied per MATCH clause.
+    relationship-uniqueness filters applied per MATCH clause. Pushable
+    WHERE conjuncts (var_preds) are applied the moment their variable is
+    bound, pruning joins/BFS frontiers early.
     """
     elements = path.elements
     rel_vars: list[tuple[str, tuple[str, ...]]] = []
+    var_preds = var_preds or {}
+    applied = applied if applied is not None else set()
 
     if path.shortest is not None or any(
         isinstance(e, RelPattern) and e.varlength for e in elements
     ):
         from pycypher_nmetl_spark.compiler.paths import build_varlength_path
 
-        return build_varlength_path(engine, path, outer, params)
+        return build_varlength_path(engine, path, outer, params, var_preds, applied)
 
     first: NodePattern = elements[0]
     pb = _scan_node_into(engine, None, first, outer, params)
+    pb = apply_var_preds(engine, pb, var_preds, applied, params)
 
     i = 1
     while i < len(elements):
@@ -144,6 +223,7 @@ def build_path_frame(
         nxt: NodePattern = elements[i + 1]
         pb, rvar = _expand(engine, pb, _node_var(first if i == 1 else elements[i - 1]), rel, nxt, outer, params)
         rel_vars.append((rvar, tuple(rel.types)))
+        pb = apply_var_preds(engine, pb, var_preds, applied, params)
         i += 2
 
     if path.var:
@@ -347,28 +427,44 @@ def apply_rel_uniqueness(
 def compile_match(
     engine: "CypherEngine", bindings: Bindings, m: Match, params: dict
 ) -> Bindings:
+    # Split WHERE into per-variable pushable conjuncts (applied inside
+    # path construction, pruning scans/joins/BFS early) and a residual.
+    var_preds, residual = split_pushable_predicates(m.where, set(bindings.vars))
+    applied: set[str] = set()
+    residual_where = None
+    if residual:
+        residual_where = residual[0] if len(residual) == 1 else BoolOp("AND", residual)
+
     # Build each path frame independently, merge on shared vars — the
     # declarative plan lets Catalyst reorder the resulting join tree.
     combined: Bindings | None = None
     all_rel_vars: list[tuple[str, tuple[str, ...]]] = []
     for path in m.paths:
-        frame, rel_vars = build_path_frame(engine, path, bindings, params)
+        frame, rel_vars = build_path_frame(
+            engine, path, bindings, params, var_preds, applied
+        )
         all_rel_vars.extend(rel_vars)
         combined = frame if combined is None else _merge(combined, frame, "inner")
     combined = apply_rel_uniqueness(combined, all_rel_vars)
+    # pushable predicates whose variable never got bound (defensive)
+    combined = apply_var_preds(engine, combined, var_preds, applied, params)
 
     if m.optional:
-        if m.where is not None:
-            combined, subst = materialize_subpatterns(engine, combined, [m.where], params)
+        if residual_where is not None:
+            combined, subst = materialize_subpatterns(
+                engine, combined, [residual_where], params
+            )
             cc = ExprCompiler(combined, params, subst, engine.functions)
-            combined = combined.with_df(combined.df.filter(cc.col(m.where).cast("boolean")))
+            combined = combined.with_df(
+                combined.df.filter(cc.col(residual_where).cast("boolean"))
+            )
         return _merge(bindings, combined, "left")
 
     out = _merge(bindings, combined, "inner")
-    if m.where is not None:
-        out, subst = materialize_subpatterns(engine, out, [m.where], params)
+    if residual_where is not None:
+        out, subst = materialize_subpatterns(engine, out, [residual_where], params)
         cc = ExprCompiler(out, params, subst, engine.functions)
-        out = out.with_df(out.df.filter(cc.col(m.where).cast("boolean")))
+        out = out.with_df(out.df.filter(cc.col(residual_where).cast("boolean")))
     return out
 
 
