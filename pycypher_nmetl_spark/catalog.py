@@ -61,6 +61,9 @@ class GraphCatalog:
         # registered Cypher scalar functions / procedures
         self.functions: dict[str, object] = {}
         self.procedures: dict[str, object] = {}
+        # bumped on every committed mutation; invalidates result caches
+        # (reference: relational_models.py _data_epoch)
+        self.data_epoch = 0
 
     # ------------------------------------------------------------------ #
     # registration
@@ -170,6 +173,7 @@ class GraphCatalog:
         if self._shadow_nodes is not None:
             self._nodes = self._shadow_nodes
             self._edges = self._shadow_edges
+            self.data_epoch += 1
         self._shadow_nodes = None
         self._shadow_edges = None
 

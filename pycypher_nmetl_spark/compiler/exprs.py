@@ -302,7 +302,17 @@ class ExprCompiler:
         conds = []
         for op, rhs_ast in e.rest:
             right = self.col(rhs_ast)
-            conds.append(ops[op](left, right))
+            cond = ops[op](left, right)
+            # Cypher: comparing incomparable types yields null, never an
+            # error (reference: comparison_evaluator.py:99-158). Spark
+            # rejects e.g. INT = BOOLEAN at analysis — probe and fall
+            # back to null.
+            if not self.lambda_vars:
+                try:
+                    self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
+                except Exception:  # noqa: BLE001
+                    cond = F.lit(None).cast("boolean")
+            conds.append(cond)
             left = right
         return functools.reduce(lambda a, b: a & b, conds)
 

@@ -45,13 +45,16 @@ class CypherEngine:
         self,
         catalog: GraphCatalog,
         functions: dict[str, Callable] | None = None,
+        cache_results: bool = True,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
         self.functions: dict[str, Callable] = dict(functions or {})
+        from pycypher_nmetl_spark.cache import ResultCache
         from pycypher_nmetl_spark.procedures import BUILTIN_PROCEDURES
 
         self.procedures: dict[str, Callable] = dict(BUILTIN_PROCEDURES)
+        self.cache = ResultCache() if cache_results else None
 
     # ------------------------------------------------------------------ #
     # registration (reference: relational_models.py:710-718, 228-275)
@@ -71,15 +74,79 @@ class CypherEngine:
         Mutation-only queries execute their catalog updates eagerly and
         return an empty DataFrame.
         """
-        ast = parse(cypher)
-        params = parameters or {}
-        if isinstance(ast, UnionQuery):
-            return self._execute_union(ast, params)
-        return self._execute_query(ast, params)
+        from pycypher_nmetl_spark.cache import cache_key
 
-    def explain(self, cypher: str, parameters: dict[str, Any] | None = None) -> None:
-        """Print both plans: our compiled DataFrame's formatted Spark plan."""
-        self.execute(cypher, parameters).explain("formatted")
+        params = parameters or {}
+        key = cache_key(cypher, params) if self.cache is not None else None
+        if key is not None:
+            hit = self.cache.get(key, self.catalog.data_epoch)
+            if hit is not None:
+                return hit
+
+        ast = parse(cypher)
+        if isinstance(ast, UnionQuery):
+            result = self._execute_union(ast, params)
+            mutated = any(
+                isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
+            )
+        else:
+            result = self._execute_query(ast, params)
+            mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
+        if key is not None and not mutated:
+            # cache the compiled lazy plan (not rows): hits skip parse +
+            # compile; reads stay distributed (reference: result_cache.py)
+            self.cache.put(key, result, self.catalog.data_epoch)
+        return result
+
+    def explain(self, cypher: str, parameters: dict[str, Any] | None = None) -> str:
+        """Two-level EXPLAIN (reference: query_explainer.py): the clause
+        plan our compiler produced, then Catalyst's formatted physical
+        plan for the same query."""
+        from pycypher_nmetl_spark.cypher.ast_nodes import Projection
+
+        ast = parse(cypher)
+        queries = ast.branches if isinstance(ast, UnionQuery) else [ast]
+        lines = ["== Cypher clause plan =="]
+        for qi, q in enumerate(queries):
+            if len(queries) > 1:
+                lines.append(f"-- branch {qi}")
+            for clause in q.clauses:
+                name = type(clause).__name__
+                detail = ""
+                if isinstance(clause, Match):
+                    pats = []
+                    for p in clause.paths:
+                        pats.append(
+                            "".join(
+                                f"({e.var or ''}:{'|'.join(e.labels)})"
+                                if hasattr(e, "labels")
+                                else f"-[{e.var or ''}:{'|'.join(e.types)}"
+                                + ("*" if e.varlength else "")
+                                + "]-"
+                                for e in p.elements
+                            )
+                        )
+                    detail = (" OPTIONAL" if clause.optional else "") + " " + ", ".join(pats)
+                    if clause.where is not None:
+                        detail += " WHERE …"
+                elif isinstance(clause, Projection):
+                    kind = "RETURN" if clause.is_return else "WITH"
+                    items = ", ".join(it.alias or it.text for it in clause.items)
+                    name = kind
+                    detail = f" {items}"
+                    if clause.order_by:
+                        detail += " ORDER BY …"
+                    if clause.limit is not None:
+                        detail += " LIMIT …"
+                lines.append(f"  {name}{detail}")
+        df = self.execute(cypher, parameters)
+        jqe = df._jdf.queryExecution()
+        mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        lines.append("== Spark physical plan ==")
+        lines.append(jqe.explainString(mode))
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------ #
     def _execute_union(self, ast: UnionQuery, params: dict) -> DataFrame:

@@ -1,0 +1,37 @@
+"""Result cache: LRU + TTL + epoch invalidation (reference: result_cache.py)."""
+
+from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+from pycypher_nmetl_spark.cache import ResultCache, cache_key
+
+
+def test_cache_hit_and_epoch_invalidation(spark):
+    cat = GraphCatalog(spark)
+    cat.register_nodes("P", spark.createDataFrame([(1, "a")], "id long, name string"))
+    eng = CypherEngine(cat)
+    df1 = eng.execute("MATCH (n:P) RETURN n.name AS name")
+    df2 = eng.execute("MATCH (n:P) RETURN n.name AS name")
+    assert df1 is df2 and eng.cache.hits == 1
+    eng.execute("CREATE (:P {id: 2, name: 'b'})")
+    df3 = eng.execute("MATCH (n:P) RETURN n.name AS name")
+    assert df3 is not df1  # epoch bumped by the committed mutation
+    assert df3.count() == 2
+
+
+def test_nondeterministic_not_cached():
+    assert cache_key("RETURN rand() AS r", None) is None
+    assert cache_key("RETURN randomUUID() AS u", None) is None
+    assert cache_key("RETURN 1 AS x", None) is not None
+
+
+def test_params_distinguish_entries():
+    assert cache_key("RETURN $x AS x", {"x": 1}) != cache_key("RETURN $x AS x", {"x": 2})
+
+
+def test_lru_eviction_and_ttl():
+    c = ResultCache(max_entries=2, ttl_seconds=1000)
+    c.put(("a",), 1, 0)
+    c.put(("b",), 2, 0)
+    c.put(("c",), 3, 0)  # evicts ("a",)
+    assert c.get(("a",), 0) is None
+    assert c.get(("b",), 0) == 2
+    assert c.get(("b",), 1) is None  # wrong epoch
