@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("functions")
 
+    s = sub.add_parser("repl")
+    s.add_argument("config", nargs="?")
+
     args = p.parse_args(argv)
 
     if args.cmd == "parse":
@@ -52,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
             "aggregate": sorted(AGGREGATE_FUNCTIONS),
         }, indent=2))
         return 0
+
+    if args.cmd == "repl":
+        return _repl(args.config)
 
     from pycypher_nmetl_spark.pipeline.config import load_config
 
@@ -102,6 +108,50 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     return 2
+
+
+def _repl(config_path: str | None) -> int:
+    """Interactive loop (reference: repl.py). Commands: :quit, :labels,
+    :types, :explain <query>."""
+    from pycypher_nmetl_spark.engine import CypherEngine
+    from pycypher_nmetl_spark.session import get_spark
+
+    spark = get_spark(app_name="repl")
+    if config_path:
+        from pycypher_nmetl_spark.pipeline.config import load_config
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog, load_functions
+
+        config = load_config(config_path)
+        engine = CypherEngine(build_catalog(spark, config))
+        load_functions(engine, config.functions)
+    else:
+        from pycypher_nmetl_spark.catalog import GraphCatalog
+
+        engine = CypherEngine(GraphCatalog(spark))
+    print("pycypher-nmetl-spark REPL — :quit to exit")
+    while True:
+        try:
+            line = input("cypher> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        if line in (":quit", ":exit", ":q"):
+            return 0
+        if line == ":labels":
+            print(engine.catalog.labels())
+            continue
+        if line == ":types":
+            print(engine.catalog.rel_types())
+            continue
+        try:
+            if line.startswith(":explain "):
+                print(engine.explain(line[len(":explain "):]))
+            else:
+                engine.execute(line).show(50, truncate=False)
+        except Exception as e:  # noqa: BLE001
+            print(f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

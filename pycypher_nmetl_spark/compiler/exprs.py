@@ -354,6 +354,17 @@ class ExprCompiler:
         return F.array_contains(self.col(e.collection), item)
 
     def _c_Index(self, e: Index) -> Column:
+        # n['key'] on a node/rel variable is dynamic property access
+        # (reference: binding_evaluator.py:612-640)
+        if (
+            isinstance(e.target, Var)
+            and e.target.name not in self.lambda_vars
+            and isinstance(e.index, Literal)
+            and isinstance(e.index.value, str)
+        ):
+            info = self.bindings.vars.get(e.target.name)
+            if info is not None and info.kind in ("node", "rel"):
+                return self._c_Prop(Prop(e.target, e.index.value))
         target = self.col(e.target)
         dt = T.NullType() if self.lambda_vars else self.bindings.dtype(target)
         idx = self.col(e.index)

@@ -148,6 +148,26 @@ class CypherEngine:
         lines.append(jqe.explainString(mode))
         return "\n".join(lines)
 
+    def execute_many(
+        self, cyphers: list[str], parameters: dict[str, Any] | None = None
+    ) -> list[DataFrame]:
+        """Multi-query composition (reference: multi_query_executor.py:1-269):
+        queries are dependency-ordered by produces/consumes analysis and
+        executed sequentially; results return in the *input* order.
+
+        The reference rewrites N queries into one AST (query_combiner.py);
+        chained DataFrame transformations are already fused here, so only
+        the dependency sort carries over.
+        """
+        from pycypher_nmetl_spark.pipeline.config import QuerySpec
+        from pycypher_nmetl_spark.pipeline.runner import order_queries
+
+        specs = [QuerySpec(id=str(i), cypher=c) for i, c in enumerate(cyphers)]
+        results: dict[str, DataFrame] = {}
+        for spec in order_queries(specs):
+            results[spec.id] = self.execute(spec.cypher, parameters)
+        return [results[str(i)] for i in range(len(cyphers))]
+
     # ------------------------------------------------------------------ #
     def _execute_union(self, ast: UnionQuery, params: dict) -> DataFrame:
         # openCypher forbids mixing UNION and UNION ALL; dedupe iff UNION.

@@ -412,6 +412,7 @@ def _duration(cc, args):
     parts = dict.fromkeys(
         ("years", "months", "weeks", "days", "hours", "minutes", "seconds"), zero
     )
+    has_calendar_part = False
     a = args[0]
     if isinstance(a, Literal) and isinstance(a.value, str):
         m = re.fullmatch(
@@ -428,13 +429,27 @@ def _duration(cc, args):
         ):
             if grp is not None:
                 parts[key] = F.lit(float(grp))
+                if key in ("years", "months"):
+                    has_calendar_part = True
     elif isinstance(a, MapLit):
         for key, expr in a.pairs:
             if key not in parts:
                 raise ValueError(f"unknown duration component {key!r}")
             parts[key] = cc.col(expr)
+            if key in ("years", "months"):
+                has_calendar_part = True
     else:
         raise ValueError("duration() needs an ISO string literal or a map")
+    if not has_calendar_part:
+        # day-time-only durations use DayTimeIntervalType, which pyspark
+        # can deserialize (timedelta); CalendarIntervalType can't be
+        # collected, only used in arithmetic
+        return F.make_dt_interval(
+            (parts["days"] + parts["weeks"] * 7).cast("int"),
+            parts["hours"].cast("int"),
+            parts["minutes"].cast("int"),
+            parts["seconds"].cast("decimal(18,6)"),
+        )
     return F.make_interval(
         parts["years"].cast("int"), parts["months"].cast("int"),
         parts["weeks"].cast("int"), parts["days"].cast("int"),
@@ -447,7 +462,9 @@ def _duration(cc, args):
 def _duration_between(cc, args):
     a, b = cc.col(args[0]).cast("timestamp"), cc.col(args[1]).cast("timestamp")
     secs = b.cast("double") - a.cast("double")
-    return F.make_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(0), F.lit(0), F.lit(0), secs.cast("decimal(18,6)"))
+    return F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), secs.cast("decimal(18,6)")
+    )
 
 
 # ---------------------------------------------------------------------- #
