@@ -209,6 +209,11 @@ class GraphCatalog:
         lazy parquet scan — nothing is materialized here.
         """
         cat = cls(spark)
+        # the testdata parquet carries TIMESTAMP(NANOS), which some reader
+        # paths (schema merging) reject; the caller's session may not have
+        # set this, so set it at runtime — reads then come back as long
+        # nanos and _nanos_to_ts converts them
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
         def _nanos_to_ts(df: DataFrame, *cols: str) -> DataFrame:
             # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong=true);
