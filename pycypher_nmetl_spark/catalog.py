@@ -214,6 +214,14 @@ class GraphCatalog:
         # set this, so set it at runtime — reads then come back as long
         # nanos and _nanos_to_ts converts them
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # right-size shuffles for a local session still at the 200 default
+        # (AQE coalesces down, but the task-launch overhead is real)
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                cores = spark.sparkContext.defaultParallelism
+                spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        except Exception:  # noqa: BLE001
+            pass
 
         def _nanos_to_ts(df: DataFrame, *cols: str) -> DataFrame:
             # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong=true);

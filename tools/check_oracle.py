@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -44,9 +45,16 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
-    from pycypher_nmetl_spark import get_spark
 
-    spark = get_spark()
+    if os.environ.get("PLAIN_SESSION"):
+        # simulate the driver's un-configured session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName("plain").getOrCreate()
+    else:
+        from pycypher_nmetl_spark import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
