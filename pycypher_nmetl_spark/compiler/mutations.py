@@ -203,6 +203,11 @@ def _candidate_labels(engine, bindings: Bindings, var: str) -> tuple[str, list[s
         return "n", list(info.labels) if info.labels else cat.labels()
     if info.kind == "rel":
         return "e", list(info.labels) if info.labels else cat.rel_types()
+    if info.kind == "value":
+        # FOREACH over collect(n) / UNWIND of an id list: the values are
+        # entity ids; the id-keyed update join only touches matching rows
+        # (reference: mutation_engine.py FOREACH over collected entities)
+        return "n", cat.labels()
     raise ValueError(f"cannot mutate {info.kind} variable {var!r}")
 
 
