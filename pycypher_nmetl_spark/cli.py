@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("parse")
     s.add_argument("cypher")
 
+    s = sub.add_parser("format")
+    s.add_argument("cypher")
+
     sub.add_parser("functions")
 
     s = sub.add_parser("repl")
@@ -43,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
         from pycypher_nmetl_spark.cypher.parser import parse as parse_cypher
 
         print(parse_cypher(args.cypher))
+        return 0
+
+    if args.cmd == "format":
+        from pycypher_nmetl_spark.cypher.formatter import format_query
+        from pycypher_nmetl_spark.cypher.parser import parse as parse_cypher
+
+        print(format_query(parse_cypher(args.cypher)))
         return 0
 
     if args.cmd == "functions":

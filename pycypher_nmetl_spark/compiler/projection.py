@@ -73,6 +73,10 @@ def _compile_aggregate(node, cc: ExprCompiler) -> Column:
         return F.stddev_pop(arg)
     if name == "percentilecont":
         return F.percentile(arg, cc.col(node.args[1]))
+    if name == "approxcountdistinct":
+        # HLL-sketch distinct count — the scale extension the reference
+        # lacks (SURVEY.md §2.5 approximate aggregates)
+        return F.approx_count_distinct(arg)
     if name == "percentiledisc":
         # exact lower-interpolation percentile: smallest element whose
         # cumulative fraction >= p (aggregation_evaluator.py:95-134)

@@ -28,7 +28,7 @@ SCALAR_FUNCTIONS: dict[str, object] = {}
 # the detection list (reference: aggregation_evaluator.py:163-196).
 AGGREGATE_FUNCTIONS = {
     "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
-    "percentilecont", "percentiledisc",
+    "percentilecont", "percentiledisc", "approxcountdistinct",
 }
 
 
