@@ -145,6 +145,40 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (o:Order) WHERE o.totalprice > $min AND o.orderstatus = $st "
         "RETURN count(*) AS cnt"
     ),
+    # temporal extraction + grouping
+    "orders_by_month": (
+        "MATCH (o:Order) WHERE o.orderdate.year = 1997 "
+        "RETURN o.orderdate.month AS mo, count(*) AS cnt, "
+        "round(sum(o.totalprice), 2) AS total"
+    ),
+    # percentileDisc + min/max on strings
+    "disc_and_string_minmax": (
+        "MATCH (c:Customer) RETURN round(percentileDisc(c.acctbal, 0.25), 2) AS q1, "
+        "min(c.name) AS first_name, max(c.name) AS last_name"
+    ),
+    # string concat with + and IN predicate
+    "concat_in": (
+        "MATCH (n:Nation) WHERE n.name IN ['NATION_1', 'NATION_2', 'NATION_3'] "
+        "RETURN n.name + '!' AS tagged"
+    ),
+    # OPTIONAL MATCH ... IS NULL (anti-join shape)
+    "optional_anti": (
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "WITH c, o WHERE o IS NULL RETURN count(*) AS customers_without_orders"
+    ),
+    # quantifier over a collected list
+    "collect_quantifier": (
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.name AS cust, collect(o.totalprice) AS prices "
+        "RETURN cust, size(prices) AS n, "
+        "all(p IN prices WHERE p > 0.0) AS all_positive "
+        "ORDER BY n DESC, cust LIMIT 20"
+    ),
+    # arithmetic semantics: integer division + modulo + pow
+    "arith_semantics": (
+        "MATCH (p:Part) RETURN p.size % 3 AS m, count(*) AS cnt, "
+        "sum(p.size / 10) AS intdiv_sum"
+    ),
 }
 
 _PARAMS: dict[str, dict] = {
@@ -247,6 +281,34 @@ _ORACLE: dict[str, str] = {
     "param_filter": (
         "SELECT count(*) AS cnt FROM orders "
         "WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'"
+    ),
+    "orders_by_month": (
+        "SELECT EXTRACT(month FROM o_orderdate) AS mo, count(*) AS cnt, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1"
+    ),
+    "disc_and_string_minmax": (
+        "SELECT round(quantile_disc(c_acctbal, 0.25), 2) AS q1, "
+        "min(c_name) AS first_name, max(c_name) AS last_name FROM customer"
+    ),
+    "concat_in": (
+        "SELECT n_name || '!' AS tagged FROM nation "
+        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')"
+    ),
+    "optional_anti": (
+        "SELECT count(*) AS customers_without_orders FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "collect_quantifier": (
+        "SELECT c_name AS cust, count(*) AS n, "
+        "bool_and(o_totalprice > 0.0) AS all_positive "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_name ORDER BY n DESC, cust LIMIT 20"
+    ),
+    "arith_semantics": (
+        "SELECT p_size % 3 AS m, count(*) AS cnt, "
+        "sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS intdiv_sum "
+        "FROM part GROUP BY 1"
     ),
 }
 

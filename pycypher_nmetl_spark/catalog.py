@@ -23,6 +23,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,9 +56,11 @@ class GraphCatalog:
         # edge type -> (src label, dst label) when known; used for compile-time
         # label inference on unlabeled pattern nodes.
         self._edge_endpoints: dict[str, tuple[str | None, str | None]] = {}
-        # shadow layer for in-flight mutations (query-scoped transaction)
-        self._shadow_nodes: dict[str, DataFrame] | None = None
-        self._shadow_edges: dict[str, DataFrame] | None = None
+        # shadow layer for in-flight mutations (query-scoped transaction);
+        # thread-local so concurrent queries on one catalog don't observe
+        # each other's uncommitted state (reference: ExecutionScope
+        # ContextVar isolation, relational_models.py:341-401)
+        self._tl = threading.local()
         # registered Cypher scalar functions / procedures
         self.functions: dict[str, object] = {}
         self.procedures: dict[str, object] = {}
@@ -156,14 +159,22 @@ class GraphCatalog:
     # ------------------------------------------------------------------ #
     # transactions (shadow layer -> atomic pointer swap)
     # ------------------------------------------------------------------ #
+    @property
+    def _shadow_nodes(self):
+        return getattr(self._tl, "nodes", None)
+
+    @property
+    def _shadow_edges(self):
+        return getattr(self._tl, "edges", None)
+
     def begin(self) -> None:
-        """Open a query-scoped shadow transaction.
+        """Open a query-scoped shadow transaction (thread-local).
 
         Reference: relational_models.py:589-646 (begin_query). DataFrame
         immutability means the shadow is just a dict copy of pointers.
         """
-        self._shadow_nodes = dict(self._nodes)
-        self._shadow_edges = dict(self._edges)
+        self._tl.nodes = dict(self._nodes)
+        self._tl.edges = dict(self._edges)
 
     def commit(self) -> None:
         """Promote shadows to canonical tables (atomic pointer swap).
@@ -174,13 +185,13 @@ class GraphCatalog:
             self._nodes = self._shadow_nodes
             self._edges = self._shadow_edges
             self.data_epoch += 1
-        self._shadow_nodes = None
-        self._shadow_edges = None
+        self._tl.nodes = None
+        self._tl.edges = None
 
     def rollback(self) -> None:
         """Discard uncommitted shadows (reference: rollback_query)."""
-        self._shadow_nodes = None
-        self._shadow_edges = None
+        self._tl.nodes = None
+        self._tl.edges = None
 
     def in_transaction(self) -> bool:
         return self._shadow_nodes is not None
