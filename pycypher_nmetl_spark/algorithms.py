@@ -1,0 +1,177 @@
+"""Distributed graph algorithms over the catalog's edge tables.
+
+Beyond-reference extensions (the reference has a procedure registry but
+no graph algorithms); exposed both as a Python API and as Cypher
+procedures (CALL graph.pagerank('KNOWS') YIELD id, rank).
+
+All three are the classic DataFrame-iteration formulations (same shape
+GraphX/GraphFrames use): per-iteration equi-joins + aggregations, with
+``localCheckpoint`` per round to truncate lineage. On a cluster the
+edge DataFrame would be pre-partitioned by src so every iteration
+shuffles only the (small) message side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over an (src, dst) edge DataFrame -> (id, rank).
+
+    Power iteration: rank = (1-d)/N + d * sum(rank_in / out_degree).
+    Dangling nodes' mass is redistributed uniformly each round.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_deg, on="src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # dangling mass = 1 - sum of mass that flowed through edges
+        flowed = contribs.agg(F.sum("_in")).first()[0] or 0.0
+        dangling = (1.0 - flowed) / n
+        ranks = (
+            nodes.join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Undirected connected components -> (id, component) where component
+    is the minimum node id in the component (hash-min label propagation)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = (
+        sym.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # every node proposes its component to its neighbours; keep the min
+        msgs = (
+            sym.join(comp, sym["src"] == comp["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("_new"))
+        )
+        updated = (
+            comp.join(msgs, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_new"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.coalesce(F.col("_new"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        comp = updated.drop("_changed")
+        if changed == 0:
+            break
+    return comp
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts -> (id, triangles) on the undirected,
+    de-duplicated graph. Canonical-orientation join (each undirected edge
+    kept once as lo<hi) so every triangle is built exactly once — the
+    standard n-way-join formulation (no WCOJ; SURVEY.md §2.3 note)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .dropDuplicates()
+    )
+    return nodes.join(per_node, on="id", how="left").select(
+        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+# ------------------------------------------------------------------ #
+# procedure wrappers: CALL graph.pagerank('KNOWS') YIELD id, rank
+# ------------------------------------------------------------------ #
+def _edges_for(engine, args) -> DataFrame:
+    rel_types = engine.catalog.rel_types()
+    if args:
+        # the argument is a literal Column; extract its literal value
+        import re
+
+        m = re.search(r"'(.*?)'", str(args[0]._jc) if hasattr(args[0], "_jc") else "")
+        name = m.group(1) if m else None
+        if name and engine.catalog.has_rel_type(name):
+            return engine.catalog.edges(name)
+    out = None
+    for t in rel_types:
+        df = engine.catalog.edges(t).select("src", "dst")
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("catalog has no relationship tables")
+    return out
+
+
+def proc_pagerank(engine, args) -> DataFrame:
+    return pagerank(_edges_for(engine, args))
+
+
+def proc_connected_components(engine, args) -> DataFrame:
+    return connected_components(_edges_for(engine, args))
+
+
+def proc_triangle_count(engine, args) -> DataFrame:
+    return triangle_count(_edges_for(engine, args))

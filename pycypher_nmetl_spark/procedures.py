@@ -32,8 +32,29 @@ def _db_property_keys(engine, args) -> DataFrame:
     )
 
 
+def _graph_pagerank(engine, args) -> DataFrame:
+    from pycypher_nmetl_spark.algorithms import proc_pagerank
+
+    return proc_pagerank(engine, args)
+
+
+def _graph_components(engine, args) -> DataFrame:
+    from pycypher_nmetl_spark.algorithms import proc_connected_components
+
+    return proc_connected_components(engine, args)
+
+
+def _graph_triangles(engine, args) -> DataFrame:
+    from pycypher_nmetl_spark.algorithms import proc_triangle_count
+
+    return proc_triangle_count(engine, args)
+
+
 BUILTIN_PROCEDURES = {
     "db.labels": _db_labels,
     "db.relationshiptypes": _db_relationship_types,
     "db.propertykeys": _db_property_keys,
+    "graph.pagerank": _graph_pagerank,
+    "graph.connectedcomponents": _graph_components,
+    "graph.trianglecount": _graph_triangles,
 }
