@@ -34,12 +34,24 @@ def ast_key(node: Any) -> Any:
 
 
 def find_aggregates(expr: Expr) -> list[Expr]:
-    """All aggregate-function call nodes in an expression tree."""
+    """All aggregate-function call nodes in an expression tree.
+
+    min/max over a *literal list* are the scalar array-min/max variants
+    (reference: scalar_function_evaluator.py:474-515), not aggregates.
+    """
+    from pycypher_nmetl_spark.cypher.ast_nodes import ListLit
+
     out = []
     for n in walk(expr):
         if isinstance(n, CountStar):
             out.append(n)
         elif isinstance(n, FuncCall) and n.name in AGGREGATE_FUNCTIONS:
+            if (
+                n.name in ("min", "max")
+                and len(n.args) == 1
+                and isinstance(n.args[0], ListLit)
+            ):
+                continue
             out.append(n)
     return out
 

@@ -520,6 +520,14 @@ class ExprCompiler:
 
     def _c_FuncCall(self, e: FuncCall) -> Column:
         name = e.name
+        if (
+            name in ("min", "max")
+            and len(e.args) == 1
+            and isinstance(e.args[0], ListLit)
+        ):
+            # scalar list variant (reference: scalar_function_evaluator.py:474-515)
+            fn = F.array_min if name == "min" else F.array_max
+            return fn(self.col(e.args[0]))
         if name in AGGREGATE_FUNCTIONS:
             if self.agg_map:
                 from pycypher_nmetl_spark.compiler.astutil import ast_key
