@@ -157,3 +157,22 @@ def test_metrics_listener_shape():
 
     listener = StreamMetricsListener()
     assert listener.progress == []
+
+
+def test_stateful_running_agg(spark, events_dir, tmp_path):
+    from pycypher_nmetl_spark.streaming.stateful import running_agg
+
+    stream = StreamPipeline.from_files(spark, str(events_dir / "in"), SCHEMA).df
+    out = running_agg(stream, "user", "value")
+    q = (
+        out.writeStream.format("memory").queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM state_out").collect()}
+    # user a: values 1,2,2,4 (dup event included — no dedup upstream)
+    assert rows["a"]["count"] == 4 and rows["a"]["total"] == 9.0
+    assert rows["a"]["minimum"] == 1.0 and rows["a"]["maximum"] == 4.0
+    assert rows["b"]["count"] == 1 and rows["b"]["total"] == 3.0
