@@ -67,6 +67,73 @@ class CypherEngine:
         """Register fn(engine, args) -> DataFrame for CALL name(...) YIELD."""
         self.procedures[name.lower()] = fn
 
+    def register_pandas_function(self, name: str, fn: Callable, return_type) -> None:
+        """Register a vectorized (Arrow-batched) Python function callable
+        from Cypher — the sanctioned slow path for logic the built-ins
+        can't express (reference: relation_engine.py:133-243 typed UDFs).
+
+        ``fn`` receives pandas Series (one per argument) and returns a
+        pandas Series of ``return_type``.
+        """
+        from pyspark.sql import functions as F
+
+        udf = F.pandas_udf(return_type)(fn)
+        self.functions[name.lower()] = lambda cc, args: udf(
+            *[cc.col(a) for a in args]
+        )
+
+    # ------------------------------------------------------------------ #
+    # validation & cancellation (reference: semantic_validator.py,
+    # timeout_handler.py / star.py cancel rails)
+    # ------------------------------------------------------------------ #
+    def validate(self, cypher: str, parameters: dict[str, Any] | None = None) -> list[str]:
+        """Static validation: parse + full compile (driver-side Catalyst
+        analysis, no job). Mutations compile against a shadow that is
+        always rolled back. Returns [] when the query is valid."""
+        from pycypher_nmetl_spark.cypher.tokenizer import CypherSyntaxError
+
+        try:
+            ast = parse(cypher)
+        except CypherSyntaxError as e:
+            return [f"syntax: {e}"]
+        params = parameters or {}
+        self.catalog.begin()
+        try:
+            if isinstance(ast, UnionQuery):
+                for b in ast.branches:
+                    self._run_clauses(b.clauses, params)
+            else:
+                self._run_clauses(ast.clauses, params)
+            return []
+        except Exception as e:  # noqa: BLE001
+            return [f"{type(e).__name__}: {e}"]
+        finally:
+            self.catalog.rollback()
+
+    def job_group(self, group_id: str, description: str = ""):
+        """Context manager tagging Spark jobs so they can be cancelled:
+
+        >>> with engine.job_group("q42"):
+        ...     engine.execute(q).collect()
+        >>> engine.cancel("q42")   # from another thread
+        """
+        import contextlib
+
+        sc = self.spark.sparkContext
+
+        @contextlib.contextmanager
+        def _cm():
+            sc.setJobGroup(group_id, description, interruptOnCancel=True)
+            try:
+                yield
+            finally:
+                sc.setJobGroup("", "")
+
+        return _cm()
+
+    def cancel(self, group_id: str) -> None:
+        self.spark.sparkContext.cancelJobGroup(group_id)
+
     # ------------------------------------------------------------------ #
     def execute(self, cypher: str, parameters: dict[str, Any] | None = None) -> DataFrame:
         """Compile and return the result DataFrame (lazy; caller acts).
