@@ -281,6 +281,9 @@ class GraphCatalog:
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_linenumber").alias("linenumber"),
         ).dropDuplicates()
+        # (measured twice: persisting this derived frame regresses the
+        # var-length bench — AQE's ReuseExchange already shares the
+        # distinct's shuffle across consumers; don't "optimize" this)
         cat.register_nodes(
             "Lineitem",
             li_pairs.select(

@@ -267,38 +267,51 @@ class CypherEngine:
             raise
 
     def _run_clauses(self, clauses: list[Clause], params: dict) -> DataFrame:
+        import time
+
         from pycypher_nmetl_spark.compiler import mutations
 
+        # per-clause compile timings (reference: clause_executor.py per-
+        # clause metrics; here "execution" is lazy so this measures the
+        # driver-side compile + any eager mutation actions)
+        self.last_compile_report: list[tuple[str, float]] = []
         bindings = Bindings.unit(self.spark)
         for clause in clauses:
-            if isinstance(clause, Match):
-                bindings = compile_match(self, bindings, clause, params)
-            elif isinstance(clause, Projection):
-                bindings, result = compile_projection(self, bindings, clause, params)
-                if result is not None:
-                    return result
-            elif isinstance(clause, Unwind):
-                bindings = self._compile_unwind(bindings, clause, params)
-            elif isinstance(clause, Create):
-                bindings = mutations.compile_create(self, bindings, clause, params)
-            elif isinstance(clause, SetClause):
-                bindings = mutations.compile_set(self, bindings, clause.items, params)
-            elif isinstance(clause, Remove):
-                bindings = mutations.compile_remove(self, bindings, clause, params)
-            elif isinstance(clause, Delete):
-                bindings = mutations.compile_delete(self, bindings, clause, params)
-            elif isinstance(clause, Merge):
-                bindings = mutations.compile_merge(self, bindings, clause, params)
-            elif isinstance(clause, Foreach):
-                bindings = mutations.compile_foreach(self, bindings, clause, params)
-            elif isinstance(clause, CallProc):
-                bindings = self._compile_call(bindings, clause, params)
-            else:
-                raise NotImplementedError(f"clause {type(clause).__name__}")
+            t0 = time.perf_counter()
+            bindings, result = self._run_clause(clause, bindings, params, mutations)
+            self.last_compile_report.append(
+                (type(clause).__name__, round(time.perf_counter() - t0, 4))
+            )
+            if result is not None:
+                return result
         # no RETURN: mutation-only query -> empty result
         from pyspark.sql import types as T
 
         return self.spark.createDataFrame([], T.StructType([]))
+
+    def _run_clause(self, clause, bindings, params, mutations):
+        """Dispatch one clause; returns (new_bindings, result_df_or_None)."""
+        if isinstance(clause, Match):
+            return compile_match(self, bindings, clause, params), None
+        if isinstance(clause, Projection):
+            return compile_projection(self, bindings, clause, params)
+        if isinstance(clause, Unwind):
+            return self._compile_unwind(bindings, clause, params), None
+        if isinstance(clause, Create):
+            return mutations.compile_create(self, bindings, clause, params), None
+        if isinstance(clause, SetClause):
+            return mutations.compile_set(self, bindings, clause.items, params), None
+        if isinstance(clause, Remove):
+            return mutations.compile_remove(self, bindings, clause, params), None
+        if isinstance(clause, Delete):
+            return mutations.compile_delete(self, bindings, clause, params), None
+        if isinstance(clause, Merge):
+            return mutations.compile_merge(self, bindings, clause, params), None
+        if isinstance(clause, Foreach):
+            return mutations.compile_foreach(self, bindings, clause, params), None
+        if isinstance(clause, CallProc):
+            return self._compile_call(bindings, clause, params), None
+        raise NotImplementedError(f"clause {type(clause).__name__}")
 
     # ------------------------------------------------------------------ #
     def _compile_unwind(self, bindings: Bindings, clause: Unwind, params: dict) -> Bindings:

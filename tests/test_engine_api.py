@@ -54,3 +54,27 @@ def test_execute_many_orders_dependencies(golden):
         ]
     )
     assert results[0].collect()[0]["c"] == 3
+
+
+def test_compile_report(golden):
+    golden.execute("MATCH (n:Person) WHERE n.age > 1 RETURN n.name AS x")
+    names = [c for c, _ in golden.last_compile_report]
+    assert names == ["Match", "Projection"]
+
+
+def test_health_server(golden):
+    import json as _json
+    import urllib.request
+
+    from pycypher_nmetl_spark.health import HealthServer
+
+    srv = HealthServer(golden).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/health") as r:
+            body = _json.loads(r.read())
+        assert body["status"] == "ok" and body["labels"] == 2
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/metrics") as r:
+            text = r.read().decode()
+        assert "result_cache_hits" in text and "catalog_labels 2" in text
+    finally:
+        srv.stop()
