@@ -196,9 +196,15 @@ def _expand_varlength(
             pb = Bindings(
                 df, {**pb.vars, nvar: VarInfo("node", tuple(labels), anon=nxt.var is None)}
             )
+        elif nxt.var is not None:
+            # named endpoint without label knowledge: all-labels scan so
+            # property access works
+            ndf, _ = node_scan(engine, nvar, [])
+            df = pb.df.join(ndf, pb.df[tipname] == ndf[nvar], "inner").drop(tipname)
+            pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", ())})
         else:
             pb = pb.with_df(pb.df.withColumnRenamed(tipname, nvar))
-            pb = pb.add_var(nvar, VarInfo("node", (), anon=nxt.var is None))
+            pb = pb.add_var(nvar, VarInfo("node", (), anon=True))
         if nxt.props:
             cc = ExprCompiler(pb, params)
             for key, expr in nxt.props.pairs:

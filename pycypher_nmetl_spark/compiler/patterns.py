@@ -339,7 +339,7 @@ def _expand(
             elif rel.direction == "L":
                 inferred = src_l
             else:
-                inferred = None
+                inferred = src_l if src_l is not None and src_l == dst_l else None
             if inferred:
                 labels = [inferred]
 
@@ -349,10 +349,18 @@ def _expand(
         df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])
         df = df.withColumn(nvar, F.col(other_col))
         pb = Bindings(df, {**pb.vars, nvar: ninfo})
-    else:
-        # no label knowledge: endpoint id only, properties unavailable
+    elif nxt.var is None:
+        # anonymous endpoint: nothing downstream reads its properties,
+        # so the bare id is enough — avoids the all-labels union scan
         df = pb.df.withColumn(nvar, F.col(other_col))
-        pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", (), anon=nxt.var is None)})
+        pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", (), anon=True)})
+    else:
+        # unknown label on a *named* var: union-all scan over every label
+        # so property access still works (pattern_matcher.py:152-284)
+        ndf, ninfo = node_scan(engine, nvar, [])
+        df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])
+        df = df.withColumn(nvar, F.col(other_col))
+        pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", ())})
 
     if nxt.props:
         cc = ExprCompiler(pb, params)
