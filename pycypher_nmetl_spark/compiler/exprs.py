@@ -276,14 +276,30 @@ class ExprCompiler:
             if lk == rk == "int":
                 return ((l - (l % r)) / r).cast("long")
             if "float" in (lk, rk):
-                return l / r
+                return self._float_div(l, r)
             lt, rt = self._numeric_kinds(l, r)
             if isinstance(lt, _INT_TYPES) and isinstance(rt, _INT_TYPES):
                 # Cypher integer division truncates toward zero
                 # (reference: arithmetic_evaluator.py:50-103)
                 return ((l - (l % r)) / r).cast("long")
-            return l / r
+            return self._float_div(l, r)
         raise NotImplementedError(f"operator {e.op}")
+
+    @staticmethod
+    def _float_div(l: Column, r: Column) -> Column:
+        """Float division: x/0.0 -> ±Infinity, 0.0/0.0 -> NaN (Cypher/IEEE
+        semantics; Spark's ANSI mode would raise instead). try_divide keeps
+        constant folding safe; the zero-divisor branch restores IEEE."""
+        return (
+            F.when(l.isNull() | r.isNull(), F.lit(None).cast("double"))
+            .when(
+                r == 0,
+                F.when(l > 0, F.lit(float("inf")))
+                .when(l < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan"))),
+            )
+            .otherwise(F.try_divide(l, r))
+        )
 
     def _c_UnaryOp(self, e: UnaryOp) -> Column:
         c = self.col(e.operand)

@@ -71,9 +71,10 @@ def exprs(draw, depth: int = 0) -> E:
             return a
         if op == "/":
             if a.kind == "int" and b.kind == "int":
-                # Cypher: trunc-toward-zero integer division; NULL on /0
+                # Cypher: trunc-toward-zero integer division; /0 raises in
+                # both engines, so guard with nullIf on both sides
                 return E(
-                    f"({a.cy} / ({b.cy}))",
+                    f"({a.cy} / nullIf({b.cy}, 0))",
                     f"CASE WHEN ({b.sql}) = 0 THEN NULL ELSE "
                     f"CAST(TRUNC(CAST({a.sql} AS DOUBLE) / ({b.sql})) AS BIGINT) END",
                     "int",
