@@ -247,7 +247,7 @@ _ORACLE: dict[str, str] = {
     ),
     "math_fns": (
         "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "
-        "sign(s_acctbal) AS sg FROM supplier"
+        "CAST(sign(s_acctbal) AS BIGINT) AS sg FROM supplier"
     ),
     "list_ops": "SELECT 10 AS total, '2,4,6' AS evens, 3 AS n",
     "varlength_path": (

@@ -177,7 +177,7 @@ def _normalize(cc, args):
 simple("abs", F.abs)
 simple("ceil", F.ceil)
 simple("floor", F.floor)
-simple("sign", F.signum)
+simple("sign", lambda x: F.signum(x).cast("long"))  # Cypher sign() is INTEGER
 simple("sqrt", F.sqrt)
 simple("cbrt", F.cbrt)
 simple("exp", F.exp)

@@ -138,6 +138,8 @@ def exprs(draw, depth: int = 0) -> E:
         fn = draw(st.sampled_from(["abs", "sign", "coalesce"]))
         if fn == "coalesce":
             return E(f"coalesce({a.cy}, 0)", f"coalesce({a.sql}, 0)", a.kind)
+        if fn == "sign":
+            return E(f"sign({a.cy})", f"CAST(sign({a.sql}) AS BIGINT)", "int")
         return E(f"{fn}({a.cy})", f"{fn}({a.sql})", a.kind)
     return a
 
