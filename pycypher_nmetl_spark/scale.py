@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 from pycypher_nmetl_spark.catalog import GraphCatalog
 
 
+def _drop_stale_location(spark: SparkSession, name: str) -> None:
+    """Drop a pre-existing table AND its orphaned warehouse directory.
+
+    The embedded metastore is per-session while ``spark-warehouse/`` is
+    on-disk, so a managed-table location can outlive its metastore entry;
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS even under
+    mode("overwrite").
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse.rstrip('/')}/{name}", ignore_errors=True)
+
+
 def save_catalog_bucketed(
     cat: GraphCatalog,
     prefix: str,
@@ -36,6 +52,7 @@ def save_catalog_bucketed(
     created: list[str] = []
     for label in cat.labels():
         name = f"{prefix}_nodes_{label}".lower()
+        _drop_stale_location(cat.spark, name)
         (
             cat.nodes(label)
             .write.mode("overwrite")
@@ -46,6 +63,7 @@ def save_catalog_bucketed(
         created.append(name)
     for rtype in cat.rel_types():
         name = f"{prefix}_edges_{rtype}".lower()
+        _drop_stale_location(cat.spark, name)
         (
             cat.edges(rtype)
             .write.mode("overwrite")
