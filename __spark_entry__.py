@@ -179,6 +179,36 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (p:Part) RETURN p.size % 3 AS m, count(*) AS cnt, "
         "sum(p.size / 10) AS intdiv_sum"
     ),
+    # §2.8 temporal truncate (date.truncate with unit)
+    "temporal_truncate": (
+        "MATCH (o:Order) RETURN date.truncate('quarter', o.orderdate) AS qtr, "
+        "count(*) AS cnt, round(avg(o.totalprice), 2) AS avg_price"
+    ),
+    # §2.2 `=~` full-string regex + §2.8 hash functions
+    "regex_hash_fns": (
+        "MATCH (n:Nation) WHERE n.name =~ 'NATION_1[0-9]' "
+        "RETURN n.name AS name, md5(n.name) AS h_md5, sha256(n.name) AS h_sha256"
+    ),
+    # §2.9 pattern comprehension -> correlated collect_list
+    "pattern_comprehension": (
+        "MATCH (n:Nation) RETURN n.name AS nation, "
+        "sort([(c:Customer)-[:FROM_NATION]->(n) | c.custkey]) AS custs"
+    ),
+    # §2.10 CALL + iterative graph algorithm (hash-min label propagation)
+    "algo_connected_components": (
+        "CALL graph.connectedComponents('NEXT_LINE') YIELD id, component "
+        "RETURN id AS id, component AS component"
+    ),
+    # §2.10 CALL + n-way-join triangle counting (chains have none)
+    "algo_triangle_count": (
+        "CALL graph.triangleCount('NEXT_LINE') YIELD id, triangles "
+        "RETURN id AS id, triangles AS triangles"
+    ),
+    # §2.10 CALL + PageRank (iterative; rows-only check — no SQL analogue)
+    "algo_pagerank": (
+        "CALL graph.pageRank('FROM_NATION') YIELD id, rank "
+        "RETURN id AS id, round(rank, 6) AS rank ORDER BY rank DESC, id LIMIT 10"
+    ),
 }
 
 _PARAMS: dict[str, dict] = {
@@ -309,6 +339,37 @@ _ORACLE: dict[str, str] = {
         "SELECT p_size % 3 AS m, count(*) AS cnt, "
         "sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS intdiv_sum "
         "FROM part GROUP BY 1"
+    ),
+    "temporal_truncate": (
+        "SELECT date_trunc('quarter', o_orderdate)::DATE AS qtr, count(*) AS cnt, "
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1"
+    ),
+    "regex_hash_fns": (
+        "SELECT n_name AS name, md5(n_name) AS h_md5, sha256(n_name) AS h_sha256 "
+        "FROM nation WHERE regexp_full_match(n_name, 'NATION_1[0-9]')"
+    ),
+    "pattern_comprehension": (
+        "SELECT n_name AS nation, "
+        "list_sort(coalesce(list(c_custkey) FILTER (c_custkey IS NOT NULL), "
+        "[]::BIGINT[])) AS custs "
+        "FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    # NEXT_LINE chain graph: components are maximal runs of consecutive
+    # linenumbers within an order (gaps-and-islands), component = min id
+    "algo_connected_components": (
+        "WITH d AS (SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln FROM lineitem), "
+        "g AS (SELECT k, ln, ln - row_number() OVER (PARTITION BY k ORDER BY ln) AS grp FROM d), "
+        "s AS (SELECT k, ln, count(*) OVER (PARTITION BY k, grp) AS run_len, "
+        "min(ln) OVER (PARTITION BY k, grp) AS run_min FROM g) "
+        "SELECT k*10+ln AS id, k*10+run_min AS component FROM s WHERE run_len >= 2"
+    ),
+    # chains contain no triangles: every chain node has triangles = 0
+    "algo_triangle_count": (
+        "WITH d AS (SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln FROM lineitem), "
+        "g AS (SELECT k, ln, ln - row_number() OVER (PARTITION BY k ORDER BY ln) AS grp FROM d), "
+        "s AS (SELECT k, ln, count(*) OVER (PARTITION BY k, grp) AS run_len FROM g) "
+        "SELECT k*10+ln AS id, 0 AS triangles FROM s WHERE run_len >= 2"
     ),
 }
 

@@ -256,10 +256,11 @@ class GraphCatalog:
         documents = rd("documents")
 
         def strip(df: DataFrame, prefix: str, idc: str) -> DataFrame:
-            cols = [
-                F.col(idc).alias(ID)
-                if c == idc
-                else F.col(c).alias(c[len(prefix):] if c.startswith(prefix) else c)
+            # The id-source column stays queryable as a property too
+            # (c.custkey etc.), mirroring the reference where __ID__ is
+            # added alongside the key, not instead of it.
+            cols = [F.col(idc).alias(ID)] + [
+                F.col(c).alias(c[len(prefix):] if c.startswith(prefix) else c)
                 for c in df.columns
             ]
             return df.select(*cols)
