@@ -262,9 +262,10 @@ class ExprCompiler:
                 return F.concat(l, F.array(r))
             if isinstance(rt, T.ArrayType):
                 return F.concat(F.array(l), r)
-            return l + r
+            return self._temporal_result(l + r, lt, rt)
         if e.op == "-":
-            return l - r
+            lt, rt = self._numeric_kinds(l, r)
+            return self._temporal_result(l - r, lt, rt)
         if e.op == "*":
             return l * r
         if e.op == "%":
@@ -284,6 +285,21 @@ class ExprCompiler:
                 return ((l - (l % r)) / r).cast("long")
             return self._float_div(l, r)
         raise NotImplementedError(f"operator {e.op}")
+
+    @staticmethod
+    def _temporal_result(res: Column, lt, rt) -> Column:
+        """date ± duration stays a date (Cypher: components below the
+        temporal type's resolution are discarded). Spark returns a
+        timestamp for date ± day-time interval — cast back."""
+        interval = (
+            T.DayTimeIntervalType, T.YearMonthIntervalType,
+            T.CalendarIntervalType,
+        )
+        if (isinstance(lt, T.DateType) and isinstance(rt, interval)) or (
+            isinstance(rt, T.DateType) and isinstance(lt, interval)
+        ):
+            return res.cast("date")
+        return res
 
     @staticmethod
     def _float_div(l: Column, r: Column) -> Column:

@@ -170,6 +170,19 @@ def test_temporal(golden):
     assert one(golden, "datetime('2024-03-05T10:30:00').minute") == 30
 
 
+def test_date_duration_arithmetic_stays_date(golden):
+    import datetime
+
+    # Cypher: date ± duration discards sub-day components and returns a
+    # date (Spark would return a timestamp for day-time intervals)
+    assert one(golden, "date('1997-03-15') + duration('P1M')") == datetime.date(1997, 4, 15)
+    assert one(golden, "date('1997-03-15') - duration('P20D')") == datetime.date(1997, 2, 23)
+    assert one(golden, "date('1997-03-15') + duration('PT5H')") == datetime.date(1997, 3, 15)
+    assert one(golden, "datetime('1997-03-15T10:00:00') + duration('PT5H')") == datetime.datetime(
+        1997, 3, 15, 15, 0
+    )
+
+
 def test_graph_entity_functions(run):
     assert run(
         "MATCH (n:Person {name:'Alice'}) RETURN id(n) AS i, labels(n) AS l"
