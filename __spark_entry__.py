@@ -375,6 +375,71 @@ _ORACLE: dict[str, str] = {
 
 
 # --------------------------------------------------------------------- #
+# Mutation path (§2.10) and Structured Streaming (§2.11) in the gate
+# --------------------------------------------------------------------- #
+def _q_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE -> DELETE -> SET -> read-back on a throwaway catalog.
+
+    Uses a fresh engine (not the shared cache) so the mutation never
+    leaks into other gate queries.
+    """
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    eng = CypherEngine(GraphCatalog.from_tpch(spark, sf_dir))
+    eng.execute(
+        "MATCH (c:Customer) WHERE c.acctbal < 0.0 "
+        "CREATE (:Debtor {ckey: c.custkey, bal: c.acctbal})"
+    )
+    eng.execute("MATCH (d:Debtor) WHERE d.bal > -10.0 DELETE d")
+    eng.execute("MATCH (d:Debtor) SET d.absbal = -d.bal")
+    return eng.execute(
+        "MATCH (d:Debtor) RETURN count(*) AS n, round(sum(d.absbal), 2) AS total"
+    )
+
+
+_STREAM_SEQ = [0]
+
+
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet: watermark + 1-day tumbling
+    window aggregation, availableNow trigger, memory sink."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory: stream the sf dir with a glob
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev_ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    agg = (
+        sdf.withColumn("ev_ts", ev_ts)
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.col("event_type").alias("etype"),
+            "cnt",
+            "total",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"gate_stream_win_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT day, etype, cnt, total FROM {name}")
+
+
+# --------------------------------------------------------------------- #
 # LLM-pipeline operators (SURVEY.md §7.2 M8) over documents/embeddings
 # --------------------------------------------------------------------- #
 def _docs(spark, sf_dir):
@@ -559,13 +624,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return _cypher(_CYPHER_QUERIES["two_hop_filter"])(spark, "/root/testdata/sf0.001")
 
 
+_EXTRA_QUERIES = {
+    "mutation_roundtrip": _q_mutation_roundtrip,
+    "stream_window_agg": _q_stream_window,
+}
+
+_EXTRA_ORACLE = {
+    "mutation_roundtrip": (
+        "SELECT count(*) AS n, round(sum(-c_acctbal), 2) AS total "
+        "FROM customer WHERE c_acctbal <= -10.0"
+    ),
+    "stream_window_agg": (
+        "SELECT date_trunc('day', ts)::DATE AS day, event_type AS etype, "
+        "count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY 1, 2"
+    ),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER_QUERIES.items():
         out[name] = _cypher(q, _PARAMS.get(name))
     out.update(_LLMOPS_QUERIES)
+    out.update(_EXTRA_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ORACLE, **_LLMOPS_ORACLE}
+    return {**_ORACLE, **_LLMOPS_ORACLE, **_EXTRA_ORACLE}
