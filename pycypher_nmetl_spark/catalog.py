@@ -278,16 +278,23 @@ class GraphCatalog:
         # — gives the graph a real multi-hop topology for path operators.
         # (orderkey, linenumber) repeats in the synthetic data, so the node
         # set is the DISTINCT pairs (id must be unique per node).
-        li_pairs = lineitem.select(
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("l_linenumber").alias("linenumber"),
-        ).dropDuplicates()
-        # (measured twice: persisting this derived frame regresses the
-        # var-length bench — AQE's ReuseExchange already shares the
-        # distinct's shuffle across consumers; don't "optimize" this)
+        # One groupBy(orderkey) derives BOTH the node set and the
+        # NEXT_LINE edge set: collect_set gives the distinct linenumbers
+        # per order (map-side combine shrinks the shuffle to unique
+        # values; ≤7 lines/order so no skew), then nodes = explode(set)
+        # and edges = explode(lines whose successor is in the set) — no
+        # self-join. Replaces dropDuplicates + equi-join (3 shuffles with
+        # different keys) with one orderkey shuffle shared via
+        # ReuseExchange. (Persisting these frames was measured twice as a
+        # net loss; don't re-add without measuring.)
+        li_sets = lineitem.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+            F.collect_set("l_linenumber").alias("_lns")
+        )
         cat.register_nodes(
             "Lineitem",
-            li_pairs.select(
+            li_sets.select(
+                "orderkey", F.explode("_lns").alias("linenumber")
+            ).select(
                 (F.col("orderkey") * 10 + F.col("linenumber")).alias(ID),
                 "orderkey",
                 "linenumber",
@@ -364,18 +371,20 @@ class GraphCatalog:
             src_label="Order",
             dst_label="Part",
         )
-        li2 = li_pairs.select(
-            F.col("orderkey").alias("ok"), F.col("linenumber").alias("ln")
-        )
-        nxt = li2.alias("a").join(
-            li2.alias("b"),
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("b.ln") == F.col("a.ln") + 1),
+        nxt = li_sets.select(
+            "orderkey",
+            F.explode(
+                F.filter(
+                    "_lns",
+                    lambda x: F.array_contains(F.col("_lns"), x + F.lit(1)),
+                )
+            ).alias("ln"),
         )
         cat.register_edges(
             "NEXT_LINE",
             nxt.select(
-                (F.col("a.ok") * 10 + F.col("a.ln")).alias(SRC),
-                (F.col("b.ok") * 10 + F.col("b.ln")).alias(DST),
+                (F.col("orderkey") * 10 + F.col("ln")).alias(SRC),
+                (F.col("orderkey") * 10 + F.col("ln") + 1).alias(DST),
             ),
             src_label="Lineitem",
             dst_label="Lineitem",
