@@ -540,6 +540,24 @@ def _q_simhash_buckets(spark, sf_dir):
     return simhash_buckets(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # ANN scale path: driver k-means on a sample, broadcast-argmin cluster
+    # assignment (narrow map, no shuffle), then scan only the nprobe
+    # nearest clusters. Approximate by design -> rows-only gate; recall
+    # vs brute force is asserted in tests/test_llmops.py.
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import ivf_build, ivf_topk
+
+    e = _embs(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, cents = ivf_build(
+        e.filter(F.col("vec_id") != 0), "embedding", n_clusters=8, id_col="vec_id"
+    )
+    out = ivf_topk(assigned, cents, "embedding", list(query), k=10, nprobe=4, id_col="vec_id")
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 _LLMOPS_QUERIES = {
     "llm_dedup_exact": _q_dedup_exact,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -551,6 +569,7 @@ _LLMOPS_QUERIES = {
     "llm_embedding_topk": _q_embedding_topk,
     "llm_embedding_neardup": _q_embedding_neardup,
     "llm_simhash_buckets": _q_simhash_buckets,  # rows-only (no SQL analogue)
+    "llm_ivf_topk": _q_ivf_topk,  # rows-only (approximate by design)
 }
 
 _JACCARD_PAIRS_SQL = (
