@@ -107,6 +107,11 @@ _CYPHER_QUERIES: dict[str, str] = {
         "WITH c.name AS cust, round(sum(o.totalprice), 2) AS total "
         "WHERE total > 1500000.0 RETURN cust, total"
     ),
+    # §2.10 CALL procedure + YIELD (catalog introspection; deterministic
+    # for the fixed from_tpch graph, so a literal VALUES oracle works)
+    "call_db_labels": (
+        "CALL db.labels() YIELD label RETURN label ORDER BY label"
+    ),
     # §2.8 math functions
     "math_fns": (
         "MATCH (s:Supplier) RETURN s.name AS name, "
@@ -274,6 +279,11 @@ _ORACLE: dict[str, str] = {
         "SELECT c_name AS cust, round(sum(o_totalprice), 2) AS total "
         "FROM customer JOIN orders ON o_custkey = c_custkey "
         "GROUP BY c_name HAVING round(sum(o_totalprice), 2) > 1500000.0"
+    ),
+    "call_db_labels": (
+        "SELECT * FROM (VALUES ('Customer'), ('Document'), ('Event'), "
+        "('Lineitem'), ('Nation'), ('Order'), ('Part'), ('Region'), "
+        "('Supplier')) AS t(label) ORDER BY label"
     ),
     "math_fns": (
         "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "
