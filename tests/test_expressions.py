@@ -205,3 +205,37 @@ def test_custom_function_registration(golden):
 
     golden.register_function("double_it", lambda cc, args: cc.col(args[0]) * 2)
     assert one(golden, "double_it(21)") == 42
+
+
+def test_scalar_registry_covers_survey_inventory():
+    """Every §2.8 reference-registered name resolves in the registry
+    (lookup is lowercase-normalized)."""
+    from pycypher_nmetl_spark.functions.scalar import SCALAR_FUNCTIONS
+
+    survey = """
+    toUpper toLower upper lower trim substring size left right ltrim rtrim
+    replace split join reverse length isEmpty lpad rpad repeat btrim indexOf
+    charAt char charCodeAt normalize startsWith endsWith contains byteSize
+    abs ceil floor round sign sqrt cbrt log exp cot haversin hypot fmod log2
+    sin cos tan asin acos atan sinh cosh tanh atan2 degrees radians pi e
+    rand log10 pow bitAnd bitOr bitXor bitNot bitShiftLeft bitShiftRight
+    gcd lcm
+    toList head last tail range sort flatten toStringList toIntegerList
+    toFloatList toBooleanList min max
+    toString toInteger toFloat toBoolean toStringOrNull toBooleanOrNull
+    toIntegerOrNull toFloatOrNull
+    date datetime localdatetime duration timestamp localtime localdate
+    coalesce id elementId nullIf isNaN isInfinite isFinite randomUUID
+    valueType isString isInteger isFloat isBoolean isList isMap
+    md5 sha1 sha256 encodeBase64 decodeBase64
+    keys values properties labels type startNode endNode
+    """.split()
+    # min/max list-scalar variants are special-cased in the expression
+    # compiler (aggregate names dispatched to array_min/array_max when the
+    # argument is a list), not registry entries
+    special_cased = {"min", "max"}
+    missing = [
+        n for n in survey
+        if n.lower() not in SCALAR_FUNCTIONS and n not in special_cased
+    ]
+    assert not missing, f"registry missing: {missing}"
