@@ -78,20 +78,21 @@ def audit() -> int:
             checks.append("CARTESIAN PRODUCT — violation")
         if not ok:
             failures.append(f"{name}: {'; '.join(checks)}")
-        # keep the scan + join lines: the part a reviewer needs to see
-        keep = [
-            ln
+        # formatted explain = tree section, blank line, then per-node
+        # details; keep the whole tree (coherent picture) plus the pushed
+        # filters / read schemas from the details
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        details = [
+            ln.strip()
             for ln in plan.splitlines()
-            if re.search(
-                r"Scan parquet|PushedFilters|ReadSchema|Join|Exchange|"
-                r"HashAggregate|WholeStageCodegen",
-                ln,
-            )
+            if re.match(r"\s*(PushedFilters|ReadSchema):", ln)
         ]
         sections.append(
             f"## {name}\n\n`{cypher}`\n\n"
             f"**{'OK' if ok else 'VIOLATION'}** — {'; '.join(checks)}\n\n"
-            "```\n" + "\n".join(keep[:40]) + "\n```\n"
+            "```\n" + "\n".join(tree[:60]) + "\n"
+            + ("...\n" if len(tree) > 60 else "")
+            + "\n".join(details[:20]) + "\n```\n"
         )
 
     header = (
