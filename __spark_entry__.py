@@ -197,7 +197,8 @@ _CYPHER_QUERIES: dict[str, str] = {
     # §2.9 pattern comprehension -> correlated collect_list
     "pattern_comprehension": (
         "MATCH (n:Nation) RETURN n.name AS nation, "
-        "sort([(c:Customer)-[:FROM_NATION]->(n) | c.custkey]) AS custs"
+        "join([x IN sort([(c:Customer)-[:FROM_NATION]->(n) | c.custkey]) "
+        "| toString(x)], ',') AS custs"
     ),
     # §2.10 CALL + iterative graph algorithm (hash-min label propagation)
     "algo_connected_components": (
@@ -347,7 +348,7 @@ _ORACLE: dict[str, str] = {
     ),
     "arith_semantics": (
         "SELECT p_size % 3 AS m, count(*) AS cnt, "
-        "sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS intdiv_sum "
+        "CAST(sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS BIGINT) AS intdiv_sum "
         "FROM part GROUP BY 1"
     ),
     "temporal_truncate": (
@@ -360,8 +361,8 @@ _ORACLE: dict[str, str] = {
     ),
     "pattern_comprehension": (
         "SELECT n_name AS nation, "
-        "list_sort(coalesce(list(c_custkey) FILTER (c_custkey IS NOT NULL), "
-        "[]::BIGINT[])) AS custs "
+        "array_to_string(list_sort(coalesce(list(c_custkey) "
+        "FILTER (c_custkey IS NOT NULL), []::BIGINT[])), ',') AS custs "
         "FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
     ),
@@ -382,6 +383,49 @@ _ORACLE: dict[str, str] = {
         "SELECT k*10+ln AS id, 0 AS triangles FROM s WHERE run_len >= 2"
     ),
 }
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10) -> str:
+    """Unrolled power-iteration PageRank over the FROM_NATION edge list,
+    replicating algorithms.pagerank exactly: rank0 = 1/n, each round
+    contribs = sum(rank/out_deg) per dst, dangling mass (1 - flowed)/n
+    redistributed uniformly, rank = (1-d)/n + d*(in + dangling).
+    Chained CTEs (one c/f/r triple per iteration) instead of a recursive
+    CTE so the SQL stays portable; float divergence vs Spark's summation
+    order is absorbed by the round(rank, 6) on both sides. c/r are
+    MATERIALIZED: f_i and r_i both consume c_i, so inlined CTEs would
+    re-evaluate the whole chain exponentially (measured: >5 min inlined
+    vs 0.1 s materialized at sf0.01)."""
+    base = f"(1.0 - {damping})"
+    ctes = [
+        "edges AS (SELECT c_custkey AS src, c_nationkey AS dst FROM customer)",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.deg) AS _in "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.id "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"f{i} AS (SELECT coalesce(sum(_in), 0.0) AS fl FROM c{i})"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, {base} / (SELECT n FROM p) + {damping} * "
+            f"(coalesce(c._in, 0.0) + (1.0 - (SELECT fl FROM f{i})) / (SELECT n FROM p)) "
+            f"AS rank FROM nodes n LEFT JOIN c{i} c ON n.id = c.id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, round(rank, 6) AS rank FROM r{iterations} "
+        "ORDER BY rank DESC, id LIMIT 10"
+    )
+
+
+_ORACLE["algo_pagerank"] = _pagerank_oracle_sql()
 
 
 # --------------------------------------------------------------------- #
@@ -545,9 +589,12 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_simhash_buckets(spark, sf_dir):
+    # hash_fn="md5" so the fingerprint is bit-for-bit reproducible in the
+    # DuckDB oracle (('0x'||substr(md5(tok),1,15))::BIGINT); the default
+    # xxhash64 fast path is covered by tests/test_llmops.py.
     from pycypher_nmetl_spark.llmops import simhash_buckets
 
-    return simhash_buckets(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash_buckets(_docs(spark, sf_dir), "doc_id", "text", hash_fn="md5")
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -578,8 +625,8 @@ _LLMOPS_QUERIES = {
     "llm_fingerprint": _q_fingerprint,
     "llm_embedding_topk": _q_embedding_topk,
     "llm_embedding_neardup": _q_embedding_neardup,
-    "llm_simhash_buckets": _q_simhash_buckets,  # rows-only (no SQL analogue)
-    "llm_ivf_topk": _q_ivf_topk,  # rows-only (approximate by design)
+    "llm_simhash_buckets": _q_simhash_buckets,
+    "llm_ivf_topk": _q_ivf_topk,
 }
 
 _JACCARD_PAIRS_SQL = (
@@ -637,6 +684,35 @@ _LLMOPS_ORACLE = {
         "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
         "FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    # Literal oracle generated by tools/gen_ivf_oracle.py — an
+    # independent numpy reimplementation of the IVF spec (seed-42
+    # k-means, 8 clusters, 10 iters, nprobe=4, top-10 by cosine) run on
+    # the fixed sf0.01 embeddings the gate always uses. Regenerate with:
+    #   python tools/gen_ivf_oracle.py /root/testdata/sf0.01
+    "llm_ivf_topk": (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(cosine AS DOUBLE) AS cosine FROM (VALUES "
+        "(365, 0.369994), (334, 0.362722), (387, 0.331139), "
+        "(423, 0.296934), (7, 0.292842), (190, 0.281795), "
+        "(464, 0.276628), (388, 0.276301), (323, 0.256455), "
+        "(344, 0.252487)) AS t(vec_id, cosine)"
+    ),
+    # SimHash reproduced in pure SQL: same tokens (whitespace split of
+    # trim), same 60-bit md5-derived token hash, same strict-majority
+    # bit vote as llmops.dedup.simhash(bits=16, prefix_bits=8).
+    "llm_simhash_buckets": (
+        "WITH toks AS (SELECT doc_id, list_distinct("
+        "regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents), "
+        "hs AS (SELECT doc_id, list_transform(t, x -> "
+        "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h FROM toks), "
+        "sh AS (SELECT doc_id, CAST(coalesce(list_sum("
+        "[CASE WHEN list_sum(list_transform(h, v -> "
+        "CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN 1 << j ELSE 0 END FOR j IN range(0, 16)]), 0) AS BIGINT) "
+        "AS simhash FROM hs) "
+        "SELECT doc_id AS id, simhash, "
+        "CAST(simhash >> 8 AS BIGINT) AS bucket FROM sh"
     ),
     "llm_embedding_neardup": (
         "SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity("

@@ -206,35 +206,67 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------- #
-def simhash(text: Column, bits: int = 16) -> Column:
+def _token_hash64(t: Column, hash_fn: str) -> Column:
+    """64-bit token hash. 'xxhash64' (default, fastest JVM path) or
+    'md5' — the top 60 bits of md5 as a non-negative long, reproducible
+    bit-for-bit in DuckDB (``('0x' || substr(md5(t),1,15))::BIGINT``),
+    which is what makes the SQL correctness oracle possible."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(t)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def simhash(text: Column, bits: int = 16, hash_fn: str = "xxhash64") -> Column:
     """SimHash fingerprint over distinct tokens (JVM-side bit fold).
 
     bit j of the fingerprint = majority vote of bit j across token
-    hashes. bits is kept small (16/32) because each bit is one
-    aggregate() fold; for 64-bit at extreme scale, a Pandas UDF doing
-    vectorized popcounts would be the fallback.
+    hashes. ONE pass over the tokens with an array<long> accumulator
+    (zip_with inside aggregate) — the expression tree is O(1) in `bits`,
+    not O(bits) copies of the token-hash transform, which matters for
+    analyzer/codegen time on wide folds. `shiftright`/`shiftleft` with a
+    *column* shift amount exist only at the SQL layer, hence
+    F.call_function.
     """
     toks = F.array_distinct(tokens_col(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_weight(j: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(bit_weight(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return out
+    hashes = F.transform(toks, lambda t: _token_hash64(t, hash_fn))
+    js = F.sequence(F.lit(0), F.lit(bits - 1))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    weights = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            js,
+            lambda a, j: a
+            + F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) * 2
+            - 1,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            weights,
+            js,
+            lambda w, j: F.when(
+                w > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_buckets(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, prefix_bits: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash, bucket) — bucket by hash prefix for candidate pruning."""
-    h = simhash(F.col(text_col), bits)
+    h = simhash(F.col(text_col), bits, hash_fn)
     return df.select(
         F.col(id_col).alias("id"),
         h.alias("simhash"),

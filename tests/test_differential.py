@@ -149,6 +149,10 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return float(f"{v:.9g}")
+    if isinstance(v, str):
+        # negative-zero rendering is formatter-dependent (Spark/Neo4j emit
+        # "-0.0" in string contexts, DuckDB emits "0.0"); canonicalize
+        return v.replace("-0.0", "0.0")
     try:
         import decimal
 
