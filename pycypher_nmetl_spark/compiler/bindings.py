@@ -43,6 +43,10 @@ class VarInfo:
     kind: str  # 'node' | 'rel' | 'value' | 'path'
     labels: tuple[str, ...] = ()  # node labels / rel types (statically known)
     anon: bool = False
+    # for 'value' vars holding collected entity ids (collect(n) -> FOREACH):
+    # 'node' | 'rel' so mutations can resolve the right tables instead of
+    # fanning an id-keyed update out to every label (ids are per-label)
+    elem_kind: str | None = None
 
 
 @dataclass

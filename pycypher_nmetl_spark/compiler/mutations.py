@@ -205,10 +205,22 @@ def _candidate_labels(engine, bindings: Bindings, var: str) -> tuple[str, list[s
         return "e", list(info.labels) if info.labels else cat.rel_types()
     if info.kind == "value":
         # FOREACH over collect(n) / UNWIND of an id list: the values are
-        # entity ids; the id-keyed update join only touches matching rows
-        # (reference: mutation_engine.py FOREACH over collected entities)
-        return "n", cat.labels()
+        # entity ids. collect(n) records the element kind/labels in
+        # VarInfo.elem_kind so the update touches only those tables —
+        # id spaces are per-label, so a bare-id fan-out to every label
+        # would corrupt unrelated entities that share the id value.
+        if info.elem_kind == "rel":
+            return "e", list(info.labels) if info.labels else cat.rel_types()
+        return "n", list(info.labels) if info.labels else cat.labels()
     raise ValueError(f"cannot mutate {info.kind} variable {var!r}")
+
+
+def _label_discriminator(bindings: Bindings, var: str, kind: str) -> str | None:
+    """Column that records which table each bound id came from, present
+    when the var was scanned unlabeled (node_scan unions every label with
+    a `var__label` column; multi-type edge_scan adds `var__type`)."""
+    c = pcol(var, "label" if kind == "n" else "type")
+    return c if c in bindings.df.columns else None
 
 
 def _apply_column_updates(
@@ -227,16 +239,24 @@ def _apply_column_updates(
     kind, tables = _candidate_labels(engine, bindings, var)
 
     val_cols = [cc.col(expr).alias(f"_set_{key}") for key, expr in updates]
+    # ids are only unique *within* a label: when the var spans several
+    # tables, split the update frame on the scan's label discriminator so
+    # e.g. Person id 1 never writes through to City id 1
+    disc = _label_discriminator(bindings, var, kind) if len(tables) > 1 else None
+    disc_cols = [F.col(disc).alias("_disc")] if disc else []
     upd = (
-        bindings.df.select(F.col(var).alias(ID), *val_cols)
-        .dropDuplicates([ID])
+        bindings.df.select(F.col(var).alias(ID), *disc_cols, *val_cols)
+        .dropDuplicates([ID, "_disc"] if disc else [ID])
         .withColumn("_hit", F.lit(True))
     )
 
     keys = [k for k, _ in updates]
     for table_name in tables:
         tdf = cat.nodes(table_name) if kind == "n" else cat.edges(table_name)
-        joined = tdf.join(upd, on=ID, how="left")
+        upd_t = (
+            upd.filter(F.col("_disc") == table_name).drop("_disc") if disc else upd
+        )
+        joined = tdf.join(upd_t, on=ID, how="left")
         protected = {ID, SRC, DST}
         if replace_all:
             for c in tdf.columns:
@@ -351,10 +371,18 @@ def compile_remove(
             )
         else:  # labels
             var = item.target.name
-            ids = bindings.df.select(F.col(var).alias(ID)).dropDuplicates()
+            disc = _label_discriminator(bindings, var, "n")
             for label in item.labels:
-                if cat.has_label(label):
-                    cat.set_nodes(label, cat.nodes(label).join(ids, on=ID, how="left_anti"))
+                if not cat.has_label(label):
+                    continue
+                idf = bindings.df
+                if disc:
+                    # unlabeled scan: only rows whose provenance is this
+                    # label (per-label id spaces — bare-id removal would
+                    # strip the label from an unrelated same-id entity)
+                    idf = idf.filter(F.col(disc) == label)
+                ids = idf.select(F.col(var).alias(ID)).dropDuplicates()
+                cat.set_nodes(label, cat.nodes(label).join(ids, on=ID, how="left_anti"))
     return bindings
 
 
@@ -370,19 +398,66 @@ def compile_delete(
             raise ValueError("DELETE expects bound variables")
         var = expr.name
         kind, tables = _candidate_labels(engine, bindings, var)
-        ids = bindings.df.select(F.col(var).alias(ID)).dropDuplicates().localCheckpoint()
+        disc = _label_discriminator(bindings, var, kind) if len(tables) > 1 else None
+        sel = [F.col(var).alias(ID)] + ([F.col(disc).alias("_disc")] if disc else [])
+        ids_all = bindings.df.select(*sel).dropDuplicates().localCheckpoint()
+        if disc:
+            by_label = {
+                t: ids_all.filter(F.col("_disc") == t).drop("_disc") for t in tables
+            }
+            any_ids = ids_all.drop("_disc").dropDuplicates()
+        else:
+            by_label = {t: ids_all for t in tables}
+            any_ids = ids_all
+
         if kind == "n":
+            # edge endpoints are label-scoped: an edge is affected only if
+            # its endpoint label is among the deleted labels (unknown
+            # endpoint labels are treated conservatively as any)
+            def _endpoint_ids(endpoint_label: str | None):
+                if endpoint_label is None:
+                    return any_ids
+                return by_label.get(endpoint_label)
+
+            if not clause.detach:
+                # openCypher: DELETE of a node that still has relationships
+                # must fail (use DETACH DELETE). One action for all tables.
+                hits = None
+                for rtype in cat.rel_types():
+                    edf = cat.edges(rtype)
+                    src_l, dst_l = cat.edge_endpoints(rtype)
+                    for col, idf in ((SRC, _endpoint_ids(src_l)), (DST, _endpoint_ids(dst_l))):
+                        if idf is None:
+                            continue
+                        h = edf.join(
+                            idf.select(F.col(ID).alias(col)), on=col, how="left_semi"
+                        ).select(F.lit(rtype).alias("_rt"))
+                        hits = h if hits is None else hits.unionByName(h)
+                if hits is not None:
+                    offender = hits.limit(1).collect()
+                    if offender:
+                        raise ValueError(
+                            f"Cannot delete node(s) bound to {var!r}: they still "
+                            f"have relationships (e.g. {offender[0]['_rt']}). "
+                            "Use DETACH DELETE."
+                        )
             for label in tables:
-                cat.set_nodes(label, cat.nodes(label).join(ids, on=ID, how="left_anti"))
+                cat.set_nodes(label, cat.nodes(label).join(by_label[label], on=ID, how="left_anti"))
             if clause.detach:
                 for rtype in cat.rel_types():
                     edf = cat.edges(rtype)
-                    edf = edf.join(ids.select(F.col(ID).alias(SRC)), on=SRC, how="left_anti")
-                    edf = edf.join(ids.select(F.col(ID).alias(DST)), on=DST, how="left_anti")
+                    src_l, dst_l = cat.edge_endpoints(rtype)
+                    s_ids, d_ids = _endpoint_ids(src_l), _endpoint_ids(dst_l)
+                    if s_ids is None and d_ids is None:
+                        continue
+                    if s_ids is not None:
+                        edf = edf.join(s_ids.select(F.col(ID).alias(SRC)), on=SRC, how="left_anti")
+                    if d_ids is not None:
+                        edf = edf.join(d_ids.select(F.col(ID).alias(DST)), on=DST, how="left_anti")
                     cat.set_edges(rtype, edf)
         else:
             for rtype in tables:
-                cat.set_edges(rtype, cat.edges(rtype).join(ids, on=ID, how="left_anti"))
+                cat.set_edges(rtype, cat.edges(rtype).join(by_label[rtype], on=ID, how="left_anti"))
     return bindings
 
 
@@ -404,7 +479,12 @@ def compile_merge(
             el.var = fresh_name("_anon")
         if isinstance(el, RelPattern) and el.var is None:
             el.var = fresh_name("_anon")
-    probe_var = next(
+    # probe on a variable *introduced by the pattern*: a var already bound
+    # in the outer bindings stays non-null even when the OPTIONAL MATCH
+    # misses, which would make the miss slice empty and MERGE a silent
+    # no-op (e.g. MERGE (a)-[r:KNOWS]->(b) with a, b pre-bound probes r)
+    introduced = [el.var for el in path.elements if el.var not in bindings.vars]
+    probe_var = introduced[0] if introduced else next(
         el.var for el in path.elements if isinstance(el, NodePattern)
     )
 
@@ -464,7 +544,15 @@ def compile_foreach(
     original bindings (FOREACH introduces no variables downstream)."""
     cc = ExprCompiler(bindings, params, {}, engine.functions)
     inner_df = bindings.df.withColumn(clause.var, F.explode(cc.col(clause.collection)))
-    inner = Bindings(inner_df, {**bindings.vars, clause.var: VarInfo("value")})
+    # FOREACH over collect(n): the collection's VarInfo remembers the
+    # element kind/labels, so mutations inside resolve the right tables
+    # instead of fanning bare ids out to every label
+    elem_info = VarInfo("value")
+    if isinstance(clause.collection, Var):
+        ci = bindings.vars.get(clause.collection.name)
+        if ci is not None and ci.elem_kind in ("node", "rel"):
+            elem_info = VarInfo(ci.elem_kind, ci.labels)
+    inner = Bindings(inner_df, {**bindings.vars, clause.var: elem_info})
     for sub in clause.clauses:
         if isinstance(sub, SetClause):
             inner = compile_set(engine, inner, sub.items, params)

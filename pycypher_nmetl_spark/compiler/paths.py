@@ -299,6 +299,31 @@ def _bfs_shortest(
     allShortestPaths -> every min-hop path per (start, end)
     (reference: path_expander.py:299-490).
     """
+    if lo > 1:
+        # A pair whose true shortest path is below lo must still yield its
+        # shortest *qualifying* (>= lo hops, edge-unique) path. The
+        # visited-set BFS below would mark the pair visited at the earlier
+        # level and prune every longer path, so enumerate lo..hi instead
+        # and keep the min-hop path(s) per pair (the reference's
+        # path_expander applies the lower bound as a filter on found
+        # paths, not as search pruning).
+        res = _enumerate_checkpointed(engine, starts, edges, lo, hi)
+        if mode == "shortest":
+            w = Window.partitionBy("_start", "_tip").orderBy(
+                F.size("_edges"), F.col("_edges")
+            )
+            return (
+                res.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        w = Window.partitionBy("_start", "_tip")
+        return (
+            res.withColumn("_min", F.min(F.size("_edges")).over(w))
+            .filter(F.size("_edges") == F.col("_min"))
+            .drop("_min")
+        )
+
     visited = starts.select(F.col("_start"), F.col("_start").alias("_tip")).localCheckpoint()
     frontier = _zero_hop(starts).localCheckpoint()
     found: list[DataFrame] = [] if lo > 0 else [frontier]

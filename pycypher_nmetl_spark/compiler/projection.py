@@ -160,10 +160,16 @@ def compile_projection(
             for c in new_b.var_columns(src):
                 if c != src and c in df.columns:
                     keep_cols.append(F.col(c).alias(name + c[len(src):]))
-            vars_[name] = VarInfo(info.kind, info.labels)
+            vars_[name] = VarInfo(info.kind, info.labels, elem_kind=info.elem_kind)
         else:
             keep_cols.append(F.col(icol).alias(name))
-            vars_[name] = VarInfo("value")
+            # the projection step may have recorded richer info (e.g.
+            # collect(n) remembers its element kind/labels) under the
+            # output name — keep it through the rescope
+            prev = new_b.vars.get(name)
+            vars_[name] = (
+                prev if prev is not None and prev.kind == "value" else VarInfo("value")
+            )
     out = Bindings(df.select(*keep_cols), vars_)
 
     if proj.where is not None:
@@ -290,7 +296,21 @@ def _aggregate_projection(
     out_vars = dict(vars_)
     for it in items:
         name = it.alias or it.text
-        out_vars.setdefault(name, VarInfo("value"))
+        info = VarInfo("value")
+        # collect(n) of an entity var: remember what the list elements are
+        # (ids of nodes/rels of these labels) so FOREACH-over-the-list
+        # mutations can resolve the right tables (ids are per-label)
+        e = it.expr
+        if (
+            isinstance(e, FuncCall)
+            and e.name.lower() == "collect"
+            and len(e.args) == 1
+            and isinstance(e.args[0], Var)
+        ):
+            src = bindings.vars.get(e.args[0].name)
+            if src is not None and src.kind in ("node", "rel"):
+                info = VarInfo("value", src.labels, elem_kind=src.kind)
+        out_vars.setdefault(name, info)
     b = Bindings(gdf, out_vars)
     for name, icol in list(internal.items()):
         if icol != name and name not in b.df.columns and name.isidentifier():

@@ -238,7 +238,22 @@ class CypherEngine:
     # ------------------------------------------------------------------ #
     def _execute_union(self, ast: UnionQuery, params: dict) -> DataFrame:
         # openCypher forbids mixing UNION and UNION ALL; dedupe iff UNION.
-        dfs = [self._execute_query(b, params) for b in ast.branches]
+        # All branches run inside ONE transaction: per-branch transactions
+        # would leave earlier branches' mutations committed if a later
+        # branch fails, breaking the query's atomicity.
+        has_mutation = any(
+            isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
+        )
+        if not has_mutation:
+            dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
+        else:
+            self.catalog.begin()
+            try:
+                dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
+                self.catalog.commit()
+            except Exception:
+                self.catalog.rollback()
+                raise
         cols0 = dfs[0].columns
         for df in dfs[1:]:
             if df.columns != cols0:

@@ -1,0 +1,135 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+1. MERGE of a relationship between pre-bound nodes must create the edge
+   when it is missing (probe on a pattern-introduced variable).
+2. Mutations on an unlabeled variable must not write through to other
+   labels' entities that share the id value (per-label id spaces).
+3. DELETE (without DETACH) of a node that still has relationships must
+   raise (openCypher; reference mutation engine enforces it).
+4. shortestPath with a lower bound > 1 must return the shortest
+   *qualifying* path even when a shorter path exists.
+5. A UNION query's mutations are atomic: a failing branch rolls back
+   earlier branches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+# --------------------------------------------------------------------- #
+# 1. MERGE relationship between pre-bound nodes
+# --------------------------------------------------------------------- #
+def test_merge_creates_missing_relationship(golden, run):
+    golden.execute(
+        "MATCH (a:Person {name:'Carol'}), (b:Person {name:'Dave'}) "
+        "MERGE (a)-[r:KNOWS]->(b) ON CREATE SET r.since = 2031"
+    )
+    assert run(
+        "MATCH (:Person {name:'Carol'})-[r:KNOWS]->(b:Person) "
+        "RETURN b.name AS n, r.since AS s"
+    ) == [("Dave", 2031)]
+
+
+def test_merge_relationship_is_idempotent_when_missing_then_present(golden, run):
+    q = (
+        "MATCH (a:Person {name:'Carol'}), (b:Person {name:'Dave'}) "
+        "MERGE (a)-[r:KNOWS]->(b) ON CREATE SET r.since = 2031"
+    )
+    golden.execute(q)
+    golden.execute(q)  # second run must match, not duplicate
+    assert run(
+        "MATCH (:Person {name:'Carol'})-[r:KNOWS]->(:Person {name:'Dave'}) "
+        "RETURN count(*) AS c"
+    ) == [(1,)]
+
+
+# --------------------------------------------------------------------- #
+# 2. per-label id spaces: no cross-label write-through
+# --------------------------------------------------------------------- #
+def test_unlabeled_set_does_not_corrupt_same_id_other_label(golden, run):
+    # City id 1 collides with Person id 1 (Alice)
+    golden.execute("CREATE (:City {id: 1, name: 'Metropolis'})")
+    golden.execute("MATCH (n) WHERE n.name = 'Alice' SET n.flag = 1")
+    assert run("MATCH (p:Person {name:'Alice'}) RETURN p.flag AS f") == [(1,)]
+    # the same-id City row must be untouched
+    assert run("MATCH (c:City) RETURN c.flag AS f") == [(None,)]
+
+
+def test_unlabeled_delete_only_removes_matching_label(golden, run):
+    golden.execute("CREATE (:City {id: 4, name: 'Gotham'})")
+    # Dave (Person id 4) has no relationships; City 4 shares the id
+    golden.execute("MATCH (n) WHERE n.name = 'Dave' DELETE n")
+    assert run("MATCH (p:Person) RETURN count(*) AS c") == [(3,)]
+    assert run("MATCH (c:City) RETURN c.name AS n") == [("Gotham",)]
+
+
+def test_foreach_over_collected_nodes_updates_only_their_label(golden, run):
+    golden.execute("CREATE (:City {id: 2, name: 'Springfield'})")
+    golden.execute(
+        "MATCH (p:Person) WITH collect(p) AS ps "
+        "FOREACH (x IN ps | SET x.tag = 7)"
+    )
+    assert run(
+        "MATCH (p:Person) WHERE p.tag = 7 RETURN count(*) AS c"
+    ) == [(4,)]
+    assert run("MATCH (c:City) RETURN c.tag AS t") == [(None,)]
+
+
+# --------------------------------------------------------------------- #
+# 3. DELETE of a connected node must raise without DETACH
+# --------------------------------------------------------------------- #
+def test_delete_connected_node_raises(golden, run):
+    with pytest.raises(ValueError, match="DETACH"):
+        golden.execute("MATCH (n:Person {name:'Alice'}) DELETE n")
+    # nothing was deleted (transaction rolled back)
+    assert run("MATCH (p:Person) RETURN count(*) AS c") == [(4,)]
+
+
+def test_detach_delete_connected_node_ok(golden, run):
+    golden.execute("MATCH (n:Person {name:'Alice'}) DETACH DELETE n")
+    assert run("MATCH (p:Person) RETURN count(*) AS c") == [(3,)]
+    assert run(
+        "MATCH (:Person)-[r:KNOWS]->(:Person) RETURN count(*) AS c"
+    ) == [(1,)]
+
+
+# --------------------------------------------------------------------- #
+# 4. shortestPath lower bound > 1
+# --------------------------------------------------------------------- #
+def test_shortest_path_with_min_hops_beyond_direct_edge(golden, run):
+    # Alice-KNOWS->Carol directly (1 hop) AND Alice->Bob->Carol (2 hops):
+    # with a 2.. lower bound the 2-hop path must be found, not pruned
+    assert run(
+        "MATCH p = shortestPath((a:Person {name:'Alice'})-[:KNOWS*2..3]->"
+        "(b:Person {name:'Carol'})) RETURN length(p) AS l"
+    ) == [(2,)]
+
+
+def test_var_length_lower_bound_unaffected(golden, run):
+    # plain var-length (non-shortest) already enumerated; sanity-check
+    assert run(
+        "MATCH (a:Person {name:'Alice'})-[:KNOWS*2..2]->(b:Person) "
+        "RETURN b.name AS n"
+    ) == [("Carol",)]
+
+
+# --------------------------------------------------------------------- #
+# 5. UNION mutation atomicity
+# --------------------------------------------------------------------- #
+def test_union_mutations_roll_back_together(golden):
+    with pytest.raises(Exception):
+        golden.execute(
+            "CREATE (:Tmp {x: 1}) RETURN 1 AS v "
+            "UNION MATCH (n:NoSuchLabel) RETURN 1 AS v"
+        )
+    # branch 1's CREATE must not have been committed
+    assert not golden.catalog.has_label("Tmp")
+
+
+def test_union_mutations_commit_together(golden, run):
+    golden.execute(
+        "CREATE (:Tmp {x: 1}) RETURN 1 AS v "
+        "UNION ALL CREATE (:Tmp {x: 2}) RETURN 2 AS v"
+    )
+    assert run("MATCH (t:Tmp) RETURN count(*) AS c") == [(2,)]

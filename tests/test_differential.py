@@ -60,7 +60,12 @@ def exprs(draw, depth: int = 0) -> E:
         a = draw(exprs(depth + 1))
         b = draw(exprs(depth + 1))
         if a.kind == "str" or b.kind == "str":
-            # `+` concatenates; any other operator on strings is skipped
+            # `+` concatenates; any other operator on strings is skipped.
+            # float->string rendering is formatter-defined and diverges
+            # (Spark/Neo4j '1.0E-5' vs DuckDB '1e-05'), so only compare
+            # int/str concatenation
+            if a.kind == "float" or b.kind == "float":
+                return a if a.kind == "str" else b
             return E(
                 f"({a.cy} + {b.cy})",
                 f"(CAST({a.sql} AS VARCHAR) || CAST({b.sql} AS VARCHAR))",
