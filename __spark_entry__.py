@@ -580,6 +580,10 @@ def _q_embedding_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    # exercises the DEFAULT banded-LSH path (32 bands x 4 bits, seed 42)
+    # and stays green against the exact all-pairs SQL oracle: candidate
+    # precision is exact, and recall on this fixed dataset is 1.0
+    # (pinned by tests/test_llmops.py)
     from pyspark.sql import functions as F
 
     from pycypher_nmetl_spark.llmops import near_dup_pairs

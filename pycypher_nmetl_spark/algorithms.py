@@ -149,12 +149,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def _edges_for(engine, args) -> DataFrame:
     rel_types = engine.catalog.rel_types()
     if args:
-        # the argument is a literal Column; extract its literal value
-        import re
-
-        m = re.search(r"'(.*?)'", str(args[0]._jc) if hasattr(args[0], "_jc") else "")
-        name = m.group(1) if m else None
-        if name and engine.catalog.has_rel_type(name):
+        # literal/parameter args arrive as plain Python values from
+        # CALL compilation (engine._compile_call)
+        name = args[0] if isinstance(args[0], str) else None
+        if name is not None and not engine.catalog.has_rel_type(name):
+            raise KeyError(
+                f"unknown relationship type {name!r}; known: {rel_types}"
+            )
+        if name:
             return engine.catalog.edges(name)
     out = None
     for t in rel_types:

@@ -67,6 +67,12 @@ class GraphCatalog:
         # bumped on every committed mutation; invalidates result caches
         # (reference: relational_models.py _data_epoch)
         self.data_epoch = 0
+        # monotonic upper bound on allocated ids per (kind, name): the
+        # first CREATE per table pays one max(id) scan, later CREATEs
+        # read the cache (maintained from new-row maxima). An over-
+        # estimate is safe (ids just get gaps); cleared when a table is
+        # re-registered wholesale.
+        self._max_id_cache: dict[tuple[str, str], int] = {}
 
     # ------------------------------------------------------------------ #
     # registration
@@ -87,6 +93,7 @@ class GraphCatalog:
         self._meta[("n", label)] = TableMeta(
             broadcastable=bool(broadcastable), row_estimate=row_estimate
         )
+        self._max_id_cache.pop(("n", label), None)
 
     def register_edges(
         self,
@@ -111,6 +118,7 @@ class GraphCatalog:
         self._edges[rel_type] = df
         self._edge_endpoints[rel_type] = (src_label, dst_label)
         self._meta[("e", rel_type)] = TableMeta(broadcastable=bool(broadcastable))
+        self._max_id_cache.pop(("e", rel_type), None)
 
     # ------------------------------------------------------------------ #
     # lookup
@@ -195,6 +203,28 @@ class GraphCatalog:
 
     def in_transaction(self) -> bool:
         return self._shadow_nodes is not None
+
+    # ------------------------------------------------------------------ #
+    # id allocation support (see mutations.py CREATE)
+    # ------------------------------------------------------------------ #
+    def id_base(self, kind: str, name: str, df: DataFrame) -> int:
+        """Upper bound on existing ids in the table: cached after the
+        first full-table max(id) per (kind, name) per session — at 100 TB
+        one column scan per CREATE *statement* is not acceptable."""
+        key = (kind, name)
+        if key not in self._max_id_cache:
+            from pyspark.sql import functions as F
+
+            row = df.agg(F.max("id").alias("m")).collect()[0]
+            self._max_id_cache[key] = row["m"] if row["m"] is not None else 0
+        return self._max_id_cache[key]
+
+    def note_max_id(self, kind: str, name: str, value: int | None) -> None:
+        """Raise the cached id upper bound after allocating new ids."""
+        if value is None:
+            return
+        key = (kind, name)
+        self._max_id_cache[key] = max(self._max_id_cache.get(key, 0), int(value))
 
     def set_nodes(self, label: str, df: DataFrame) -> None:
         """Write a node table into the active shadow (or canonical store)."""

@@ -49,6 +49,87 @@ _TEMPORAL_FIELDS = {
 _INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
 
+def _dtype_kind(dt: T.DataType) -> str | None:
+    """Spark type -> static kind bucket (None = don't reason about it)."""
+    if isinstance(dt, _INT_TYPES):
+        return "int"
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return None
+
+
+def _py_kind(v) -> str | None:
+    import datetime
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    if isinstance(v, dict):
+        return "map"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    return None
+
+
+_NUMERIC_KINDS = {"int", "float"}
+_STRING_COERCIBLE = {"string", "int", "float", "bool", "date", "timestamp"}
+
+
+def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
+    """Would Spark's analyzer accept a binary comparison of these kinds?
+
+    Mirrors the measured Spark 4 coercion matrix (see VERDICT round-1
+    item 5): numeric x numeric, string x scalar, date x timestamp and
+    same-kind all coerce; bool/temporal x numeric, array x scalar and
+    anything x map are rejected (Cypher: incomparable -> null). None =
+    unknown, caller falls back to an analyzer probe.
+    """
+    if lk is None or rk is None:
+        return None
+    if "struct" in (lk, rk):
+        return None  # field-wise rules; rare — probe
+    if "map" in (lk, rk):
+        return False  # Spark rejects map comparison even with itself
+    if lk == "null" or rk == "null":
+        return True
+    if lk == rk:
+        return True
+    if lk in _NUMERIC_KINDS and rk in _NUMERIC_KINDS:
+        return True
+    if "string" in (lk, rk) and {lk, rk} <= _STRING_COERCIBLE:
+        return True
+    if {lk, rk} <= {"date", "timestamp"}:
+        return True
+    return False
+
+
 def lit_value(value: Any) -> Column:
     """Python value -> literal Column (lists/maps supported, for params)."""
     if isinstance(value, list):
@@ -174,14 +255,28 @@ class ExprCompiler:
         return [self.bindings.dtype(c) for c in cols]
 
     # -- lightweight static type inference (needed inside lambda bodies,
-    #    where Catalyst can't analyze sub-expressions standalone) -------- #
+    #    where Catalyst can't analyze sub-expressions standalone, and to
+    #    decide comparability without per-comparison analyzer probes) --- #
+    @property
+    def _schema_kinds(self) -> dict:
+        """Column name -> kind for the bindings frame (schema access is
+        free — the frame is already analyzed)."""
+        m = getattr(self, "_schema_kinds_cache", None)
+        if m is None:
+            m = {f.name: _dtype_kind(f.dataType) for f in self.bindings.df.schema.fields}
+            self._schema_kinds_cache = m
+        return m
+
     def _static_kind(self, e) -> str | None:
         from pycypher_nmetl_spark.cypher.ast_nodes import (
             BinOp as _B, ListLit as _LL, Literal as _L, Var as _V, FuncCall as _FC,
+            Param as _P, Prop as _PR, UnaryOp as _U,
         )
 
         if isinstance(e, _L):
             v = e.value
+            if v is None:
+                return "null"
             if isinstance(v, bool):
                 return "bool"
             if isinstance(v, str):
@@ -191,6 +286,28 @@ class ExprCompiler:
             if isinstance(v, float):
                 return "float"
             return None
+        if isinstance(e, _P):
+            return _py_kind(self.params.get(e.name))
+        if isinstance(e, _U):
+            k = self._static_kind(e.operand)
+            return k if k in ("int", "float") else None
+        if isinstance(e, _V) and e.name not in self.lambda_vars:
+            info = self.bindings.vars.get(e.name)
+            if info is not None:
+                if info.kind in ("node", "rel", "path"):
+                    return "int"  # entity id / path length columns are long
+                return self._schema_kinds.get(e.name)
+        if isinstance(e, _PR) and isinstance(e.target, _V) and (
+            e.target.name not in self.lambda_vars
+        ):
+            info = self.bindings.vars.get(e.target.name)
+            if info is not None and info.kind in ("node", "rel"):
+                if e.key == "id":
+                    return "int"
+                phys = pcol(e.target.name, e.key)
+                if phys in self._schema_kinds:
+                    return self._schema_kinds[phys]
+                return "null"  # missing property compiles to lit(None)
         if isinstance(e, _LL):
             return "array"
         if isinstance(e, _V) and e.name in self.lambda_kinds:
@@ -331,21 +448,31 @@ class ExprCompiler:
             ">=": lambda a, b: a >= b,
         }
         left = self.col(e.first)
+        left_ast = e.first
         conds = []
         for op, rhs_ast in e.rest:
             right = self.col(rhs_ast)
             cond = ops[op](left, right)
             # Cypher: comparing incomparable types yields null, never an
             # error (reference: comparison_evaluator.py:99-158). Spark
-            # rejects e.g. INT = BOOLEAN at analysis — probe and fall
-            # back to null.
+            # rejects e.g. INT = BOOLEAN at analysis. Decide statically
+            # from tracked kinds (free); only truly-unknown pairs pay a
+            # driver-side analyzer probe — the probe is O(plan size), so
+            # per-comparison probing was real latency on deep plans.
             if not self.lambda_vars:
-                try:
-                    self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
-                except Exception:  # noqa: BLE001
+                dec = _statically_comparable(
+                    self._static_kind(left_ast), self._static_kind(rhs_ast)
+                )
+                if dec is False:
                     cond = F.lit(None).cast("boolean")
+                elif dec is None:
+                    try:
+                        self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
+                    except Exception:  # noqa: BLE001
+                        cond = F.lit(None).cast("boolean")
             conds.append(cond)
             left = right
+            left_ast = rhs_ast
         return functools.reduce(lambda a, b: a & b, conds)
 
     def _c_BoolOp(self, e: BoolOp) -> Column:

@@ -8,9 +8,11 @@ promotes them with an atomic pointer swap at commit.
 
 ID allocation (100 TB note): the reference allocates max+1 per table
 sequentially (mutation_engine.py:229-322). We allocate
-``max_id + 1 + monotonically_increasing_id()`` — one tiny agg action for
-the max, then fully distributed, gap-tolerant id assignment with no
-driver round-trip per row.
+``id_base + 1 + monotonically_increasing_id()`` — the base is a
+session-cached upper bound (one full-table max per label per session,
+then maintained from the checkpointed new rows' maxima; see
+GraphCatalog.id_base), so id assignment is fully distributed and
+gap-tolerant with no per-statement table scan.
 
 Determinism note: a DataFrame with freshly-allocated ids is
 ``localCheckpoint``-ed before it is used twice (catalog union + continued
@@ -38,11 +40,6 @@ if TYPE_CHECKING:
     from pycypher_nmetl_spark.engine import CypherEngine
 
 ID, SRC, DST = "id", "src", "dst"
-
-
-def _max_id(df: DataFrame) -> int:
-    row = df.agg(F.max(ID).alias("m")).collect()[0]
-    return row["m"] if row["m"] is not None else 0
 
 
 def _props_pairs(engine, props, params) -> list[tuple[str, object]]:
@@ -112,7 +109,10 @@ def _create_nodes(
         # an `id` property IS the entity id in our data model
         df = bindings.df.withColumn(var, cc.col(explicit_id))
     else:
-        base_max = _max_id(cat.nodes(label)) if known else 0
+        # cached id upper bound: one full-table max per label per
+        # session, then maintained from the (tiny, checkpointed) new-row
+        # maxima below — never a full scan per CREATE statement
+        base_max = cat.id_base("n", label, cat.nodes(label)) if known else 0
         df = bindings.df.withColumn(
             var, F.lit(base_max + 1) + F.monotonically_increasing_id()
         )
@@ -122,6 +122,7 @@ def _create_nodes(
         df = df.withColumn(pcol(var, key), cc.col(expr_ast))
     # materialize allocated ids before they fan out to two consumers
     df = df.localCheckpoint()
+    cat.note_max_id("n", label, df.agg(F.max(var).alias("m")).collect()[0]["m"])
 
     new_rows = df.select(
         F.col(var).alias(ID),
@@ -157,7 +158,7 @@ def _create_edges(
     src_var, dst_var = (left.var, right.var) if rel.direction == "R" else (right.var, left.var)
 
     known = cat.has_rel_type(rtype)
-    base_max = max(_max_id(cat.edges(rtype)), 0) if known else 0
+    base_max = max(cat.id_base("e", rtype, cat.edges(rtype)), 0) if known else 0
 
     cc = ExprCompiler(bindings, params, {}, engine.functions)
     df = bindings.df.withColumn(
@@ -168,6 +169,7 @@ def _create_edges(
     for key, expr_ast in _props_pairs(engine, rel.props, params):
         df = df.withColumn(pcol(rvar, key), cc.col(expr_ast))
     df = df.localCheckpoint()
+    cat.note_max_id("e", rtype, df.agg(F.max(rvar).alias("m")).collect()[0]["m"])
 
     skip = {pcol(rvar, "src"), pcol(rvar, "dst")}
     new_rows = df.select(

@@ -263,7 +263,7 @@ def _scan_node_into(
         df, info = node_scan(engine, var, labels)
         info = VarInfo(info.kind, info.labels, anon=np.var.startswith("_anon"))
         frame = Bindings(df, {var: info})
-        out = frame if pb is None else _merge(pb, frame, "inner")
+        out = frame if pb is None else _merge(pb, frame, "inner", engine)
     if np.props:
         cc = ExprCompiler(out, params)
         for key, expr in np.props.pairs:
@@ -374,7 +374,7 @@ def _expand(
 # ---------------------------------------------------------------------- #
 # merging frames (frame_joiner.py:70-310)
 # ---------------------------------------------------------------------- #
-def _merge(left: Bindings, right: Bindings, how: str) -> Bindings:
+def _merge(left: Bindings, right: Bindings, how: str, engine=None) -> Bindings:
     if left.is_unit:
         if how == "left":
             # OPTIONAL MATCH as the first clause: one all-null row when
@@ -394,6 +394,14 @@ def _merge(left: Bindings, right: Bindings, how: str) -> Bindings:
         df = left.df.join(rdf, on=shared, how=how)
         return Bindings(df, vars_)
     if how == "inner":
+        # disjoint MATCH patterns -> cartesian product; refuse ones whose
+        # Catalyst size estimate exceeds the engine's advisory ceiling
+        # (guards.py; reference config.py MAX_CROSS_JOIN_ROWS)
+        ceiling = getattr(engine, "max_cross_join_product_bytes", None)
+        if ceiling is not None:
+            from pycypher_nmetl_spark.guards import check_cross_join
+
+            check_cross_join(left.df, right.df, ceiling)
         return Bindings(left.df.crossJoin(right.df), vars_)
     # OPTIONAL MATCH with no shared vars: left join ON TRUE preserves the
     # left rows (null-filled) even when the right frame is empty.
@@ -452,7 +460,7 @@ def compile_match(
             engine, path, bindings, params, var_preds, applied
         )
         all_rel_vars.extend(rel_vars)
-        combined = frame if combined is None else _merge(combined, frame, "inner")
+        combined = frame if combined is None else _merge(combined, frame, "inner", engine)
     combined = apply_rel_uniqueness(combined, all_rel_vars)
     # pushable predicates whose variable never got bound (defensive)
     combined = apply_var_preds(engine, combined, var_preds, applied, params)
@@ -466,9 +474,9 @@ def compile_match(
             combined = combined.with_df(
                 combined.df.filter(cc.col(residual_where).cast("boolean"))
             )
-        return _merge(bindings, combined, "left")
+        return _merge(bindings, combined, "left", engine)
 
-    out = _merge(bindings, combined, "inner")
+    out = _merge(bindings, combined, "inner", engine)
     if residual_where is not None:
         out, subst = materialize_subpatterns(engine, out, [residual_where], params)
         cc = ExprCompiler(out, params, subst, engine.functions)
@@ -512,7 +520,7 @@ def materialize_subpatterns(
         sub: Bindings | None = None
         for p in paths:
             frame, rel_vars = build_path_frame(engine, p, bindings, params)
-            sub = frame if sub is None else _merge(sub, frame, "inner")
+            sub = frame if sub is None else _merge(sub, frame, "inner", engine)
         sub = apply_rel_uniqueness(sub, [])
         if where is not None:
             # allow outer vars inside the subquery WHERE via correlation:

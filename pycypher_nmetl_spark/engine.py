@@ -46,6 +46,8 @@ class CypherEngine:
         catalog: GraphCatalog,
         functions: dict[str, Callable] | None = None,
         cache_results: bool = True,
+        max_cross_join_product_bytes: float | None = 1e16,
+        query_timeout_s: float | None = None,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
@@ -55,6 +57,10 @@ class CypherEngine:
 
         self.procedures: dict[str, Callable] = dict(BUILTIN_PROCEDURES)
         self.cache = ResultCache() if cache_results else None
+        # safety rails (reference: config.py MAX_CROSS_JOIN_ROWS,
+        # timeout_handler.py; see guards.py). None disables either rail.
+        self.max_cross_join_product_bytes = max_cross_join_product_bytes
+        self.query_timeout_s = query_timeout_s
 
     # ------------------------------------------------------------------ #
     # registration (reference: relational_models.py:710-718, 228-275)
@@ -133,6 +139,23 @@ class CypherEngine:
 
     def cancel(self, group_id: str) -> None:
         self.spark.sparkContext.cancelJobGroup(group_id)
+
+    def run(
+        self,
+        cypher: str,
+        parameters: dict[str, Any] | None = None,
+        timeout_s: float | None = None,
+    ) -> list:
+        """Execute and collect under a deadline (engine default or
+        per-call override): on expiry the job group is cancelled and
+        QueryTimeout raised (reference: timeout_handler.py)."""
+        timeout = timeout_s if timeout_s is not None else self.query_timeout_s
+        if timeout is None:
+            return self.execute(cypher, parameters).collect()
+        from pycypher_nmetl_spark.guards import deadline
+
+        with deadline(self.spark, timeout):
+            return self.execute(cypher, parameters).collect()
 
     # ------------------------------------------------------------------ #
     def execute(self, cypher: str, parameters: dict[str, Any] | None = None) -> DataFrame:
@@ -357,7 +380,20 @@ class CypherEngine:
         if name not in self.procedures:
             raise KeyError(f"unknown procedure {clause.name}; known: {sorted(self.procedures)}")
         cc = ExprCompiler(bindings, params, {}, self.functions)
-        proc_df: DataFrame = self.procedures[name](self, [cc.col(a) for a in clause.args])
+        # literal / parameter args arrive as plain Python values (the AST
+        # already has them — procedures like graph.pageRank('KNOWS') need
+        # the string, and regexing a compiled Column's Java expression
+        # breaks on Spark Connect); anything else compiles to a Column
+        from pycypher_nmetl_spark.cypher.ast_nodes import Literal as _Lit, Param as _Par
+
+        def _arg(a):
+            if isinstance(a, _Lit):
+                return a.value
+            if isinstance(a, _Par):
+                return params[a.name]
+            return cc.col(a)
+
+        proc_df: DataFrame = self.procedures[name](self, [_arg(a) for a in clause.args])
         if clause.yields:
             sel = []
             new_vars = []

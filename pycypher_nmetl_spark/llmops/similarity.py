@@ -64,38 +64,98 @@ def near_dup_pairs(
     vec_col: str,
     threshold: float = 0.9,
     id_col: str = "id",
-    bucket_bits: int = 0,
+    bands: int = 32,
+    band_bits: int = 4,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine >= threshold.
 
-    bucket_bits=0 is the exact O(n^2/2) self-join baseline (fine to a few
-    million rows with AQE); bucket_bits>0 adds random-hyperplane LSH
-    buckets so only same-bucket pairs are compared (approximate recall,
-    exact precision).
+    Default (the 100 TB path): banded random-hyperplane LSH — two vectors
+    are candidates iff they agree on all `band_bits` hyperplane signs in
+    at least one of `bands` bands (same sub-quadratic shape as
+    MinHash-LSH banding: explode to (band, bucket), equi-join on the
+    bucket key, verify candidates with the exact cosine). Precision is
+    exact (every output pair passes the real cosine test); recall is
+    1-(1-p^band_bits)^bands with p = 1 - theta/pi, tuned by the band
+    parameters — tests/test_llmops.py pins recall vs the exact baseline.
+
+    exact=True is the O(n^2/2) all-pairs self-join baseline for tests
+    and small inputs. Never the default: at 100 TB an all-pairs join is
+    a cartesian-class scale killer.
     """
     import random
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if bucket_bits > 0:
-        rng = random.Random(42)
-        dim = len(base.select(F.size("_v")).first() and base.select("_v").first()[0])
-        bucket = F.lit(0)
-        for j in range(bucket_bits):
-            plane = [rng.gauss(0, 1) for _ in range(dim)]
-            p = F.array(*[F.lit(float(x)) for x in plane]).cast("array<double>")
-            bucket = bucket + F.when(_dot(F.col("_v").cast("array<double>"), p) > 0,
-                                     F.lit(2 ** j)).otherwise(F.lit(0))
-        base = base.withColumn("_bkt", bucket)
-        cond = (F.col("a._id") < F.col("b._id")) & (F.col("a._bkt") == F.col("b._bkt"))
-    else:
-        cond = F.col("a._id") < F.col("b._id")
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, cond)
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id1"),
+                F.col("b._id").alias("id2"),
+                cosine_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    rng = random.Random(seed)
+    first = base.select("_v").first()
+    if first is None:
+        return (
+            base.select(
+                F.col("_id").alias("id1"),
+                F.col("_id").alias("id2"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        )
+    dim = len(first[0])
+    v = F.col("_v").cast("array<double>")
+    # all bands*band_bits hyperplanes as ONE literal tensor + nested
+    # higher-order folds: the expression tree is O(1) in bands/bits
+    # (unrolled per-band columns would be bands*bits copies of the dot
+    # fold — the analyzer/codegen blowup measured on the minhash op)
+    planes = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(rng.gauss(0, 1)) for _ in range(dim)])
+            for _ in range(band_bits)
+        ])
+        for _ in range(bands)
+    ])
+
+    def _band_sig(b):
+        pb = F.element_at(planes, b + 1)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(band_bits - 1)),
+            F.lit(0),
+            lambda acc, j: acc
+            + F.when(
+                _dot(v, F.element_at(pb, j + 1)) > 0,
+                F.call_function("shiftleft", F.lit(1), j),
+            ).otherwise(F.lit(0)),
+        )
+
+    sig_arr = F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_sig)
+    sig = base.select("_id", "_v", F.posexplode(sig_arr).alias("_band", "_bkt"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("id1"),
             F.col("b._id").alias("id2"),
-            cosine_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            F.col("a._v").alias("_v1"),
+            F.col("b._v").alias("_v2"),
+        )
+        .dropDuplicates(["id1", "id2"])  # a pair may collide in many bands
+    )
+    return (
+        cand.select(
+            "id1", "id2", cosine_col(F.col("_v1"), F.col("_v2")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -1,0 +1,51 @@
+"""Safety rails: cross-join ceiling + per-query deadline (guards.py).
+
+Reference parity: config.py MAX_CROSS_JOIN_ROWS and timeout_handler.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+from pycypher_nmetl_spark.guards import CrossJoinGuardError, QueryTimeout
+
+
+@pytest.fixture(scope="module")
+def tpch(spark):
+    return GraphCatalog.from_tpch(spark, "/root/testdata/sf0.01")
+
+
+def test_runaway_cartesian_refused_at_compile_time(tpch):
+    eng = CypherEngine(tpch, max_cross_join_product_bytes=1e6)
+    with pytest.raises(CrossJoinGuardError, match="cartesian"):
+        eng.execute("MATCH (a:Customer), (b:Order) RETURN count(*) AS c")
+
+
+def test_small_cartesian_allowed_under_default_ceiling(tpch):
+    eng = CypherEngine(tpch)
+    assert eng.execute(
+        "MATCH (a:Nation), (b:Region) RETURN count(*) AS c"
+    ).collect()[0]["c"] == 125
+
+
+def test_ceiling_disabled_with_none(tpch):
+    eng = CypherEngine(tpch, max_cross_join_product_bytes=None)
+    # compiles without the guard firing (do not collect the cartesian)
+    df = eng.execute("MATCH (a:Customer), (b:Order) RETURN count(*) AS c")
+    assert df.columns == ["c"]
+
+
+def test_slow_query_cancelled_at_deadline(tpch):
+    eng = CypherEngine(tpch, max_cross_join_product_bytes=None)
+    with pytest.raises(QueryTimeout, match="deadline"):
+        eng.run(
+            "MATCH (a:Customer), (b:Order), (c:Part) RETURN count(*) AS c",
+            timeout_s=2,
+        )
+
+
+def test_fast_query_unaffected_by_deadline(tpch):
+    eng = CypherEngine(tpch, query_timeout_s=120)
+    rows = eng.run("MATCH (n:Nation) RETURN count(*) AS c")
+    assert rows[0]["c"] == 25

@@ -104,10 +104,38 @@ def test_brute_force_topk(vectors):
     assert out[0]["cosine"] == pytest.approx(1.0)
 
 
-def test_near_dup_pairs(vectors):
-    out = near_dup_pairs(vectors, "embedding", threshold=0.95)
+def test_near_dup_pairs_exact(vectors):
+    out = near_dup_pairs(vectors, "embedding", threshold=0.95, exact=True)
     got = {(r["id1"], r["id2"]) for r in out.collect()}
     assert (1, 2) in got and (2, 5) in got and (3, 4) not in got
+
+
+def test_near_dup_pairs_lsh_default_matches_exact(vectors):
+    # default (banded LSH) on a tiny near-identical set: full recall,
+    # exact precision (candidates are verified with the real cosine)
+    exact = near_dup_pairs(vectors, "embedding", threshold=0.95, exact=True)
+    lsh = near_dup_pairs(vectors, "embedding", threshold=0.95)
+    assert {tuple(r) for r in lsh.collect()} == {tuple(r) for r in exact.collect()}
+
+
+def test_near_dup_pairs_lsh_recall_at_moderate_threshold(spark):
+    # sf0.001 embeddings at the gate's 0.45 threshold: the 32x4 banding
+    # must not lose pairs vs the exact baseline (recall pinned at 1.0 on
+    # this fixed dataset; precision is exact by construction)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id1, r.id2)
+        for r in near_dup_pairs(
+            e, "embedding", threshold=0.45, id_col="vec_id", exact=True
+        ).collect()
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in near_dup_pairs(
+            e, "embedding", threshold=0.45, id_col="vec_id"
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
 
 
 def test_ivf_topk_recovers_neighbors(vectors):
