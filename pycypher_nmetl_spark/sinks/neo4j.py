@@ -76,10 +76,18 @@ def coerce_value(v: Any) -> Any:
     return v
 
 
-def _write_partition(rows_iter, uri, auth, cypher, id_cols, batch_size, max_retries):
+def _default_driver_factory(uri, auth):
     from neo4j import GraphDatabase  # gated: only needed on executors
 
-    driver = GraphDatabase.driver(uri, auth=auth)
+    return GraphDatabase.driver(uri, auth=auth)
+
+
+def _write_partition(
+    rows_iter, uri, auth, cypher, id_cols, batch_size, max_retries,
+    driver_factory=None,
+):
+    factory = driver_factory or _default_driver_factory
+    driver = factory(uri, auth)
     try:
         with driver.session() as session:
             batch: list[dict] = []
@@ -99,11 +107,12 @@ def _write_partition(rows_iter, uri, auth, cypher, id_cols, batch_size, max_retr
             for row in rows_iter:
                 d = row.asDict(recursive=True)
                 out = {k: coerce_value(d[k]) for k in id_cols if k in d}
-                out["props"] = {
-                    k: coerce_value(v)
-                    for k, v in d.items()
-                    if k not in id_cols and v is not None
+                # coerce BEFORE the null filter so NaN (-> None) is
+                # dropped like a null instead of erasing the property
+                props = {
+                    k: coerce_value(v) for k, v in d.items() if k not in id_cols
                 }
+                out["props"] = {k: v for k, v in props.items() if v is not None}
                 batch.append(out)
                 if len(batch) >= batch_size:
                     flush()
@@ -120,14 +129,20 @@ def write_nodes_to_neo4j(
     id_col: str = "id",
     batch_size: int = 1000,
     max_retries: int = 3,
+    driver_factory=None,
 ) -> None:
     """Upsert a node DataFrame: one Neo4j session per Spark partition,
-    UNWIND-MERGE batches of `batch_size` rows."""
+    UNWIND-MERGE batches of `batch_size` rows.
+
+    driver_factory(uri, auth) -> driver overrides the real neo4j import
+    (tests use sinks.fake_neo4j; a connection-pooling wrapper fits too).
+    """
     props = [c for c in df.columns if c != id_col]
     cypher = build_node_merge_cypher(label, id_col, props)
     df.foreachPartition(
         lambda it: _write_partition(
-            it, uri, auth, cypher, [id_col], batch_size, max_retries
+            it, uri, auth, cypher, [id_col], batch_size, max_retries,
+            driver_factory,
         )
     )
 
@@ -141,10 +156,12 @@ def write_edges_to_neo4j(
     auth: tuple[str, str],
     batch_size: int = 1000,
     max_retries: int = 3,
+    driver_factory=None,
 ) -> None:
     cypher = build_edge_merge_cypher(rel_type, src_label, dst_label)
     df.foreachPartition(
         lambda it: _write_partition(
-            it, uri, auth, cypher, ["src", "dst"], batch_size, max_retries
+            it, uri, auth, cypher, ["src", "dst"], batch_size, max_retries,
+            driver_factory,
         )
     )

@@ -16,12 +16,15 @@ almost 1:1 onto Spark primitives:
 """
 
 from pycypher_nmetl_spark.streaming.core import StreamPipeline, StreamMetricsListener
-from pycypher_nmetl_spark.streaming.views import IncrementalView
+from pycypher_nmetl_spark.streaming.views import (
+    DistributedIncrementalView, IncrementalView,
+)
 from pycypher_nmetl_spark.streaming.windows import (
     session_window_agg, sliding_window_agg, tumbling_window_agg,
 )
 
 __all__ = [
     "StreamPipeline", "StreamMetricsListener", "IncrementalView",
+    "DistributedIncrementalView",
     "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
 ]

@@ -152,6 +152,46 @@ def test_incremental_view_changelog(spark, events_dir, tmp_path):
     assert seen[-1].op == "DELETE"
 
 
+def test_distributed_incremental_view_changelog(spark, events_dir, tmp_path):
+    from pycypher_nmetl_spark.streaming import DistributedIncrementalView
+
+    view = DistributedIncrementalView(["user"], {"total": F.sum("value")})
+    batches = []  # subscriber receives DataFrames, never rows
+    view.subscribe(batches.append)
+
+    stream = StreamPipeline.from_files(spark, str(events_dir / "in"), SCHEMA).df
+    q = view.attach(stream, checkpoint=str(tmp_path / "ckpt1"))
+    q.awaitTermination(60)
+    first = {r["user"]: r for r in batches[-1].collect()}
+    assert first["a"]["op"] == "INSERT" and first["a"]["total"] == pytest.approx(9.0)
+    assert first["b"]["op"] == "INSERT"
+
+    # second batch: new file arrives -> 'a' is an UPDATE with old values,
+    # 'c' an INSERT, 'b' untouched (no-op rows are filtered out)
+    write_events(
+        events_dir / "in2",
+        [
+            {"event_id": 9, "ts": "2024-01-01T00:02:00", "user": "a", "value": 1.0},
+            {"event_id": 10, "ts": "2024-01-01T00:02:01", "user": "c", "value": 5.0},
+        ],
+    )
+    stream2 = StreamPipeline.from_files(spark, str(events_dir / "in2"), SCHEMA).df
+    q2 = view.attach(stream2, checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(60)
+    second = {r["user"]: r for r in batches[-1].collect()}
+    assert set(second) == {"a", "c"}
+    assert second["a"]["op"] == "UPDATE" and second["a"]["old"]["total"] == pytest.approx(9.0)
+    assert second["c"]["op"] == "INSERT" and second["c"]["old"] is None
+
+    # snapshot is a DataFrame served distributed; 'b' kept from batch 1.
+    # NOTE: each attach() is a fresh stream, so batch 2's agg restarts at
+    # the new file's values ('a' -> 1.0), exactly like the reference's
+    # per-source incremental updates feeding one view.
+    snap = {r["user"]: r["total"] for r in view.snapshot().collect()}
+    assert snap["b"] == pytest.approx(3.0) and snap["c"] == pytest.approx(5.0)
+    assert snap["a"] == pytest.approx(1.0)
+
+
 def test_metrics_listener_shape():
     from pycypher_nmetl_spark.streaming import StreamMetricsListener
 

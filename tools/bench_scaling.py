@@ -1,0 +1,127 @@
+"""Scaling measurement: run the bench workload at sf0.1 and at a
+synthesized ~sf1 (10x) replica, and report per-query scaling exponents.
+
+The driver ships sf0.001/0.01/0.1 only; the 10x dataset is built once in
+/tmp by unioning K key-shifted copies of the sf0.1 tables (keys offset
+by copy*stride so joins fan out exactly like independent shards — row
+counts scale by K, join selectivity is preserved, no synthetic-data
+invention beyond replication).
+
+Usage: python tools/bench_scaling.py [K] [out.json]
+Writes SCALING.md + JSON; exponent = log(t_K / t_1) / log(K) per query
+(1.0 = linear in data, < 1 = sublinear / overhead-amortized).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+KEYED = {
+    # table -> columns that must be shifted so copies don't merge
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+STRIDE = 10_000_000
+
+
+def build_replica(spark, k: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in KEYED.items():
+        target = f"{out_dir}/{table}.parquet"
+        if os.path.exists(target):
+            continue
+        df = spark.read.parquet(f"{BASE}/{table}.parquet")
+        parts = []
+        for i in range(k):
+            c = df
+            for key in keys:
+                if key in df.columns:
+                    c = c.withColumn(key, F.col(key) + F.lit(i * STRIDE))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(target)
+
+
+def run_bench(spark, sf_dir: str) -> dict[str, float]:
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    engine = CypherEngine(
+        GraphCatalog.from_tpch(spark, sf_dir, materialize_derived=True)
+    )
+    engine.execute("MATCH (r:Region) RETURN count(*) AS c").collect()
+    timings = {}
+    for name, q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        engine.execute(q).toPandas()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
+    from pycypher_nmetl_spark import get_spark
+
+    spark = get_spark(app_name="bench-scaling")
+    replica = f"/tmp/spark_graft_sf{k}x"
+    t0 = time.time()
+    build_replica(spark, k, replica)
+    build_s = round(time.time() - t0, 1)
+
+    t1 = run_bench(spark, BASE)
+    tk = run_bench(spark, replica)
+    report = {}
+    for name in t1:
+        exp = math.log(max(tk[name], 1e-3) / max(t1[name], 1e-3)) / math.log(k)
+        report[name] = {
+            "sf0.1_s": t1[name],
+            f"x{k}_s": tk[name],
+            "exponent": round(exp, 3),
+        }
+    payload = {"k": k, "build_s": build_s, "queries": report}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    lines = [
+        "# SCALING — bench workload at sf0.1 vs a synthesized "
+        f"{k}x key-shifted replica",
+        "",
+        "exponent = log(t_big/t_small)/log(k): 1.0 = linear in data,",
+        "< 1 = sublinear (fixed overhead amortizing away), > 1 = a plan",
+        "that degrades superlinearly and needs attention.",
+        "",
+        "| query | sf0.1 (s) | " + f"{k}x (s) | exponent |",
+        "|---|---|---|---|",
+    ]
+    for name, r in report.items():
+        lines.append(
+            f"| {name} | {r['sf0.1_s']} | {r[f'x{k}_s']} | {r['exponent']} |"
+        )
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
