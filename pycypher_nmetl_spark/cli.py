@@ -1,10 +1,13 @@
 """CLI (reference: cli/main.py:39-98 — run/validate/list-queries/query/
-parse/schema/functions surface, Spark-backed).
+parse/schema/functions/health/security-check surface, Spark-backed).
 
     python -m pycypher_nmetl_spark run pipeline.yaml
     python -m pycypher_nmetl_spark validate pipeline.yaml
     python -m pycypher_nmetl_spark list-queries pipeline.yaml
     python -m pycypher_nmetl_spark query pipeline.yaml "MATCH ..." [--limit N]
+    python -m pycypher_nmetl_spark schema pipeline.yaml
+    python -m pycypher_nmetl_spark security-check pipeline.yaml [--allow-host H]
+    python -m pycypher_nmetl_spark health pipeline.yaml
     python -m pycypher_nmetl_spark parse "MATCH (n) RETURN n"
     python -m pycypher_nmetl_spark functions
 """
@@ -36,6 +39,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("cypher")
 
     sub.add_parser("functions")
+
+    s = sub.add_parser("schema")
+    s.add_argument("config")
+
+    s = sub.add_parser("security-check")
+    s.add_argument("config")
+    s.add_argument("--allow-host", action="append", default=None)
+    s.add_argument("--allow-root", action="append", default=None)
+
+    s = sub.add_parser("health")
+    s.add_argument("config")
 
     s = sub.add_parser("repl")
     s.add_argument("config", nargs="?")
@@ -91,6 +105,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{q.id}{desc}")
         return 0
 
+    if args.cmd == "security-check":
+        # no Spark needed: validate every source URI against the policy
+        # (reference: cli/main.py security-check + ingestion/security.py)
+        from pycypher_nmetl_spark.pipeline.security import (
+            SourceSecurityError, SourceSecurityPolicy, validate_source_uri,
+        )
+
+        policy = SourceSecurityPolicy(
+            allowed_hosts=tuple(args.allow_host) if args.allow_host else None,
+            allowed_local_roots=tuple(args.allow_root) if args.allow_root else None,
+        )
+        failures = 0
+        for src in list(config.entities) + list(config.relationships):
+            try:
+                validate_source_uri(src.uri, policy)
+                print(f"OK    {src.uri}")
+            except SourceSecurityError as e:
+                print(f"FAIL  {e}")
+                failures += 1
+        return 1 if failures else 0
+
     from pycypher_nmetl_spark.session import get_spark
 
     spark = get_spark(app_name=f"pipeline:{config.name}")
@@ -115,6 +150,39 @@ def main(argv: list[str] | None = None) -> int:
         engine = CypherEngine(build_catalog(spark, config))
         load_functions(engine, config.functions)
         engine.execute(args.cypher).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "schema":
+        # label -> columns/dtypes, rel type -> endpoints + columns
+        # (reference: cli/main.py schema command)
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog
+
+        cat = build_catalog(spark, config)
+        out = {"labels": {}, "relationship_types": {}}
+        for label in cat.labels():
+            out["labels"][label] = dict(cat.nodes(label).dtypes)
+        for rt in cat.rel_types():
+            src_l, dst_l = cat.edge_endpoints(rt)
+            out["relationship_types"][rt] = {
+                "src_label": src_l,
+                "dst_label": dst_l,
+                "columns": dict(cat.edges(rt).dtypes),
+            }
+        print(json.dumps(out, indent=2))
+        return 0
+
+    if args.cmd == "health":
+        from pycypher_nmetl_spark.engine import CypherEngine
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog
+
+        engine = CypherEngine(build_catalog(spark, config))
+        print(json.dumps({
+            "status": "ok",
+            "spark": spark.version,
+            "labels": len(engine.catalog.labels()),
+            "rel_types": len(engine.catalog.rel_types()),
+            "data_epoch": engine.catalog.data_epoch,
+        }))
         return 0
 
     return 2

@@ -46,7 +46,16 @@ def read_source(
     schema_hints: dict[str, str] | None = None,
     sql_transform: str | None = None,
     options: dict[str, str] | None = None,
+    security_policy=None,
 ) -> DataFrame:
+    # URI validation before Spark touches the source (reference:
+    # ingestion/security.py). Pass security_policy=False to skip.
+    if security_policy is not False:
+        from pycypher_nmetl_spark.pipeline.security import (
+            DEFAULT_POLICY, validate_source_uri,
+        )
+
+        validate_source_uri(uri, security_policy or DEFAULT_POLICY)
     fmt = _sniff_format(uri, fmt)
     opts = dict(options or {})
     if fmt == "csv":

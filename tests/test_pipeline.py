@@ -161,6 +161,52 @@ def test_cli_parse_and_validate(project, capsys):
     assert out.index("tag_seniors") < out.index("senior_names")
 
 
+def test_source_uri_security_policy():
+    import pytest
+
+    from pycypher_nmetl_spark.pipeline.security import (
+        SourceSecurityError, SourceSecurityPolicy, validate_source_uri,
+    )
+
+    validate_source_uri("/data/x.parquet")
+    validate_source_uri("s3a://bucket/key.parquet")
+    validate_source_uri("jdbc:postgresql://db.internal/x")
+    with pytest.raises(SourceSecurityError, match="scheme"):
+        validate_source_uri("ftp://evil/x.csv")
+    with pytest.raises(SourceSecurityError, match="credentials"):
+        validate_source_uri("postgresql://user:pass@db/x")
+    host_policy = SourceSecurityPolicy(allowed_hosts=("*.corp.example", "db1"))
+    validate_source_uri("https://files.corp.example/x.json", host_policy)
+    with pytest.raises(SourceSecurityError, match="host"):
+        validate_source_uri("https://elsewhere.com/x.json", host_policy)
+    root_policy = SourceSecurityPolicy(allowed_local_roots=("/data",))
+    validate_source_uri("/data/in/x.csv", root_policy)
+    with pytest.raises(SourceSecurityError, match="escapes"):
+        validate_source_uri("/data/../etc/passwd", root_policy)
+
+
+def test_read_source_enforces_policy(spark):
+    import pytest
+
+    from pycypher_nmetl_spark.pipeline.security import SourceSecurityError
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    with pytest.raises(SourceSecurityError, match="scheme"):
+        read_source(spark, "ftp://evil/x.csv")
+
+
+def test_cli_security_check_and_schema(project, capsys):
+    from pycypher_nmetl_spark.cli import main
+
+    assert main(["security-check", str(project / "pipeline.yaml")]) == 0
+    assert "OK" in capsys.readouterr().out
+    assert main(["schema", str(project / "pipeline.yaml")]) == 0
+    out = capsys.readouterr().out
+    assert '"labels"' in out and '"relationship_types"' in out
+    assert main(["health", str(project / "pipeline.yaml")]) == 0
+    assert '"status": "ok"' in capsys.readouterr().out
+
+
 def test_neo4j_cypher_builders():
     q = build_node_merge_cypher("Person", "id", ["name", "age"])
     assert q == (
