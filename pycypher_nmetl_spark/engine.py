@@ -57,6 +57,9 @@ class CypherEngine:
 
         self.procedures: dict[str, Callable] = dict(BUILTIN_PROCEDURES)
         self.cache = ResultCache() if cache_results else None
+        from pycypher_nmetl_spark.audit import EngineMetrics
+
+        self.metrics = EngineMetrics()
         # safety rails (reference: config.py MAX_CROSS_JOIN_ROWS,
         # timeout_handler.py; see guards.py). None disables either rail.
         self.max_cross_join_product_bytes = max_cross_join_product_bytes
@@ -149,13 +152,37 @@ class CypherEngine:
         """Execute and collect under a deadline (engine default or
         per-call override): on expiry the job group is cancelled and
         QueryTimeout raised (reference: timeout_handler.py)."""
-        timeout = timeout_s if timeout_s is not None else self.query_timeout_s
-        if timeout is None:
-            return self.execute(cypher, parameters).collect()
-        from pycypher_nmetl_spark.guards import deadline
+        import time as _time
 
-        with deadline(self.spark, timeout):
-            return self.execute(cypher, parameters).collect()
+        from pycypher_nmetl_spark.audit import audit_event
+
+        timeout = timeout_s if timeout_s is not None else self.query_timeout_s
+        t0 = _time.perf_counter()
+        try:
+            if timeout is None:
+                rows = self.execute(cypher, parameters).collect()
+            else:
+                from pycypher_nmetl_spark.guards import deadline
+
+                with deadline(self.spark, timeout):
+                    rows = self.execute(cypher, parameters).collect()
+        except Exception as e:
+            from pycypher_nmetl_spark.guards import QueryTimeout
+
+            if isinstance(e, QueryTimeout):
+                self.metrics.inc("query_timeouts")
+            audit_event(
+                "run", cypher, status="error",
+                elapsed_ms=(_time.perf_counter() - t0) * 1000,
+                error=e, parameters=parameters,
+            )
+            raise
+        audit_event(
+            "run", cypher, status="ok",
+            elapsed_ms=(_time.perf_counter() - t0) * 1000,
+            rows=len(rows), parameters=parameters,
+        )
+        return rows
 
     # ------------------------------------------------------------------ #
     def execute(self, cypher: str, parameters: dict[str, Any] | None = None) -> DataFrame:
@@ -164,6 +191,9 @@ class CypherEngine:
         Mutation-only queries execute their catalog updates eagerly and
         return an empty DataFrame.
         """
+        import time as _time
+
+        from pycypher_nmetl_spark.audit import audit_event
         from pycypher_nmetl_spark.cache import cache_key
 
         params = parameters or {}
@@ -173,15 +203,32 @@ class CypherEngine:
             if hit is not None:
                 return hit
 
-        ast = parse(cypher)
-        if isinstance(ast, UnionQuery):
-            result = self._execute_union(ast, params)
-            mutated = any(
-                isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
+        t0 = _time.perf_counter()
+        try:
+            ast = parse(cypher)
+            if isinstance(ast, UnionQuery):
+                result = self._execute_union(ast, params)
+                mutated = any(
+                    isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
+                )
+            else:
+                result = self._execute_query(ast, params)
+                mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
+        except Exception as e:
+            self.metrics.inc("queries_failed")
+            audit_event(
+                "compile", cypher, status="error",
+                elapsed_ms=(_time.perf_counter() - t0) * 1000,
+                error=e, parameters=params,
             )
-        else:
-            result = self._execute_query(ast, params)
-            mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
+            raise
+        self.metrics.inc("queries_compiled")
+        if mutated:
+            self.metrics.inc("mutations_committed")
+        audit_event(
+            "compile", cypher, status="ok",
+            elapsed_ms=(_time.perf_counter() - t0) * 1000, parameters=params,
+        )
         if key is not None and not mutated:
             # cache the compiled lazy plan (not rows): hits skip parse +
             # compile; reads stay distributed (reference: result_cache.py)

@@ -47,6 +47,9 @@ class HealthServer:
                             f"result_cache_hits {cache.hits}",
                             f"result_cache_misses {cache.misses}",
                         ]
+                    metrics = getattr(outer.engine, "metrics", None)
+                    if metrics is not None:
+                        lines += metrics.as_lines()
                     body = ("\n".join(lines) + "\n").encode()
                     ctype = "text/plain"
                 else:

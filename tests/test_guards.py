@@ -49,3 +49,31 @@ def test_fast_query_unaffected_by_deadline(tpch):
     eng = CypherEngine(tpch, query_timeout_s=120)
     rows = eng.run("MATCH (n:Nation) RETURN count(*) AS c")
     assert rows[0]["c"] == 25
+
+
+def test_audit_log_records_and_metrics(tpch, caplog):
+    import json
+    import logging
+
+    from pycypher_nmetl_spark import audit
+
+    audit.enable_audit_log(handler=logging.NullHandler())
+    try:
+        eng = CypherEngine(tpch, cache_results=False)
+        with caplog.at_level(logging.INFO, logger="pycypher_nmetl_spark.audit"):
+            eng.run("MATCH (n:Region) RETURN count(*) AS c", {"p": "secret"})
+            with pytest.raises(Exception):
+                eng.execute("MATCH (n:NoSuchLabel) RETURN n")
+        records = [json.loads(r.message) for r in caplog.records]
+        events = {(r["event"], r["status"]) for r in records}
+        assert ("compile", "ok") in events and ("run", "ok") in events
+        assert ("compile", "error") in events
+        run_rec = next(r for r in records if r["event"] == "run")
+        assert run_rec["rows"] == 1
+        # parameter VALUES are never logged
+        assert run_rec.get("parameter_keys") == ["p"]
+        assert "secret" not in caplog.text
+        assert eng.metrics.counters["queries_failed"] == 1
+        assert eng.metrics.counters["queries_compiled"] >= 1
+    finally:
+        audit.disable_audit_log()
