@@ -45,16 +45,25 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))
         )
-        # dangling mass = 1 - sum of mass that flowed through edges
-        flowed = contribs.agg(F.sum("_in")).first()[0] or 0.0
-        dangling = (1.0 - flowed) / n
+        # dangling mass = 1 - sum of mass that flowed through edges.
+        # Folded into the plan as a broadcast 1-row aggregate instead of a
+        # driver-side first(): one job per iteration (the checkpoint), not
+        # two, and contribs is computed once, not twice.
+        flowed = contribs.agg(
+            F.coalesce(F.sum("_in"), F.lit(0.0)).alias("_fl")
+        )
         ranks = (
             nodes.join(contribs, on="id", how="left")
+            .crossJoin(F.broadcast(flowed))
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("_fl")) / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()

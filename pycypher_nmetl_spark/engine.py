@@ -48,6 +48,7 @@ class CypherEngine:
         cache_results: bool = True,
         max_cross_join_product_bytes: float | None = 1e16,
         query_timeout_s: float | None = None,
+        rate_limit_qps: float | None = None,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
@@ -64,6 +65,11 @@ class CypherEngine:
         # timeout_handler.py; see guards.py). None disables either rail.
         self.max_cross_join_product_bytes = max_cross_join_product_bytes
         self.query_timeout_s = query_timeout_s
+        self.rate_limiter = None
+        if rate_limit_qps is not None:
+            from pycypher_nmetl_spark.guards import RateLimiter
+
+            self.rate_limiter = RateLimiter(rate_limit_qps)
 
     # ------------------------------------------------------------------ #
     # registration (reference: relational_models.py:710-718, 228-275)
@@ -202,6 +208,9 @@ class CypherEngine:
             hit = self.cache.get(key, self.catalog.data_epoch)
             if hit is not None:
                 return hit
+
+        if self.rate_limiter is not None:
+            self.rate_limiter.acquire()
 
         t0 = _time.perf_counter()
         try:

@@ -68,6 +68,51 @@ def check_cross_join(left: DataFrame, right: DataFrame, max_product_bytes: float
         )
 
 
+class RateLimitExceeded(RuntimeError):
+    """Query submission rate exceeded the configured limit."""
+
+
+class RateLimiter:
+    """Token-bucket limiter for query submission (reference:
+    rate_limiter.py, wired in star.py). `rate` tokens/second refill up
+    to `burst`; acquire() takes one token, raising RateLimitExceeded
+    when the bucket is empty (or blocking up to `wait_s` if given).
+    Thread-safe; injectable clock/sleep for deterministic tests."""
+
+    def __init__(self, rate: float, burst: int | None = None, clock=None, sleep=None):
+        import time as _t
+
+        if rate <= 0:
+            raise ValueError("rate must be > 0")
+        self.rate = float(rate)
+        self.burst = float(burst if burst is not None else max(1, int(rate)))
+        self._tokens = self.burst
+        self._clock = clock or _t.monotonic
+        self._sleep = sleep or _t.sleep
+        self._last = self._clock()
+        self._lock = threading.Lock()
+
+    def _refill(self) -> None:
+        now = self._clock()
+        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+
+    def acquire(self, wait_s: float = 0.0) -> None:
+        deadline_t = self._clock() + wait_s
+        while True:
+            with self._lock:
+                self._refill()
+                if self._tokens >= 1.0:
+                    self._tokens -= 1.0
+                    return
+                shortfall = (1.0 - self._tokens) / self.rate
+            if self._clock() + shortfall > deadline_t:
+                raise RateLimitExceeded(
+                    f"query rate limit ({self.rate}/s, burst {int(self.burst)}) exceeded"
+                )
+            self._sleep(shortfall)
+
+
 @contextlib.contextmanager
 def deadline(spark, seconds: float, group_id: str | None = None):
     """Run the body under a job group that is cancelled after `seconds`.

@@ -51,6 +51,33 @@ def test_fast_query_unaffected_by_deadline(tpch):
     assert rows[0]["c"] == 25
 
 
+def test_rate_limiter_token_bucket_deterministic():
+    from pycypher_nmetl_spark.guards import RateLimiter, RateLimitExceeded
+
+    now = [0.0]
+    slept = []
+    rl = RateLimiter(rate=2.0, burst=2, clock=lambda: now[0],
+                     sleep=lambda s: (slept.append(s), now.__setitem__(0, now[0] + s)))
+    rl.acquire()
+    rl.acquire()  # burst exhausted
+    with pytest.raises(RateLimitExceeded, match="rate limit"):
+        rl.acquire()
+    now[0] += 0.5  # one token refilled (2/s)
+    rl.acquire()
+    # blocking path: waits for the refill instead of raising
+    rl.acquire(wait_s=1.0)
+    assert slept and slept[-1] <= 0.5
+
+
+def test_engine_rate_limit_rejects_burst(tpch):
+    from pycypher_nmetl_spark.guards import RateLimitExceeded
+
+    eng = CypherEngine(tpch, cache_results=False, rate_limit_qps=1.0)
+    eng.execute("MATCH (n:Region) RETURN count(*) AS c")
+    with pytest.raises(RateLimitExceeded):
+        eng.execute("MATCH (n:Nation) RETURN count(*) AS c")
+
+
 def test_audit_log_records_and_metrics(tpch, caplog):
     import json
     import logging
