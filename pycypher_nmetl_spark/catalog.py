@@ -67,6 +67,14 @@ class GraphCatalog:
         # bumped on every committed mutation; invalidates result caches
         # (reference: relational_models.py _data_epoch)
         self.data_epoch = 0
+        # FK-derived edge metadata: rel_type -> (owner_label, owner_side,
+        # fk_prop) meaning the edge table is EXACTLY a projection of the
+        # owner label's node table (edge.<owner_side> = owner.id, other
+        # endpoint = owner.<fk_prop>, id = xxhash64(src, dst), no props).
+        # The pattern compiler uses this to traverse owner -> other as a
+        # pure column projection instead of a node⋈edge self-join of the
+        # same parquet. Invalidated the moment either table is replaced.
+        self._fk_collapse: dict[str, tuple[str, str, str]] = {}
         # monotonic upper bound on allocated ids per (kind, name): the
         # first CREATE per table pays one max(id) scan, later CREATEs
         # read the cache (maintained from new-row maxima). An over-
@@ -105,6 +113,7 @@ class GraphCatalog:
         src_label: str | None = None,
         dst_label: str | None = None,
         broadcastable: bool | None = None,
+        fk_collapse: tuple[str, str, str] | None = None,
     ) -> None:
         for have, want in ((id_col, ID), (src_col, SRC), (dst_col, DST)):
             if have != want:
@@ -119,6 +128,10 @@ class GraphCatalog:
         self._edge_endpoints[rel_type] = (src_label, dst_label)
         self._meta[("e", rel_type)] = TableMeta(broadcastable=bool(broadcastable))
         self._max_id_cache.pop(("e", rel_type), None)
+        if fk_collapse is not None:
+            self._fk_collapse[rel_type] = fk_collapse
+        else:
+            self._fk_collapse.pop(rel_type, None)
 
     # ------------------------------------------------------------------ #
     # lookup
@@ -230,11 +243,22 @@ class GraphCatalog:
         """Write a node table into the active shadow (or canonical store)."""
         store = self._shadow_nodes if self._shadow_nodes is not None else self._nodes
         store[label] = df
+        # the edge-as-node-projection equivalence no longer holds once the
+        # owner table diverges from the registered edge frame
+        for rt, (owner, _side, _fk) in list(self._fk_collapse.items()):
+            if owner == label:
+                self._fk_collapse.pop(rt, None)
 
     def set_edges(self, rel_type: str, df: DataFrame) -> None:
         store = self._shadow_edges if self._shadow_edges is not None else self._edges
         store[rel_type] = df
         self._edge_endpoints.setdefault(rel_type, (None, None))
+        self._fk_collapse.pop(rel_type, None)
+
+    def fk_collapse(self, rel_type: str) -> tuple[str, str, str] | None:
+        """(owner_label, owner_side, fk_prop) when the edge table is a pure
+        projection of the owner node table; None otherwise."""
+        return self._fk_collapse.get(rel_type)
 
     # ------------------------------------------------------------------ #
     # materialization of derived tables
