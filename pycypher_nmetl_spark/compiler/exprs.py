@@ -119,6 +119,10 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
         return False  # Spark rejects map comparison even with itself
     if lk == "null" or rk == "null":
         return True
+    if lk == "array" and rk == "array":
+        # element kinds are not tracked; array<bigint> vs array<string>
+        # would fail analysis even though lk == rk — probe (ADVICE r2)
+        return None
     if lk == rk:
         return True
     if lk in _NUMERIC_KINDS and rk in _NUMERIC_KINDS:

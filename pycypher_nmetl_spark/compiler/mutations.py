@@ -395,11 +395,18 @@ def compile_delete(
     engine: "CypherEngine", bindings: Bindings, clause: Delete, params: dict
 ) -> Bindings:
     cat = engine.catalog
+    # openCypher end-of-clause semantics: `DELETE n, r` must succeed when r
+    # covers n's relationships, regardless of expression order. Apply all
+    # relationship deletions before any node deletion so the non-DETACH
+    # still-has-relationships check sees the post-clause edge tables.
+    resolved = []
     for expr in clause.exprs:
         if not isinstance(expr, Var):
             raise ValueError("DELETE expects bound variables")
+        resolved.append((expr, _candidate_labels(engine, bindings, expr.name)))
+    resolved.sort(key=lambda item: 0 if item[1][0] == "e" else 1)
+    for expr, (kind, tables) in resolved:
         var = expr.name
-        kind, tables = _candidate_labels(engine, bindings, var)
         disc = _label_discriminator(bindings, var, kind) if len(tables) > 1 else None
         sel = [F.col(var).alias(ID)] + ([F.col(disc).alias("_disc")] if disc else [])
         ids_all = bindings.df.select(*sel).dropDuplicates().localCheckpoint()

@@ -133,3 +133,44 @@ def test_union_mutations_commit_together(golden, run):
         "UNION ALL CREATE (:Tmp {x: 2}) RETURN 2 AS v"
     )
     assert run("MATCH (t:Tmp) RETURN count(*) AS c") == [(2,)]
+
+
+# --------------------------------------------------------------------- #
+# round-3 ADVICE: DELETE order-independence (end-of-clause semantics)
+# --------------------------------------------------------------------- #
+def test_delete_node_and_rel_any_order(golden, run):
+    # `DELETE n, r` (node listed first) must succeed when r covers n's
+    # relationships — Neo4j applies deletions at end of clause.
+    golden.execute(
+        "MATCH (n:Person {name:'Bob'})-[r]-() DELETE n, r"
+    )
+    assert run("MATCH (p:Person) RETURN count(*) AS c") == [(3,)]
+    assert run("MATCH (:Person)-[r:KNOWS]->(:Person) RETURN count(*) AS c") == [(1,)]
+
+
+def test_delete_rel_then_node_still_works(golden, run):
+    golden.execute("MATCH (n:Person {name:'Bob'})-[r]-() DELETE r, n")
+    assert run("MATCH (p:Person) RETURN count(*) AS c") == [(3,)]
+
+
+def test_delete_node_with_uncovered_rels_still_raises(golden):
+    # deleting only one of Bob's relationship vars must still raise
+    with pytest.raises(ValueError, match="DETACH"):
+        golden.execute(
+            "MATCH (n:Person {name:'Alice'})-[r:KNOWS]->() DELETE n, r"
+        )  # Alice also has WORKS_AT edges not covered by r
+
+
+# --------------------------------------------------------------------- #
+# round-3 ADVICE: incompatible array/array comparison -> null, not error
+# --------------------------------------------------------------------- #
+def test_array_vs_incompatible_array_literal_is_null(golden, run):
+    golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
+    assert run(
+        "MATCH (b:Box) RETURN b.nums = ['a', 'b'] AS eq"
+    ) == [(None,)]
+
+
+def test_array_vs_compatible_array_literal_compares(golden, run):
+    golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
+    assert run("MATCH (b:Box) RETURN b.nums = [1, 2, 3] AS eq") == [(True,)]
