@@ -120,8 +120,9 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
     if lk == "null" or rk == "null":
         return True
     if lk == "array" and rk == "array":
-        # element kinds are not tracked; array<bigint> vs array<string>
-        # would fail analysis even though lk == rk — probe (ADVICE r2)
+        # decided at the call site from element kinds (_c_Cmp): statically
+        # coercible element kinds -> native comparison, incomparable ->
+        # Cypher list semantics (size mismatch = false), unknown -> probe
         return None
     if lk == rk:
         return True
@@ -337,6 +338,54 @@ class ExprCompiler:
                 return "int"
         return None
 
+    @property
+    def _field_dtypes(self) -> dict:
+        m = getattr(self, "_field_dtypes_cache", None)
+        if m is None:
+            m = {f.name: f.dataType for f in self.bindings.df.schema.fields}
+            self._field_dtypes_cache = m
+        return m
+
+    def _static_elem_kind(self, e) -> str | None:
+        """Element kind of an array-valued expression, decided statically
+        (no analyzer probe): list literals unify their items' kinds,
+        params inspect the Python list, vars/props read ArrayType.
+        elementType off the already-analyzed schema. None = unknown."""
+        from pycypher_nmetl_spark.cypher.ast_nodes import (
+            ListLit as _LL, Param as _P, Prop as _PR, Var as _V,
+        )
+
+        def _unify(kinds: set) -> str | None:
+            kinds.discard("null")
+            kinds.discard(None)
+            if not kinds:
+                return "null"
+            if len(kinds) == 1:
+                return kinds.pop()
+            if kinds <= _NUMERIC_KINDS:
+                return "float"
+            return None
+
+        if isinstance(e, _LL):
+            return _unify({self._static_kind(x) for x in e.items})
+        if isinstance(e, _P):
+            v = self.params.get(e.name)
+            if isinstance(v, (list, tuple)):
+                return _unify({_py_kind(x) for x in v})
+            return None
+        dt = None
+        if isinstance(e, _V) and e.name not in self.lambda_vars:
+            dt = self._field_dtypes.get(e.name)
+        elif isinstance(e, _PR) and isinstance(e.target, _V) and (
+            e.target.name not in self.lambda_vars
+        ):
+            info = self.bindings.vars.get(e.target.name)
+            if info is not None and info.kind in ("node", "rel"):
+                dt = self._field_dtypes.get(pcol(e.target.name, e.key))
+        if isinstance(dt, T.ArrayType):
+            return _dtype_kind(dt.elementType)
+        return None
+
     def _elem_kind(self, collection) -> str | None:
         """Element kind of a list expression (for lambda var typing)."""
         from pycypher_nmetl_spark.cypher.ast_nodes import ListLit as _LL, FuncCall as _FC
@@ -464,16 +513,34 @@ class ExprCompiler:
             # driver-side analyzer probe — the probe is O(plan size), so
             # per-comparison probing was real latency on deep plans.
             if not self.lambda_vars:
-                dec = _statically_comparable(
-                    self._static_kind(left_ast), self._static_kind(rhs_ast)
-                )
-                if dec is False:
-                    cond = F.lit(None).cast("boolean")
-                elif dec is None:
-                    try:
-                        self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
-                    except Exception:  # noqa: BLE001
+                lk, rk = self._static_kind(left_ast), self._static_kind(rhs_ast)
+                if lk == "array" and rk == "array":
+                    # element kinds decide statically where possible;
+                    # only unknown element kinds pay the analyzer probe
+                    lek = self._static_elem_kind(left_ast)
+                    rek = self._static_elem_kind(rhs_ast)
+                    edec = (
+                        _statically_comparable(lek, rek)
+                        if lek is not None and rek is not None
+                        else None
+                    )
+                    if edec is None:
+                        try:
+                            self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
+                            edec = True
+                        except Exception:  # noqa: BLE001
+                            edec = False
+                    if edec is False:
+                        cond = self._incomparable_list_cmp(op, left, right)
+                else:
+                    dec = _statically_comparable(lk, rk)
+                    if dec is False:
                         cond = F.lit(None).cast("boolean")
+                    elif dec is None:
+                        try:
+                            self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
+                        except Exception:  # noqa: BLE001
+                            cond = F.lit(None).cast("boolean")
             conds.append(cond)
             left = right
             left_ast = rhs_ast

@@ -100,8 +100,11 @@ def near_dup_pairs(
         )
 
     rng = random.Random(seed)
+    # null vectors can never pass the cosine verify; drop them up front so
+    # the dimension probe below can't land on a null row (TypeError)
+    base = base.filter(F.col("_v").isNotNull())
     first = base.select("_v").first()
-    if first is None:
+    if first is None or first[0] is None:
         return (
             base.select(
                 F.col("_id").alias("id1"),
@@ -178,9 +181,20 @@ def ivf_build(
     re-partition by `_cluster` downstream to co-locate clusters."""
     import numpy as np
 
-    rows = (
-        df.select(vec_col).limit(sample).collect()
-    )
+    vecs = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    # representative sample for the k-means fit: limit() would take the
+    # FIRST partitions only (ordered/skewed data -> biased centroids ->
+    # silent recall loss), so pay one count() job and sample() uniformly
+    n = vecs.count()
+    if n == 0:
+        raise ValueError(f"ivf_build: no non-null vectors in '{vec_col}'")
+    if n <= sample:
+        rows = vecs.collect()
+    else:
+        frac = min(1.0, 1.5 * sample / n)  # oversample, then trim
+        rows = vecs.sample(fraction=frac, seed=42).limit(sample).collect()
+        if not rows:  # pathological tiny-fraction draw
+            rows = vecs.limit(sample).collect()
     X = np.array([r[0] for r in rows], dtype="float64")
     rng = np.random.RandomState(42)
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

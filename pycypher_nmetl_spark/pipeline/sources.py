@@ -88,7 +88,13 @@ def read_source(
     if sql_transform:
         view = fresh_name("_src")
         df.createOrReplaceTempView(view)
-        # the transform references the source as `source` (reference
-        # convention: SQL runs against the loaded relation)
-        df = spark.sql(sql_transform.replace("source", view))
+        # The transform references the source relation as `source` (bare
+        # word or `{source}` placeholder).  Substitution is word-bounded so
+        # identifiers that merely *contain* the word — `resource_id`,
+        # `source_system` — pass through untouched.
+        import re
+
+        sql = sql_transform.replace("{source}", view)
+        sql = re.sub(r"\bsource\b", view, sql)
+        df = spark.sql(sql)
     return df

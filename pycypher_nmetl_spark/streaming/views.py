@@ -2,15 +2,20 @@
 
 Reference: streaming/views.py:21-185 (IncrementalView) — a keyed
 materialized view that emits INSERT/UPDATE/DELETE changes and serves
-snapshot queries. Spark re-expression: keyed aggregation in `update`
-output mode; each micro-batch's updated rows are diffed against the
-driver-held view state inside foreachBatch, producing the same
-changelog events and feeding subscriber callbacks.
+snapshot queries.
 
-Scale note: the *view state* here is driver-held (dict) because the
-reference serves point queries from process memory. At cluster scale
-the same foreachBatch body writes to Delta (MERGE) and the changelog
-is Delta Change Data Feed; the class isolates that swap in _apply().
+**Default / cluster-scale implementation: `DistributedIncrementalView`**
+— state, per-batch diff, and changelog are all DataFrames; nothing is
+collected to the driver. Use it unless you specifically need the
+reference's in-process point-query surface.
+
+`LocalIncrementalView` (alias `IncrementalView`, kept for API parity)
+is the driver-dict TOY variant: its _apply collects every micro-batch,
+so the view is capped by driver memory. It exists to mirror the
+reference's process-memory semantics in local mode and for tests; at
+cluster scale the same foreachBatch body writes to Delta (MERGE) with
+Change Data Feed as the changelog — which is exactly the shape
+DistributedIncrementalView already has.
 """
 
 from __future__ import annotations
@@ -29,7 +34,13 @@ class Change:
     old: dict | None = None
 
 
-class IncrementalView:
+class LocalIncrementalView:
+    """Driver-dict variant — LOCAL-MODE TOY. State lives in a Python dict
+    on the driver and every micro-batch is `.collect()`ed, so capacity is
+    bounded by driver memory. Prefer `DistributedIncrementalView` (below)
+    for anything beyond tests/demos; it has the same attach/subscribe
+    surface with DataFrame-valued state and changelog."""
+
     def __init__(
         self,
         key_cols: list[str],
@@ -174,3 +185,8 @@ class DistributedIncrementalView:
         if self._snapshot is None:
             raise ValueError("view has no data yet (stream not started?)")
         return self._snapshot
+
+
+# Back-compat alias: the reference names this surface IncrementalView.
+# The distributed variant is the recommended default at any real scale.
+IncrementalView = LocalIncrementalView
