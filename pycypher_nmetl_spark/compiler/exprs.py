@@ -135,6 +135,30 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
     return False
 
 
+_SCALAR_KINDS = {"int", "float", "string", "bool", "date", "timestamp"}
+
+
+def _array_elems_comparable(lek: str | None, rek: str | None) -> bool | None:
+    """Would Spark coerce array<lek> vs array<rek> in a comparison?
+
+    Stricter than the scalar matrix: inside arrays Spark only unifies
+    same-kind, numeric x numeric and date x timestamp (measured on
+    Spark 4: array<bigint> = array<string> is DATATYPE_MISMATCH even
+    though bigint = string coerces as scalars). False means Cypher
+    incomparable-element list semantics apply; None means probe (empty
+    lists / nested arrays / unknown kinds).
+    """
+    if lek is None or rek is None or "null" in (lek, rek):
+        return None
+    if lek == rek:
+        return True if lek in _SCALAR_KINDS else None
+    if {lek, rek} <= _NUMERIC_KINDS or {lek, rek} <= {"date", "timestamp"}:
+        return True
+    if lek in _SCALAR_KINDS and rek in _SCALAR_KINDS:
+        return False
+    return None
+
+
 def lit_value(value: Any) -> Column:
     """Python value -> literal Column (lists/maps supported, for params)."""
     if isinstance(value, list):
@@ -519,11 +543,7 @@ class ExprCompiler:
                     # only unknown element kinds pay the analyzer probe
                     lek = self._static_elem_kind(left_ast)
                     rek = self._static_elem_kind(rhs_ast)
-                    edec = (
-                        _statically_comparable(lek, rek)
-                        if lek is not None and rek is not None
-                        else None
-                    )
+                    edec = _array_elems_comparable(lek, rek)
                     if edec is None:
                         try:
                             self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
@@ -545,6 +565,58 @@ class ExprCompiler:
             left = right
             left_ast = rhs_ast
         return functools.reduce(lambda a, b: a & b, conds)
+
+    @staticmethod
+    def _incomparable_list_cmp(op: str, l: Column, r: Column) -> Column:
+        """Cypher comparison of two lists whose element kinds can NEVER
+        coerce (e.g. array<bigint> vs array<string>). Neo4j compares lists
+        lexicographically with ternary element comparisons, so when every
+        element-pair comparison is null the outcome is decided by sizes
+        alone: `[1,2,3] = ['a','b']` -> false (size mismatch), equal-size
+        non-empty -> null (first pair is null), `[] = []` -> true, and
+        orderings resolve only via empty prefixes (`[] < [x]` -> true).
+        Reference: comparison_evaluator.py evaluate_comparison (Python
+        list equality -> False) + openCypher CIP-2016-06-14 ordering."""
+        null = F.lit(None).cast("boolean")
+        ls, rs = F.size(l), F.size(r)
+        base = F.when(l.isNull() | r.isNull(), null)
+        if op == "=":
+            return (
+                base.when(ls != rs, F.lit(False))
+                .when((ls == 0) & (rs == 0), F.lit(True))
+                .otherwise(null)
+            )
+        if op == "<>":
+            return (
+                base.when(ls != rs, F.lit(True))
+                .when((ls == 0) & (rs == 0), F.lit(False))
+                .otherwise(null)
+            )
+        if op == "<":
+            return (
+                base.when((ls == 0) & (rs > 0), F.lit(True))
+                .when(rs == 0, F.lit(False))
+                .otherwise(null)
+            )
+        if op == "<=":
+            return (
+                base.when(ls == 0, F.lit(True))
+                .when(rs == 0, F.lit(False))
+                .otherwise(null)
+            )
+        if op == ">":
+            return (
+                base.when((rs == 0) & (ls > 0), F.lit(True))
+                .when(ls == 0, F.lit(False))
+                .otherwise(null)
+            )
+        if op == ">=":
+            return (
+                base.when(rs == 0, F.lit(True))
+                .when(ls == 0, F.lit(False))
+                .otherwise(null)
+            )
+        return null
 
     def _c_BoolOp(self, e: BoolOp) -> Column:
         cols = [self.col(x).cast("boolean") for x in e.operands]

@@ -162,13 +162,40 @@ def test_delete_node_with_uncovered_rels_still_raises(golden):
 
 
 # --------------------------------------------------------------------- #
-# round-3 ADVICE: incompatible array/array comparison -> null, not error
+# round-3/4 ADVICE: incompatible array/array comparison follows Neo4j's
+# lexicographic ternary semantics — size mismatch decides equality as
+# false; touching an incomparable element pair yields null; only empty
+# prefixes decide orderings.
 # --------------------------------------------------------------------- #
-def test_array_vs_incompatible_array_literal_is_null(golden, run):
+def test_array_vs_incompatible_array_size_mismatch_is_false(golden, run):
     golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
     assert run(
         "MATCH (b:Box) RETURN b.nums = ['a', 'b'] AS eq"
+    ) == [(False,)]
+
+
+def test_array_vs_incompatible_array_same_size_is_null(golden, run):
+    golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
+    assert run(
+        "MATCH (b:Box) RETURN b.nums = ['a', 'b', 'c'] AS eq"
     ) == [(None,)]
+
+
+def test_array_vs_incompatible_array_neq_and_order(golden, run):
+    golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
+    assert run(
+        "MATCH (b:Box) RETURN b.nums <> ['a', 'b'] AS ne, "
+        "b.nums < ['a'] AS lt, b.nums >= ['a'] AS ge"
+    ) == [(True, None, None)]
+
+
+def test_array_vs_compatible_numeric_array_coerces(golden, run):
+    # int vs float element kinds statically coerce -> native comparison,
+    # no analyzer probe, correct value semantics
+    golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
+    assert run(
+        "MATCH (b:Box) RETURN b.nums = [1.0, 2.0, 3.0] AS eq"
+    ) == [(True,)]
 
 
 def test_array_vs_compatible_array_literal_compares(golden, run):
