@@ -186,3 +186,50 @@ def test_frame_sample_plan(media):
 
 def test_exact_binary_dedup(media):
     assert exact_binary_dedup(media).count() == 4
+
+
+def test_near_dup_pairs_all_null_vectors_empty(spark):
+    # round-4 ADVICE: null vectors must not crash the dimension probe;
+    # an all-null column yields an empty result with the pair schema
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, embedding array<double>"
+    )
+    out = near_dup_pairs(df, "embedding", threshold=0.9)
+    assert out.collect() == []
+    assert set(out.columns) == {"id1", "id2", "cosine"}
+
+
+def test_near_dup_pairs_ignores_null_rows(vectors, spark):
+    withnull = vectors.union(
+        spark.createDataFrame([(9, None)], "id long, embedding array<double>")
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(withnull, "embedding", threshold=0.95).collect()
+    }
+    assert (1, 2) in got and all(9 not in p for p in got)
+
+
+def test_ivf_build_skew_ordered_sample(spark):
+    # round-4 ADVICE: the k-means fit must sample uniformly, not take the
+    # first partitions. Data arrives sorted so cluster A fills the early
+    # partitions; limit()-based sampling would fit centroids on A only.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.normal([10, 0, 0], 0.1, size=(500, 3))
+    b = rng.normal([0, 10, 0], 0.1, size=(500, 3))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.concatenate([a, b]))]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>"
+    ).repartitionByRange(8, "id")  # sorted -> cluster A in first partitions
+    assigned, cents = ivf_build(
+        df, "embedding", n_clusters=2, sample=100, iters=10
+    )
+    # both true clusters must be represented among the fitted centroids
+    cents = np.array(cents)
+    assert any(c[0] > 5 for c in cents) and any(c[1] > 5 for c in cents)
+    # null vectors rejected cleanly
+    nulls = spark.createDataFrame([(1, None)], "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-null"):
+        ivf_build(nulls, "embedding", n_clusters=2, sample=10)

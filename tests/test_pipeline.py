@@ -224,3 +224,35 @@ def test_neo4j_value_coercion():
     assert coerce_value(float("nan")) is None
     assert coerce_value(datetime.date(2024, 1, 2)) == "2024-01-02"
     assert coerce_value({"a": [float("nan"), 1]}) == {"a": [None, 1]}
+
+
+def test_sql_transform_word_boundary(spark, tmp_path):
+    # round-4 ADVICE: `source` substitution must be word-bounded — columns
+    # that merely contain the word (resource_id, source_system) and string
+    # literals like 'resource' must pass through untouched
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    p = tmp_path / "r.csv"
+    p.write_text(
+        "resource_id,source_system,v\n1,crm,10\n2,crm,20\n3,erp,30\n"
+    )
+    df = read_source(
+        spark,
+        str(p),
+        sql_transform=(
+            "SELECT resource_id, source_system, v FROM source "
+            "WHERE source_system = 'crm'"
+        ),
+        security_policy=False,
+    )
+    assert df.columns == ["resource_id", "source_system", "v"]
+    assert df.count() == 2
+
+    # {source} placeholder form works too
+    df2 = read_source(
+        spark,
+        str(p),
+        sql_transform="SELECT sum(v) AS total FROM {source}",
+        security_policy=False,
+    )
+    assert df2.collect()[0]["total"] == 60
