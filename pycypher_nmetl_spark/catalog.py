@@ -424,6 +424,7 @@ class GraphCatalog:
             src_label="Nation",
             dst_label="Region",
             broadcastable=True,
+            fk_collapse=("Nation", "src", "regionkey"),
         )
         cat.register_edges(
             "FROM_NATION",
@@ -432,6 +433,7 @@ class GraphCatalog:
             ),
             src_label="Customer",
             dst_label="Nation",
+            fk_collapse=("Customer", "src", "nationkey"),
         )
         cat.register_edges(
             "SUPP_NATION",
@@ -441,6 +443,7 @@ class GraphCatalog:
             src_label="Supplier",
             dst_label="Nation",
             broadcastable=True,
+            fk_collapse=("Supplier", "src", "nationkey"),
         )
         cat.register_edges(
             "PLACED",
@@ -449,6 +452,7 @@ class GraphCatalog:
             ),
             src_label="Customer",
             dst_label="Order",
+            fk_collapse=("Order", "dst", "custkey"),
         )
         li_props = [
             "l_quantity",

@@ -129,9 +129,10 @@ def _edge_hop_table(
         fwd = edf.select(
             F.col(tmp).alias("_eid"), F.col(src_c).alias("_from"), F.col(dst_c).alias("_to")
         )
-        bwd = edf.select(
+        bwd = edf.filter(F.col(src_c) != F.col(dst_c)).select(
             F.col(tmp).alias("_eid"), F.col(dst_c).alias("_from"), F.col(src_c).alias("_to")
         )
+        # self-loops only once (both orientations are the same traversal)
         sel = fwd.unionByName(bwd)
     return sel
 

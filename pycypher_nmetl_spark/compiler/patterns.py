@@ -273,6 +273,111 @@ def _scan_node_into(
     return out
 
 
+def _try_fk_collapse(
+    engine: "CypherEngine",
+    pb: Bindings,
+    prev_var: str,
+    rel: RelPattern,
+    nxt: NodePattern,
+    outer: Bindings,
+    params: dict,
+) -> tuple[Bindings, str] | None:
+    """FK-collapsed hop: when the edge table is a registered pure
+    projection of one endpoint's node table (catalog.fk_collapse — e.g.
+    TPC-H FROM_NATION is just customer.(custkey, nationkey)), the
+    bindings ⋈ edges join is a self-join of a table already in the
+    frame. Derive the edge columns (src/dst as column refs, id as the
+    same xxhash64(src, dst) register_edges would assign) and jump
+    straight to the endpoint node table — one join instead of two, and
+    one less scan of the owner parquet. Returns None when the pattern
+    shape doesn't qualify; the generic path is always correct.
+    """
+    cat = engine.catalog
+    if len(rel.types) != 1 or rel.direction not in ("R", "L") or rel.props:
+        return None
+    rt = rel.types[0]
+    fk = cat.fk_collapse(rt)
+    if fk is None:
+        return None
+    owner_label, owner_side, fk_prop = fk
+    src_label, dst_label = cat.edge_endpoints(rt)
+    if src_label is None or dst_label is None:
+        return None
+    prev_label = src_label if rel.direction == "R" else dst_label
+    next_label = dst_label if rel.direction == "R" else src_label
+    pinfo = pb.vars.get(prev_var)
+    if pinfo is None or pinfo.kind != "node" or pinfo.labels != (prev_label,):
+        return None
+    nvar = _ensure_var(nxt)
+    if nvar in pb.vars:
+        return None  # cyclic back-reference: generic path
+    labels = list(nxt.labels)
+    if not labels and nvar in outer.vars and outer.vars[nvar].labels:
+        labels = list(outer.vars[nvar].labels)
+    if labels and labels != [next_label]:
+        return None
+    rvar = rel.var or fresh_name("_anon")
+    rinfo = VarInfo("rel", (rt,), anon=rel.var is None)
+    owner_on_prev = (owner_side == "src") == (rel.direction == "R")
+
+    if owner_on_prev:
+        # prev IS the owner: the edge's far endpoint is prev.<fk_prop>
+        fkcol = pcol(prev_var, fk_prop)
+        if fkcol not in pb.df.columns:
+            return None
+        src_e = F.col(prev_var) if owner_side == "src" else F.col(fkcol)
+        dst_e = F.col(fkcol) if owner_side == "src" else F.col(prev_var)
+        df = pb.df.withColumns({
+            pcol(rvar, "src"): src_e,
+            pcol(rvar, "dst"): dst_e,
+            rvar: F.xxhash64(src_e, dst_e),
+        })
+        pb = Bindings(df, {**pb.vars, rvar: rinfo})
+        if nxt.var is None and not nxt.labels:
+            # anonymous endpoint: the fk value is the binding
+            df = df.withColumn(nvar, F.col(fkcol))
+            pb = Bindings(
+                df, {**pb.vars, nvar: VarInfo("node", (next_label,), anon=True)}
+            )
+        else:
+            ndf, ninfo = node_scan(engine, nvar, [next_label])
+            ninfo = VarInfo(
+                ninfo.kind, ninfo.labels,
+                anon=nxt.var is None or nxt.var.startswith("_anon"),
+            )
+            df = df.join(ndf, df[fkcol] == ndf[nvar], "inner").drop(ndf[nvar])
+            df = df.withColumn(nvar, F.col(fkcol))
+            pb = Bindings(df, {**pb.vars, nvar: ninfo})
+    else:
+        # next IS the owner: join the owner table on its fk -> prev.id;
+        # the join binds the node AND stands in for the edge scan
+        ndf, ninfo = node_scan(engine, nvar, [next_label])
+        fkc = pcol(nvar, fk_prop)
+        if fkc not in ndf.columns:
+            return None
+        ninfo = VarInfo(
+            ninfo.kind, ninfo.labels,
+            anon=nxt.var is None or nxt.var.startswith("_anon"),
+        )
+        df = pb.df.join(ndf, pb.df[prev_var] == ndf[fkc], "inner")
+        src_e = F.col(nvar) if owner_side == "src" else F.col(prev_var)
+        dst_e = F.col(prev_var) if owner_side == "src" else F.col(nvar)
+        df = df.withColumns({
+            pcol(rvar, "src"): src_e,
+            pcol(rvar, "dst"): dst_e,
+            rvar: F.xxhash64(src_e, dst_e),
+        })
+        pb = Bindings(df, {**pb.vars, rvar: rinfo, nvar: ninfo})
+
+    if nxt.props:
+        cc = ExprCompiler(pb, params)
+        for key, expr in nxt.props.pairs:
+            phys = pcol(nvar, key)
+            target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+            pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
+    return pb, rvar
+
+
 def _expand(
     engine: "CypherEngine",
     pb: Bindings,
@@ -283,6 +388,9 @@ def _expand(
     params: dict,
 ) -> tuple[Bindings, str]:
     """One fixed-length hop: bindings ⋈ edges ⋈ endpoint label table."""
+    collapsed = _try_fk_collapse(engine, pb, prev_var, rel, nxt, outer, params)
+    if collapsed is not None:
+        return collapsed
     cat = engine.catalog
     rvar = rel.var or fresh_name("_anon")
     edf, rinfo = edge_scan(engine, rvar, rel.types)
@@ -295,7 +403,11 @@ def _expand(
         swapped = edf.withColumnsRenamed({src_c: "__tmp", dst_c: src_c}).withColumnRenamed(
             "__tmp", dst_c
         )
-        edf = edf.unionByName(swapped)
+        # self-loops appear identically in both orientations; Neo4j
+        # matches an undirected self-loop once, so keep only the
+        # forward copy (filter the swap, not a post-union DISTINCT —
+        # parallel edges between the same pair must stay distinct)
+        edf = edf.unionByName(swapped.filter(F.col(src_c) != F.col(dst_c)))
         join_col, other_col = src_c, dst_c
     elif rel.direction == "R":
         join_col, other_col = src_c, dst_c

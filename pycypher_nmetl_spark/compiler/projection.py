@@ -55,7 +55,12 @@ def _compile_aggregate(node, cc: ExprCompiler) -> Column:
         return F.count_distinct(arg) if node.distinct else F.count(arg)
     arg = cc.col(node.args[0])
     if name == "sum":
-        return F.sum_distinct(arg) if node.distinct else F.sum(arg)
+        # Neo4j: sum over zero non-null inputs is 0, never null (the
+        # reference's pandas sum(skipna=True) agrees); Spark's SUM
+        # returns null there, so fold the null away. coalesce picks the
+        # wider common type, preserving long sums as long.
+        s = F.sum_distinct(arg) if node.distinct else F.sum(arg)
+        return F.coalesce(s, F.lit(0))
     if name == "avg":
         if node.distinct:
             return F.sum_distinct(arg) / F.count_distinct(arg)

@@ -1,0 +1,505 @@
+"""Random query generator for property-based differential testing.
+
+One abstract spec is rendered to BOTH Cypher (for the engine) and ANSI
+SQL (for DuckDB) so any result mismatch is a semantics bug in one of
+the renderings or — the point — in the engine. This is the reference's
+property-based strategy (tests/property_based/strategies.py,
+test_query_properties.py) upgraded from metamorphic identities to a
+full differential oracle.
+
+Semantic pairings encoded here (engine follows Neo4j/openCypher):
+  * sum() over zero non-null inputs is 0   -> SQL coalesce(sum(x), 0)
+  * ORDER BY treats null as largest        -> SQL NULLS LAST / FIRST
+  * XOR is ternary                         -> SQL (a) <> (b) on booleans
+  * relationship uniqueness inside a MATCH -> SQL r1.id <> r2.id
+  * OPTIONAL MATCH ... WHERE pred          -> SQL LEFT JOIN ... ON pred
+Comparisons are order-insensitive (sorted multisets) unless the query
+ORDER BYs *every* output column, which makes the row sequence unique.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from hypothesis import strategies as st
+
+# ------------------------------------------------------------------ #
+# schema of the fuzz graph (see test_property_differential.py fixture)
+# ------------------------------------------------------------------ #
+PERSON_PROPS = {"name": "str", "age": "int", "dept": "str", "salary": "float"}
+COMPANY_PROPS = {"cname": "str", "industry": "str"}
+KNOWS_PROPS = {"since": "int"}
+
+STR_CONSTS = ["Alice", "alice", "Bob", "Engineering", "Sales", "Zed", "e", "li"]
+INT_CONSTS = [25, 28, 30, 35, 41, 2016, 2019, 2020, 0]
+FLOAT_CONSTS = [80.0, 95.5, 100.0, 110.0]
+
+
+@dataclass
+class Scope:
+    """var -> (props dict, sql renderer for (var, prop))."""
+
+    props: dict[str, dict[str, str]]
+    sqlref: dict[tuple[str, str], str]
+
+    def ref(self, var: str, prop: str) -> "Item":
+        kind = self.props[var][prop]
+        return Item(f"{var}.{prop}", self.sqlref[(var, prop)], kind)
+
+
+@dataclass
+class Item:
+    cy: str
+    sql: str
+    kind: str  # 'int' | 'float' | 'str' | 'bool'
+
+
+@dataclass
+class Pattern:
+    cypher_match: str
+    sql_from: str
+    scope: Scope
+    optional_where_slot: bool = False  # optional-match queries fill WHERE
+    sql_from_opt: str | None = None    # template with {optpred} hole
+
+
+# ------------------------------------------------------------------ #
+# patterns
+# ------------------------------------------------------------------ #
+def _person_scope(var: str, alias: str | None = None) -> tuple[dict, dict]:
+    a = alias or var
+    return (
+        {var: PERSON_PROPS},
+        {(var, p): f"{a}.{p}" for p in PERSON_PROPS},
+    )
+
+
+def pattern_scan_person() -> Pattern:
+    props, refs = _person_scope("n")
+    return Pattern("MATCH (n:Person)", "FROM person n", Scope(props, refs))
+
+
+def pattern_scan_company() -> Pattern:
+    return Pattern(
+        "MATCH (c:Company)",
+        "FROM company c",
+        Scope({"c": COMPANY_PROPS}, {("c", p): f"c.{p}" for p in COMPANY_PROPS}),
+    )
+
+
+def pattern_hop(direction: str) -> Pattern:
+    props = {"n": PERSON_PROPS, "m": PERSON_PROPS, "r": KNOWS_PROPS}
+    refs = {
+        **{("n", p): f"n.{p}" for p in PERSON_PROPS},
+        **{("m", p): f"m.{p}" for p in PERSON_PROPS},
+        ("r", "since"): "r.since",
+    }
+    if direction == "R":
+        cy = "MATCH (n:Person)-[r:KNOWS]->(m:Person)"
+        sql = ("FROM person n JOIN knows r ON r.src = n.id "
+               "JOIN person m ON m.id = r.dst")
+    elif direction == "L":
+        cy = "MATCH (n:Person)<-[r:KNOWS]-(m:Person)"
+        sql = ("FROM person n JOIN knows r ON r.dst = n.id "
+               "JOIN person m ON m.id = r.src")
+    else:  # undirected: each non-loop edge in both orientations, loops once
+        cy = "MATCH (n:Person)-[r:KNOWS]-(m:Person)"
+        sql = (
+            "FROM person n JOIN knows r ON (r.src = n.id OR r.dst = n.id) "
+            "JOIN person m ON m.id = "
+            "(CASE WHEN r.src = n.id THEN r.dst ELSE r.src END)"
+        )
+    return Pattern(cy, sql, Scope(props, refs))
+
+
+def pattern_works_at() -> Pattern:
+    props = {"n": PERSON_PROPS, "c": COMPANY_PROPS}
+    refs = {
+        **{("n", p): f"n.{p}" for p in PERSON_PROPS},
+        **{("c", p): f"c.{p}" for p in COMPANY_PROPS},
+    }
+    return Pattern(
+        "MATCH (n:Person)-[:WORKS_AT]->(c:Company)",
+        "FROM person n JOIN works_at w ON w.src = n.id "
+        "JOIN company c ON c.id = w.dst",
+        Scope(props, refs),
+    )
+
+
+def pattern_two_hop() -> Pattern:
+    props = {"a": PERSON_PROPS, "b": PERSON_PROPS, "c2": PERSON_PROPS,
+             "r1": KNOWS_PROPS, "r2": KNOWS_PROPS}
+    refs = {
+        **{("a", p): f"a.{p}" for p in PERSON_PROPS},
+        **{("b", p): f"b.{p}" for p in PERSON_PROPS},
+        **{("c2", p): f"c2.{p}" for p in PERSON_PROPS},
+        ("r1", "since"): "r1.since",
+        ("r2", "since"): "r2.since",
+    }
+    return Pattern(
+        "MATCH (a:Person)-[r1:KNOWS]->(b:Person)-[r2:KNOWS]->(c2:Person)",
+        "FROM person a JOIN knows r1 ON r1.src = a.id "
+        "JOIN person b ON b.id = r1.dst "
+        "JOIN knows r2 ON r2.src = b.id AND r2.id <> r1.id "
+        "JOIN person c2 ON c2.id = r2.dst",
+        Scope(props, refs),
+    )
+
+
+def pattern_optional() -> Pattern:
+    """MATCH (n:Person) OPTIONAL MATCH (n)-[r:KNOWS]->(m:Person).
+
+    The optional predicate (if drawn) lands in the Cypher OPTIONAL
+    MATCH's WHERE and in the SQL LEFT JOIN's ON — identical keep-null
+    semantics."""
+    props = {"n": PERSON_PROPS, "m": PERSON_PROPS, "r": KNOWS_PROPS}
+    sub_cols = ", ".join(
+        ["r.id AS r_id", "r.src AS r_src", "r.since AS r_since"]
+        + [f"m.{p} AS m_{p}" for p in ["id", *PERSON_PROPS]]
+    )
+    refs = {
+        **{("n", p): f"n.{p}" for p in PERSON_PROPS},
+        **{("m", p): f"q.m_{p}" for p in PERSON_PROPS},
+        ("r", "since"): "q.r_since",
+    }
+    return Pattern(
+        "MATCH (n:Person) OPTIONAL MATCH (n)-[r:KNOWS]->(m:Person)",
+        f"FROM person n LEFT JOIN (SELECT {sub_cols} FROM knows r "
+        "JOIN person m ON m.id = r.dst) q ON q.r_src = n.id",
+        Scope(props, refs),
+        optional_where_slot=True,
+        sql_from_opt=(
+            f"FROM person n LEFT JOIN (SELECT {sub_cols} FROM knows r "
+            "JOIN person m ON m.id = r.dst) q ON q.r_src = n.id "
+            "AND ({optpred})"
+        ),
+    )
+
+
+PATTERNS = [
+    pattern_scan_person, pattern_scan_company,
+    lambda: pattern_hop("R"), lambda: pattern_hop("L"),
+    lambda: pattern_hop("U"), pattern_works_at, pattern_two_hop,
+]
+
+
+# ------------------------------------------------------------------ #
+# predicates
+# ------------------------------------------------------------------ #
+def _lit(kind: str, v) -> tuple[str, str]:
+    if kind == "str":
+        return f"'{v}'", f"'{v}'"
+    return str(v), str(v)
+
+
+@st.composite
+def predicates(draw, scope: Scope, depth: int = 0) -> Item:
+    allrefs = [(v, p) for v, props in scope.props.items() for p in props]
+    choice = draw(st.sampled_from(
+        ["cmp", "cmp", "strpred", "isnull", "inlist", "propcmp"]
+        + ([] if depth >= 2 else ["not", "and", "or", "xor"])
+    ))
+    if choice in ("not", "and", "or", "xor"):
+        a = draw(predicates(scope, depth + 1))
+        if choice == "not":
+            return Item(f"(NOT {a.cy})", f"(NOT {a.sql})", "bool")
+        b = draw(predicates(scope, depth + 1))
+        if choice == "xor":
+            # ternary XOR == null-propagating boolean inequality
+            return Item(f"({a.cy} XOR {b.cy})", f"(({a.sql}) <> ({b.sql}))", "bool")
+        op = choice.upper()
+        return Item(f"({a.cy} {op} {b.cy})", f"({a.sql} {op} {b.sql})", "bool")
+
+    var, prop = draw(st.sampled_from(allrefs))
+    ref = scope.ref(var, prop)
+    if choice == "isnull":
+        neg = draw(st.booleans())
+        k = "IS NOT NULL" if neg else "IS NULL"
+        return Item(f"({ref.cy} {k})", f"({ref.sql} {k})", "bool")
+    if choice == "inlist":
+        consts = {"str": STR_CONSTS, "int": INT_CONSTS, "float": FLOAT_CONSTS}[ref.kind]
+        vals = draw(st.lists(st.sampled_from(consts), min_size=1, max_size=3))
+        cl = ", ".join(_lit(ref.kind, v)[0] for v in vals)
+        return Item(f"({ref.cy} IN [{cl}])", f"({ref.sql} IN ({cl}))", "bool")
+    if choice == "strpred" and ref.kind == "str":
+        kw = draw(st.sampled_from(["STARTS WITH", "ENDS WITH", "CONTAINS"]))
+        c = draw(st.sampled_from(STR_CONSTS))
+        fn = {"STARTS WITH": "starts_with", "ENDS WITH": "ends_with",
+              "CONTAINS": "contains"}[kw]
+        return Item(
+            f"({ref.cy} {kw} '{c}')", f"{fn}({ref.sql}, '{c}')", "bool"
+        )
+    if choice == "propcmp":
+        peers = [(v, p) for (v, p) in allrefs
+                 if scope.props[v][p] == ref.kind or
+                 {scope.props[v][p], ref.kind} <= {"int", "float"}]
+        v2, p2 = draw(st.sampled_from(peers))
+        other = scope.ref(v2, p2)
+        op = draw(st.sampled_from(["=", "<>", "<", "<=", ">", ">="]))
+        sop = "!=" if op == "<>" else op
+        return Item(f"({ref.cy} {op} {other.cy})",
+                    f"({ref.sql} {sop} {other.sql})", "bool")
+    # cmp against a constant (fallback for strpred on non-str refs too)
+    consts = {"str": STR_CONSTS, "int": INT_CONSTS, "float": FLOAT_CONSTS}[ref.kind]
+    v = draw(st.sampled_from(consts))
+    ops = ["=", "<>", "<", "<=", ">", ">="]
+    op = draw(st.sampled_from(ops))
+    sop = "!=" if op == "<>" else op
+    cl, sl = _lit(ref.kind, v)
+    return Item(f"({ref.cy} {op} {cl})", f"({ref.sql} {sop} {sl})", "bool")
+
+
+# ------------------------------------------------------------------ #
+# projection items
+# ------------------------------------------------------------------ #
+@st.composite
+def projection_items(draw, scope: Scope) -> Item:
+    allrefs = [(v, p) for v, props in scope.props.items() for p in props]
+    var, prop = draw(st.sampled_from(allrefs))
+    ref = scope.ref(var, prop)
+    choice = draw(st.sampled_from(["ref", "ref", "ref", "arith", "fn", "case"]))
+    if choice == "arith" and ref.kind in ("int", "float"):
+        consts = INT_CONSTS if ref.kind == "int" else FLOAT_CONSTS
+        c = draw(st.sampled_from(consts))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return Item(f"({ref.cy} {op} {c})", f"({ref.sql} {op} {c})", ref.kind)
+    if choice == "fn":
+        if ref.kind == "str":
+            fn = draw(st.sampled_from(["toUpper", "toLower", "size", "reverse"]))
+            sql = {"toUpper": f"upper({ref.sql})", "toLower": f"lower({ref.sql})",
+                   "size": f"length({ref.sql})",
+                   "reverse": f"reverse({ref.sql})"}[fn]
+            return Item(f"{fn}({ref.cy})", sql,
+                        "int" if fn == "size" else "str")
+        fn = draw(st.sampled_from(["abs", "coalesce"]))
+        if fn == "coalesce":
+            z = 0 if ref.kind == "int" else 0.0
+            return Item(f"coalesce({ref.cy}, {z})",
+                        f"coalesce({ref.sql}, {z})", ref.kind)
+        return Item(f"abs({ref.cy})", f"abs({ref.sql})", ref.kind)
+    if choice == "case":
+        pred = draw(predicates(scope, depth=2))
+        consts = {"str": STR_CONSTS, "int": INT_CONSTS,
+                  "float": FLOAT_CONSTS}[ref.kind]
+        t = draw(st.sampled_from(consts))
+        cl, _ = _lit(ref.kind, t)
+        return Item(
+            f"(CASE WHEN {pred.cy} THEN {cl} ELSE {ref.cy} END)",
+            f"(CASE WHEN {pred.sql} THEN {cl} ELSE {ref.sql} END)",
+            ref.kind,
+        )
+    return ref
+
+
+# ------------------------------------------------------------------ #
+# aggregates
+# ------------------------------------------------------------------ #
+@st.composite
+def agg_items(draw, scope: Scope) -> Item:
+    allrefs = [(v, p) for v, props in scope.props.items() for p in props]
+    kind = draw(st.sampled_from(
+        ["count_star", "count", "count_distinct", "sum", "avg", "min", "max"]
+    ))
+    if kind == "count_star":
+        return Item("count(*)", "count(*)", "int")
+    var, prop = draw(st.sampled_from(allrefs))
+    ref = scope.ref(var, prop)
+    if kind == "count":
+        return Item(f"count({ref.cy})", f"count({ref.sql})", "int")
+    if kind == "count_distinct":
+        return Item(f"count(DISTINCT {ref.cy})",
+                    f"count(DISTINCT {ref.sql})", "int")
+    if kind in ("sum", "avg") and ref.kind not in ("int", "float"):
+        return Item(f"count({ref.cy})", f"count({ref.sql})", "int")
+    if kind == "sum":
+        return Item(f"sum({ref.cy})", f"coalesce(sum({ref.sql}), 0)", ref.kind)
+    if kind == "avg":
+        return Item(f"avg({ref.cy})", f"avg({ref.sql})", "float")
+    return Item(f"{kind}({ref.cy})", f"{kind}({ref.sql})", ref.kind)
+
+
+# ------------------------------------------------------------------ #
+# whole queries
+# ------------------------------------------------------------------ #
+@dataclass
+class QuerySpec:
+    cypher: str
+    sql: str
+    ordered: bool
+
+
+def _order_clause(draw, n_cols: int) -> tuple[str, str]:
+    """ORDER BY over every output column -> unique row sequence."""
+    dirs = [draw(st.booleans()) for _ in range(n_cols)]
+    cy = ", ".join(
+        f"x{i}" + (" DESC" if d else "") for i, d in enumerate(dirs)
+    )
+    sql = ", ".join(
+        f"x{i} DESC NULLS FIRST" if d else f"x{i} ASC NULLS LAST"
+        for i, d in enumerate(dirs)
+    )
+    return f" ORDER BY {cy}", f" ORDER BY {sql}"
+
+
+@st.composite
+def simple_queries(draw, pattern_fns=None) -> QuerySpec:
+    """MATCH <pattern> [WHERE p] RETURN [DISTINCT] items [ORDER ...]."""
+    pat = draw(st.sampled_from(pattern_fns or PATTERNS))()
+    where = draw(st.none() | predicates(pat.scope))
+    items = draw(st.lists(projection_items(pat.scope), min_size=1, max_size=4))
+    distinct = draw(st.booleans())
+    cy_items = ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items))
+    sql_items = ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
+    cy = pat.cypher_match
+    sql_where = ""
+    if where is not None:
+        cy += f" WHERE {where.cy}"
+        sql_where = f" WHERE {where.sql}"
+    d = "DISTINCT " if distinct else ""
+    cy += f" RETURN {d}{cy_items}"
+    sql = f"SELECT {d}{sql_items} {pat.sql_from}{sql_where}"
+    ordered = draw(st.booleans())
+    tail_cy = tail_sql = ""
+    if ordered:
+        tail_cy, tail_sql = _order_clause(draw, len(items))
+        skip = draw(st.none() | st.integers(0, 3))
+        limit = draw(st.none() | st.integers(0, 5))
+        if skip is not None:
+            tail_cy += f" SKIP {skip}"
+        if limit is not None:
+            tail_cy += f" LIMIT {limit}"
+        if limit is not None:
+            tail_sql += f" LIMIT {limit}"
+        if skip is not None:
+            tail_sql += f" OFFSET {skip}"
+    return QuerySpec(cy + tail_cy, f"SELECT * FROM ({sql}) t{tail_sql}", ordered)
+
+
+@st.composite
+def optional_queries(draw) -> QuerySpec:
+    pat = pattern_optional()
+    optpred = draw(st.none() | predicates(pat.scope))
+    items = draw(st.lists(projection_items(pat.scope), min_size=1, max_size=3))
+    cy_items = ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items))
+    sql_items = ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
+    if optpred is None:
+        cy = f"{pat.cypher_match} RETURN {cy_items}"
+        sql = f"SELECT {sql_items} {pat.sql_from}"
+    else:
+        cy = f"{pat.cypher_match} WHERE {optpred.cy} RETURN {cy_items}"
+        sql = (f"SELECT {sql_items} "
+               f"{pat.sql_from_opt.format(optpred=optpred.sql)}")
+    return QuerySpec(cy, sql, ordered=False)
+
+
+@st.composite
+def agg_queries(draw) -> QuerySpec:
+    pat = draw(st.sampled_from(PATTERNS))()
+    where = draw(st.none() | predicates(pat.scope))
+    allrefs = [(v, p) for v, props in pat.scope.props.items() for p in props]
+    keys = draw(st.lists(st.sampled_from(allrefs), min_size=0, max_size=2,
+                         unique=True))
+    aggs = draw(st.lists(agg_items(pat.scope), min_size=1, max_size=3))
+    key_items = [pat.scope.ref(v, p) for v, p in keys]
+    items = key_items + aggs
+    cy_items = ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items))
+    sql_items = ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
+    cy = pat.cypher_match
+    sql_where = ""
+    if where is not None:
+        cy += f" WHERE {where.cy}"
+        sql_where = f" WHERE {where.sql}"
+    cy += f" RETURN {cy_items}"
+    group = ""
+    if key_items:
+        group = " GROUP BY " + ", ".join(
+            f"x{i}" for i in range(len(key_items))
+        )
+    sql = f"SELECT {sql_items} {pat.sql_from}{sql_where}{group}"
+    return QuerySpec(cy, sql, ordered=False)
+
+
+@st.composite
+def with_queries(draw) -> QuerySpec:
+    """MATCH ... WITH keys+aggs WHERE <post-agg pred> RETURN ... — the
+    Cypher HAVING shape."""
+    pat = draw(st.sampled_from(PATTERNS))()
+    allrefs = [(v, p) for v, props in pat.scope.props.items() for p in props]
+    keys = draw(st.lists(st.sampled_from(allrefs), min_size=1, max_size=2,
+                         unique=True))
+    aggs = draw(st.lists(agg_items(pat.scope), min_size=1, max_size=2))
+    key_items = [pat.scope.ref(v, p) for v, p in keys]
+    items = key_items + aggs
+    cy_items = ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items))
+    sql_items = ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
+    group = " GROUP BY " + ", ".join(f"x{i}" for i in range(len(key_items)))
+    inner = f"SELECT {sql_items} {pat.sql_from}{group}"
+    # post-agg predicate over a numeric alias
+    num_aliases = [i for i, it in enumerate(items) if it.kind in ("int", "float")]
+    post = ""
+    sql_post = ""
+    if num_aliases:
+        i = draw(st.sampled_from(num_aliases))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        sop = "!=" if op == "<>" else op
+        c = draw(st.sampled_from(INT_CONSTS))
+        post = f" WHERE x{i} {op} {c}"
+        sql_post = f" WHERE x{i} {sop} {c}"
+    aliases = ", ".join(f"x{i}" for i in range(len(items)))
+    cy = f"{pat.cypher_match} WITH {cy_items}{post} RETURN {aliases}"
+    sql = f"SELECT {aliases} FROM ({inner}) t{sql_post}"
+    return QuerySpec(cy, sql, ordered=False)
+
+
+# ------------------------------------------------------------------ #
+# result comparison
+# ------------------------------------------------------------------ #
+def norm_value(v):
+    import decimal
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return float(f"{v:.9g}")
+    return v
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v).__name__), str(v)) for v in row
+    )
+
+
+def normalize(rows, ordered: bool):
+    out = [tuple(norm_value(v) for v in row) for row in rows]
+    if not ordered:
+        out.sort(key=_sort_key)
+    return out
+
+
+def assert_rows_match(spark_rows, duck_rows, spec: QuerySpec):
+    got = normalize(spark_rows, spec.ordered)
+    want = normalize(duck_rows, spec.ordered)
+    assert len(got) == len(want), (
+        f"row count {len(got)} != {len(want)}\n"
+        f"cypher: {spec.cypher}\nsql: {spec.sql}\n"
+        f"spark: {got[:6]}\nduck:  {want[:6]}"
+    )
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and isinstance(wv, float):
+                ok = gv == wv or abs(gv - wv) <= 1e-6 * max(abs(gv), abs(wv))
+            else:
+                ok = gv == wv
+            assert ok, (
+                f"value {gv!r} != {wv!r}\n"
+                f"cypher: {spec.cypher}\nsql: {spec.sql}\n"
+                f"spark row: {g}\nduck row:  {w}"
+            )

@@ -1,0 +1,151 @@
+"""Query-level property-based differential tests: random Cypher queries
+(patterns x predicates x projections x aggregation x ORDER/SKIP/LIMIT)
+vs DuckDB running the equivalently-generated SQL over the same graph.
+
+Scope mirrors the reference's tests/property_based/test_query_properties.py
+but with a real oracle instead of metamorphic identities. Generator and
+comparison rules live in tests/propgen.py. Total generated queries per
+run: 6 families x EXAMPLES (default 85) >= 510.
+
+Set PROP_EXAMPLES to change the per-family budget.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests import propgen as G
+
+EXAMPLES = int(os.environ.get("PROP_EXAMPLES", "85"))
+
+SETTINGS = dict(
+    max_examples=EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+    print_blob=True,
+)
+
+PERSON_ROWS = [
+    (1, "Alice", 30, "Engineering", 100.0),
+    (2, "Bob", 25, "Sales", 80.0),
+    (3, "Carol", 35, "Engineering", 120.0),
+    (4, "Dave", 28, "Sales", None),
+    (5, "Eve", None, "Marketing", 95.5),
+    (6, "alice", 30, None, 100.0),
+    (7, None, 41, "Engineering", None),
+    (8, "Heidi", 25, "Sales", 80.0),
+]
+COMPANY_ROWS = [(10, "Acme", "Tech"), (11, "Globex", "Finance"),
+                (12, "Initech", None)]
+# includes a cycle (3->1), a self-loop (2->2), parallel edges (1->2 twice)
+# and a null `since`
+KNOWS_ROWS = [
+    (100, 1, 2, 2015), (101, 1, 3, 2018), (102, 2, 3, 2020),
+    (103, 3, 1, 2021), (104, 5, 6, None), (105, 6, 7, 2019),
+    (106, 2, 2, 2022), (107, 8, 1, 2015), (108, 1, 2, 2017),
+]
+WORKS_AT_ROWS = [(200, 1, 10), (201, 2, 10), (202, 1, 11), (203, 5, 12),
+                 (204, 7, 10)]
+
+
+@pytest.fixture(scope="module")
+def rig(spark):
+    """(engine, duckdb connection) over the same fuzz graph."""
+    import duckdb
+    import pandas as pd
+
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Person",
+        spark.createDataFrame(
+            PERSON_ROWS,
+            "id long, name string, age long, dept string, salary double",
+        ),
+    )
+    cat.register_nodes(
+        "Company",
+        spark.createDataFrame(COMPANY_ROWS,
+                              "id long, cname string, industry string"),
+    )
+    cat.register_edges(
+        "KNOWS",
+        spark.createDataFrame(
+            KNOWS_ROWS, "id long, src long, dst long, since long"
+        ),
+        src_label="Person", dst_label="Person",
+    )
+    cat.register_edges(
+        "WORKS_AT",
+        spark.createDataFrame(WORKS_AT_ROWS, "id long, src long, dst long"),
+        src_label="Person", dst_label="Company",
+    )
+    eng = CypherEngine(cat)
+
+    duck = duckdb.connect()
+    duck.register("person", pd.DataFrame(
+        PERSON_ROWS, columns=["id", "name", "age", "dept", "salary"]
+    ).astype({"age": "Int64"}))
+    duck.register("company", pd.DataFrame(
+        COMPANY_ROWS, columns=["id", "cname", "industry"]))
+    duck.register("knows", pd.DataFrame(
+        KNOWS_ROWS, columns=["id", "src", "dst", "since"]
+    ).astype({"since": "Int64"}))
+    duck.register("works_at", pd.DataFrame(
+        WORKS_AT_ROWS, columns=["id", "src", "dst"]))
+    return eng, duck
+
+
+def _check(rig, spec: G.QuerySpec):
+    eng, duck = rig
+    spark_rows = [tuple(r) for r in eng.execute(spec.cypher).collect()]
+    duck_rows = duck.execute(spec.sql).fetchall()
+    G.assert_rows_match(spark_rows, duck_rows, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.simple_queries(
+    pattern_fns=[G.pattern_scan_person, G.pattern_scan_company]))
+def test_scan_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.simple_queries(pattern_fns=[
+    lambda: G.pattern_hop("R"), lambda: G.pattern_hop("L"),
+    lambda: G.pattern_hop("U"), G.pattern_works_at]))
+def test_hop_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.simple_queries(pattern_fns=[G.pattern_two_hop]))
+def test_two_hop_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.optional_queries())
+def test_optional_match_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.agg_queries())
+def test_aggregation_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.with_queries())
+def test_with_having_queries(rig, spec):
+    _check(rig, spec)
