@@ -76,6 +76,35 @@ def test_foreach_over_collected_nodes_updates_only_their_label(golden, run):
     assert run("MATCH (c:City) RETURN c.tag AS t") == [(None,)]
 
 
+def test_foreach_over_unlabeled_collect_raises_when_ambiguous(golden, run):
+    # round-4: collect over an UNLABELED scan yields bare ids with no
+    # label info; with >1 node label in the catalog a mutation through
+    # them cannot be resolved to one table — must refuse, not corrupt
+    golden.execute("CREATE (:City {id: 1, name: 'Metropolis'})")
+    with pytest.raises(ValueError, match="only unique per table"):
+        golden.execute(
+            "MATCH (n) WHERE n.name = 'Alice' WITH collect(n) AS ns "
+            "FOREACH (x IN ns | SET x.tag = 9)"
+        )
+    # transaction rolled back: neither table gained a tag column value
+    assert run("MATCH (p:Person {name:'Alice'}) RETURN p.tag AS t") == [(None,)]
+    assert run("MATCH (c:City) RETURN c.tag AS t") == [(None,)]
+
+
+def test_foreach_over_unlabeled_collect_ok_with_single_label(spark):
+    # a one-label catalog has no ambiguity: bare ids resolve uniquely
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Only", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    eng = CypherEngine(cat)
+    eng.execute("MATCH (n) WITH collect(n) AS ns FOREACH (x IN ns | SET x.tag = 1)")
+    got = eng.execute("MATCH (n:Only) WHERE n.tag = 1 RETURN count(*) AS c")
+    assert got.collect()[0][0] == 2
+
+
 # --------------------------------------------------------------------- #
 # 3. DELETE of a connected node must raise without DETACH
 # --------------------------------------------------------------------- #
