@@ -619,6 +619,74 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+
+def _mm_media():
+    """Deterministic synthetic media for the multimodal gate: the synth
+    builders' parameters ARE the oracle (dims/duration are literals in
+    the SQL below, independent of the decoder implementation)."""
+    from pycypher_nmetl_spark.llmops.multimodal import (
+        synth_bmp, synth_gif, synth_jpeg, synth_png, synth_wav,
+    )
+
+    return [
+        (1, "image", synth_png(101, 77), "image/png"),
+        (2, "image", synth_gif(320, 200), "image/gif"),
+        (3, "image", synth_bmp(64, 48), "image/bmp"),
+        (4, "image", synth_jpeg(1920, 1080), "image/jpeg"),
+        (5, "audio", synth_wav(8000, 16000), "audio/wav"),
+    ]
+
+
+def _q_multimodal(spark, sf_dir):
+    # real header-parse decoders (PNG/GIF/BMP/JPEG dims, stdlib-wave
+    # audio) over Arrow-batched mapInPandas; one unioned feature frame
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops.multimodal import (
+        MEDIA_SCHEMA, extract_audio_features, extract_image_features,
+    )
+
+    rows = [(i, k, bytearray(b), m, {}) for i, k, b, m in _mm_media()]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img = extract_image_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("sample_rate"),
+        "n_bytes",
+        "content_hash",
+    )
+    aud = extract_audio_features(media).select(
+        "media_id",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        "duration_ms",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_bytes",
+        "content_hash",
+    )
+    return img.unionByName(aud)
+
+
+def _mm_oracle_sql() -> str:
+    import hashlib
+
+    vals = []
+    dims = {1: (101, 77), 2: (320, 200), 3: (64, 48), 4: (1920, 1080)}
+    for i, kind, b, _m in _mm_media():
+        h = hashlib.md5(b).hexdigest()
+        if kind == "image":
+            w, ht = dims[i]
+            vals.append(f"({i}, {w}, {ht}, NULL, NULL, {len(b)}, '{h}')")
+        else:  # 8000 frames at 16 kHz -> 500 ms
+            vals.append(f"({i}, NULL, NULL, 500, 16000, {len(b)}, '{h}')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
+        "width, height, duration_ms, sample_rate, n_bytes, content_hash)"
+    )
+
+
 _LLMOPS_QUERIES = {
     "llm_dedup_exact": _q_dedup_exact,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -631,6 +699,7 @@ _LLMOPS_QUERIES = {
     "llm_embedding_neardup": _q_embedding_neardup,
     "llm_simhash_buckets": _q_simhash_buckets,
     "llm_ivf_topk": _q_ivf_topk,
+    "llm_multimodal": _q_multimodal,
 }
 
 _JACCARD_PAIRS_SQL = (
@@ -647,6 +716,7 @@ _JACCARD_PAIRS_SQL = (
 )
 
 _LLMOPS_ORACLE = {
+    "llm_multimodal": _mm_oracle_sql(),
     "llm_dedup_exact": (
         "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents"
     ),

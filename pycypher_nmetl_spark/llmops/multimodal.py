@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side machinery (schemas, batching, partition-aware UDF
-signatures) is real and tested; the codec calls themselves are STUBBED
-(`decode_image`/`decode_audio` raise NotImplementedError unless a
-deterministic fake is requested) because no image/audio libraries exist
-in this container. Swapping in PIL/librosa/etc. is a one-function
-change per modality.
+Decoders are REAL for the common container formats and need no
+external libraries: image dimensions are parsed straight from the
+PNG / JPEG / GIF / BMP headers, audio duration/sample-rate via the
+stdlib `wave` module. PIL is used as an import-gated fallback for
+formats the header parser doesn't know; a deterministic fake decoder
+remains available (fake=True) for pipeline-shape tests.
 
 Scale notes: mapInPandas streams Arrow batches — memory use is bounded
 by `spark.sql.execution.arrow.maxRecordsPerBatch` regardless of blob
@@ -54,25 +54,156 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _parse_image_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) straight from the container header — no imaging
+    library needed for PNG / GIF / BMP / JPEG. None = unknown format."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandated to be the first chunk: bytes 16..24
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 26 and b[:2] == b"BM":
+        return (
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: walk to a SOF marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7:i + 9], "big"),
+                    int.from_bytes(b[i + 5:i + 7], "big"),
+                )
+            i += 2 + seglen
+    return None
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
-    """STUB: returns (width, height). Real impl would use PIL/cv2."""
+    """(width, height). Header parse for PNG/JPEG/GIF/BMP; PIL fallback
+    for other formats when installed; deterministic fake on request."""
     if fake:
         # deterministic fake so the pipeline shape is testable
         return (len(content) % 640 + 1, len(content) % 480 + 1)
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; pass fake=True for the deterministic test decoder"
-    )
+    dims = _parse_image_dims(bytes(content))
+    if dims is not None:
+        return dims
+    try:  # import-gated: PIL is not in the base environment
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        raise NotImplementedError(
+            "unrecognized image format (not PNG/JPEG/GIF/BMP) and PIL is "
+            "not installed; pass fake=True for the deterministic test "
+            "decoder"
+        ) from None
+    with Image.open(io.BytesIO(bytes(content))) as img:
+        return img.size
 
 
 def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int]:
-    """STUB: returns (duration_ms, sample_rate)."""
+    """(duration_ms, sample_rate). Real WAV parse via the stdlib `wave`
+    module; deterministic fake on request."""
     if fake:
         return (len(content) * 10, 16_000)
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; pass fake=True for the deterministic test decoder"
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(content))) as w:
+            sr = w.getframerate()
+            frames = w.getnframes()
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"only WAV audio is decodable without external libraries "
+            f"({e}); pass fake=True for the deterministic test decoder"
+        ) from None
+    if sr <= 0:
+        raise ValueError("WAV header reports a non-positive sample rate")
+    return (frames * 1000 // sr, sr)
+
+
+# ------------------------------------------------------------------ #
+# deterministic synthetic media (tests + differential-gate oracle)
+# ------------------------------------------------------------------ #
+def synth_png(w: int, h: int) -> bytes:
+    """Minimal valid PNG (signature + IHDR + empty IDAT + IEND)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * (h * (w + 1)))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
     )
+
+
+def synth_gif(w: int, h: int) -> bytes:
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00\x00\x00\x3b"
+    )
+
+
+def synth_bmp(w: int, h: int) -> bytes:
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    size = 54 + row * h
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        + b"\x00" * (row * h)
+    )
+
+
+def synth_jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    sof0 = struct.pack(">HBHHB", 8, 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"                              # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + b"\x00\x01\x00\x01\x00\x00"            # APP0
+        + b"\xff\xc0" + sof0                     # SOF0 with dimensions
+        + b"\xff\xd9"                            # EOI
+    )
+
+
+def synth_wav(n_frames: int, sample_rate: int = 16_000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
 
 
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:

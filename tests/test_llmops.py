@@ -233,3 +233,38 @@ def test_ivf_build_skew_ordered_sample(spark):
     nulls = spark.createDataFrame([(1, None)], "id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-null"):
         ivf_build(nulls, "embedding", n_clusters=2, sample=10)
+
+
+def test_real_image_decoders_parse_headers():
+    # round-4: decoders are real — dimensions come from the container
+    # headers, no imaging library needed
+    from pycypher_nmetl_spark.llmops.multimodal import (
+        decode_image, synth_bmp, synth_gif, synth_jpeg, synth_png,
+    )
+
+    assert decode_image(synth_png(101, 77)) == (101, 77)
+    assert decode_image(synth_gif(320, 200)) == (320, 200)
+    assert decode_image(synth_bmp(64, 48)) == (64, 48)
+    assert decode_image(synth_jpeg(1920, 1080)) == (1920, 1080)
+    with pytest.raises(NotImplementedError, match="unrecognized image"):
+        decode_image(b"not an image")
+
+
+def test_real_audio_decoder_parses_wav():
+    from pycypher_nmetl_spark.llmops.multimodal import decode_audio, synth_wav
+
+    assert decode_audio(synth_wav(8000, 16000)) == (500, 16000)
+    assert decode_audio(synth_wav(44100, 44100)) == (1000, 44100)
+    with pytest.raises(NotImplementedError, match="WAV"):
+        decode_audio(b"not audio")
+
+
+def test_image_features_real_decoder_in_spark(spark):
+    from pycypher_nmetl_spark.llmops.multimodal import (
+        MEDIA_SCHEMA, extract_image_features, synth_png,
+    )
+
+    rows = [(1, "image", bytearray(synth_png(33, 21)), "image/png", {})]
+    out = extract_image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out) == 1
+    assert (out[0]["width"], out[0]["height"]) == (33, 21)
