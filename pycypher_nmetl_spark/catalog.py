@@ -197,10 +197,12 @@ class GraphCatalog:
         self._tl.nodes = dict(self._nodes)
         self._tl.edges = dict(self._edges)
 
-    def commit(self) -> None:
+    def commit(self, durable_path: str | None = None) -> None:
         """Promote shadows to canonical tables (atomic pointer swap).
 
-        Reference: relational_models.py:647-668 (commit_query).
+        Reference: relational_models.py:647-668 (commit_query). With
+        ``durable_path`` the committed state is additionally persisted
+        via :meth:`save_durable` (crash-consistent parquet snapshot).
         """
         if self._shadow_nodes is not None:
             self._nodes = self._shadow_nodes
@@ -208,6 +210,105 @@ class GraphCatalog:
             self.data_epoch += 1
         self._tl.nodes = None
         self._tl.edges = None
+        if durable_path is not None:
+            self.save_durable(durable_path)
+
+    # ------------------------------------------------------------------ #
+    # durable snapshots (SURVEY §1.3 durability story: at cluster scale
+    # this is a Delta/iceberg transactional write; locally the same
+    # write-then-atomic-pointer-flip protocol over plain parquet)
+    # ------------------------------------------------------------------ #
+    def save_durable(self, path: str, keep: int = 2) -> str:
+        """Persist every node/edge table to ``path/v<N>/`` as parquet plus
+        a manifest, then atomically repoint ``path/_CURRENT``.
+
+        Crash consistency: tables are written first, the manifest second,
+        the pointer file last via ``os.replace`` (atomic on POSIX) — a
+        kill at any moment leaves ``_CURRENT`` on the previous complete
+        version. Old versions beyond ``keep`` are pruned after the flip.
+        Returns the new version name.
+        """
+        import json
+        import os
+        import shutil
+
+        os.makedirs(path, exist_ok=True)
+        existing = sorted(
+            (d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        version = f"v{(int(existing[-1][1:]) + 1) if existing else 1}"
+        vdir = os.path.join(path, version)
+        manifest: dict = {
+            "version": version,
+            "data_epoch": self.data_epoch,
+            "nodes": {},
+            "edges": {},
+            "fk_collapse": {k: list(v) for k, v in self._fk_collapse.items()},
+        }
+        for label, df in self._nodes.items():
+            rel = f"nodes_{label}"
+            df.write.mode("overwrite").parquet(os.path.join(vdir, rel))
+            manifest["nodes"][label] = {
+                "path": rel,
+                "broadcastable": self.is_broadcastable("n", label),
+            }
+        for rt, df in self._edges.items():
+            rel = f"edges_{rt}"
+            df.write.mode("overwrite").parquet(os.path.join(vdir, rel))
+            src_l, dst_l = self._edge_endpoints.get(rt, (None, None))
+            manifest["edges"][rt] = {
+                "path": rel,
+                "src_label": src_l,
+                "dst_label": dst_l,
+                "broadcastable": self.is_broadcastable("e", rt),
+            }
+        with open(os.path.join(vdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(path, "._CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, "_CURRENT"))
+        for old in existing[: max(0, len(existing) - (keep - 1))]:
+            shutil.rmtree(os.path.join(path, old), ignore_errors=True)
+        return version
+
+    @classmethod
+    def load_durable(cls, spark: SparkSession, path: str) -> "GraphCatalog":
+        """Rebuild a catalog from the snapshot ``_CURRENT`` points at.
+
+        Incomplete newer versions (crash mid-write) are ignored by
+        construction — only the pointer names a readable version.
+        """
+        import json
+        import os
+
+        with open(os.path.join(path, "_CURRENT")) as f:
+            version = f.read().strip()
+        vdir = os.path.join(path, version)
+        with open(os.path.join(vdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        cat = cls(spark)
+        for label, meta in manifest["nodes"].items():
+            cat.register_nodes(
+                label,
+                spark.read.parquet(os.path.join(vdir, meta["path"])),
+                broadcastable=meta.get("broadcastable"),
+            )
+        for rt, meta in manifest["edges"].items():
+            fk = manifest.get("fk_collapse", {}).get(rt)
+            cat.register_edges(
+                rt,
+                spark.read.parquet(os.path.join(vdir, meta["path"])),
+                src_label=meta.get("src_label"),
+                dst_label=meta.get("dst_label"),
+                broadcastable=meta.get("broadcastable"),
+                fk_collapse=tuple(fk) if fk else None,
+            )
+        cat.data_epoch = manifest.get("data_epoch", 0)
+        return cat
 
     def rollback(self) -> None:
         """Discard uncommitted shadows (reference: rollback_query)."""

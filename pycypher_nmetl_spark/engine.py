@@ -49,9 +49,13 @@ class CypherEngine:
         max_cross_join_product_bytes: float | None = 1e16,
         query_timeout_s: float | None = None,
         rate_limit_qps: float | None = None,
+        durable_path: str | None = None,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
+        # when set, every committed mutation also persists a
+        # crash-consistent parquet snapshot (GraphCatalog.save_durable)
+        self.durable_path = durable_path
         self.functions: dict[str, Callable] = dict(functions or {})
         from pycypher_nmetl_spark.cache import ResultCache
         from pycypher_nmetl_spark.procedures import BUILTIN_PROCEDURES
@@ -329,7 +333,7 @@ class CypherEngine:
             self.catalog.begin()
             try:
                 dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
-                self.catalog.commit()
+                self.catalog.commit(durable_path=self.durable_path)
             except Exception:
                 self.catalog.rollback()
                 raise
@@ -354,7 +358,7 @@ class CypherEngine:
         self.catalog.begin()
         try:
             result = self._run_clauses(ast.clauses, params)
-            self.catalog.commit()
+            self.catalog.commit(durable_path=self.durable_path)
             return result
         except Exception:
             self.catalog.rollback()

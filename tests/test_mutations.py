@@ -141,3 +141,76 @@ def test_rollback_on_error(golden, run):
         golden.execute("MATCH (n:Person) SET n.age = bogusfn(n.age)")
     # failed mutation must not leak partial state
     assert run("MATCH (n:Person {name:'Alice'}) RETURN n.age AS age") == [(30,)]
+
+
+# --------------------------------------------------------------------- #
+# round-4: durable commit — parquet snapshot + crash-consistent reload
+# --------------------------------------------------------------------- #
+def test_durable_commit_kill_and_reload(spark, tmp_path):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    store = str(tmp_path / "store")
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Person",
+        spark.createDataFrame([(1, "Alice"), (2, "Bob")], "id long, name string"),
+    )
+    cat.register_edges(
+        "KNOWS",
+        spark.createDataFrame([(100, 1, 2)], "id long, src long, dst long"),
+        src_label="Person", dst_label="Person",
+    )
+    eng = CypherEngine(cat, durable_path=store)
+    eng.execute("CREATE (:Person {id: 3, name: 'Carol'})")
+    eng.execute("MATCH (p:Person {name: 'Alice'}) SET p.vip = true")
+
+    # "kill": drop every in-memory object and reload from the snapshot
+    cat2 = GraphCatalog.load_durable(spark, store)
+    eng2 = CypherEngine(cat2)
+    assert eng2.execute(
+        "MATCH (p:Person) RETURN count(*) AS c"
+    ).collect()[0][0] == 3
+    assert eng2.execute(
+        "MATCH (p:Person {name: 'Alice'}) RETURN p.vip AS v"
+    ).collect()[0][0] is True
+    assert eng2.execute(
+        "MATCH (:Person)-[r:KNOWS]->(:Person) RETURN count(*) AS c"
+    ).collect()[0][0] == 1
+
+
+def test_durable_crash_mid_write_keeps_previous_version(spark, tmp_path):
+    import json
+    import os
+
+    from pycypher_nmetl_spark import GraphCatalog
+
+    store = str(tmp_path / "store")
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Only", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    v1 = cat.save_durable(store)
+    # simulate a crash mid-write of the NEXT version: tables partially
+    # written, manifest absent, _CURRENT never flipped
+    os.makedirs(os.path.join(store, "v2", "nodes_Only"), exist_ok=True)
+    cat2 = GraphCatalog.load_durable(spark, store)
+    assert cat2.nodes("Only").count() == 1
+    with open(os.path.join(store, v1, "manifest.json")) as f:
+        assert json.load(f)["version"] == v1
+
+
+def test_durable_versions_pruned(spark, tmp_path):
+    import os
+
+    from pycypher_nmetl_spark import GraphCatalog
+
+    store = str(tmp_path / "store")
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Only", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    for _ in range(4):
+        cat.save_durable(store, keep=2)
+    versions = sorted(d for d in os.listdir(store) if d.startswith("v"))
+    assert versions == ["v3", "v4"]
+    assert open(os.path.join(store, "_CURRENT")).read() == "v4"
