@@ -514,7 +514,17 @@ def _merge(left: Bindings, right: Bindings, how: str, engine=None) -> Bindings:
             from pycypher_nmetl_spark.guards import check_cross_join
 
             check_cross_join(left.df, right.df, ceiling)
-        return Bindings(left.df.crossJoin(right.df), vars_)
+        # a CartesianProduct's partition count is the PRODUCT of both
+        # sides' (chained cartesians explode into millions of tasks);
+        # collapse a small right side to one partition — each output
+        # task reads the whole right side anyway
+        from pycypher_nmetl_spark.guards import plan_size_bytes
+
+        rdf = right.df
+        rb = plan_size_bytes(rdf)
+        if rb is not None and rb < 8e6:
+            rdf = rdf.coalesce(1)
+        return Bindings(left.df.crossJoin(rdf), vars_)
     # OPTIONAL MATCH with no shared vars: left join ON TRUE preserves the
     # left rows (null-filled) even when the right frame is empty.
     return Bindings(left.df.join(right.df, F.lit(True), "left"), vars_)

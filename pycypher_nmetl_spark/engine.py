@@ -50,6 +50,7 @@ class CypherEngine:
         query_timeout_s: float | None = None,
         rate_limit_qps: float | None = None,
         durable_path: str | None = None,
+        max_complexity: float | None = 1e15,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
@@ -68,6 +69,8 @@ class CypherEngine:
         # safety rails (reference: config.py MAX_CROSS_JOIN_ROWS,
         # timeout_handler.py; see guards.py). None disables either rail.
         self.max_cross_join_product_bytes = max_cross_join_product_bytes
+        # pre-execution cardinality ceiling (reference query_complexity.py)
+        self.max_complexity = max_complexity
         self.query_timeout_s = query_timeout_s
         self.rate_limiter = None
         if rate_limit_qps is not None:
@@ -219,6 +222,10 @@ class CypherEngine:
         t0 = _time.perf_counter()
         try:
             ast = parse(cypher)
+            if self.max_complexity is not None:
+                from pycypher_nmetl_spark.guards import check_complexity
+
+                check_complexity(self.catalog, ast, self.max_complexity)
             if isinstance(ast, UnionQuery):
                 result = self._execute_union(ast, params)
                 mutated = any(

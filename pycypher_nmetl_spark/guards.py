@@ -68,6 +68,129 @@ def check_cross_join(left: DataFrame, right: DataFrame, max_product_bytes: float
         )
 
 
+class QueryComplexityError(RuntimeError):
+    """Estimated result cardinality exceeds the configured ceiling."""
+
+
+def _rows_estimate(catalog, kind: str, name: str) -> float | None:
+    """Driver-side row estimate for a table: registered row_estimate if
+    provided, else Catalyst sizeInBytes / 100B-per-row (no job runs)."""
+    meta = catalog._meta.get((kind, name))
+    if meta is not None and meta.row_estimate:
+        return float(meta.row_estimate)
+    try:
+        df = catalog.nodes(name) if kind == "n" else catalog.edges(name)
+    except KeyError:
+        return None
+    size = plan_size_bytes(df)
+    if size is None:
+        return None
+    return max(1.0, size / 100.0)
+
+
+def estimate_query_complexity(
+    catalog,
+    ast,
+    default_rows: float = 1e5,
+    default_degree: float = 8.0,
+    varlength_hop_cap: int = 8,
+) -> float:
+    """Pre-execution cardinality score for a parsed query.
+
+    Reference parity: query_complexity.py:1-288 (score-and-cap before
+    execution). This is a coarse upper-bound model, not an optimizer:
+    node scans contribute their row estimate, each hop multiplies by
+    the relationship's average out-degree (edge rows / source rows),
+    var-length hops exponentiate the degree (capped), disjoint paths
+    and MATCH clauses multiply (cartesian), and a hop that closes onto
+    an already-bound variable divides by that label's rows (join
+    selectivity of the closure filter). WHERE predicates are ignored —
+    the score is a ceiling check, not a cost model.
+    """
+    from pycypher_nmetl_spark.cypher.ast_nodes import (
+        Match, NodePattern, RelPattern, UnionQuery,
+    )
+
+    if isinstance(ast, UnionQuery):
+        return sum(
+            estimate_query_complexity(
+                catalog, b, default_rows, default_degree, varlength_hop_cap
+            )
+            for b in ast.branches
+        )
+
+    def label_rows(labels: list[str]) -> float:
+        names = labels or catalog.labels()
+        if not names:
+            return default_rows
+        ests = [_rows_estimate(catalog, "n", l) for l in names]
+        ests = [e for e in ests if e is not None]
+        if not ests:
+            return default_rows
+        # multi-label patterns intersect; unlabeled scans union
+        return min(ests) if labels and len(labels) > 1 else sum(ests)
+
+    def degree(types: list[str]) -> float:
+        names = types or catalog.rel_types()
+        total = 0.0
+        known = False
+        for t in names:
+            e = _rows_estimate(catalog, "e", t)
+            if e is None:
+                continue
+            src_l, _ = catalog.edge_endpoints(t)
+            n = _rows_estimate(catalog, "n", src_l) if src_l else None
+            total += e / max(n, 1.0) if n else default_degree
+            known = True
+        return total if known else default_degree
+
+    est = 1.0
+    seen: set[str] = set()
+    for clause in getattr(ast, "clauses", []):
+        if not isinstance(clause, Match):
+            continue
+        for path in clause.paths:
+            elements = path.elements
+            for i, el in enumerate(elements):
+                if isinstance(el, NodePattern):
+                    bound = el.var is not None and el.var in seen
+                    if i == 0:
+                        if not bound:
+                            est *= label_rows(el.labels)
+                    elif bound:
+                        # closing onto a bound var: equality filter
+                        est /= max(label_rows(el.labels), 1.0)
+                    if el.var:
+                        seen.add(el.var)
+                elif isinstance(el, RelPattern):
+                    d = max(degree(el.types), 0.1)
+                    if el.direction == "U":
+                        d *= 2
+                    if el.varlength:
+                        hops = min(el.max_hops or varlength_hop_cap,
+                                   varlength_hop_cap)
+                        est *= max(d, 1.0) ** hops
+                    else:
+                        est *= d
+                    if el.var:
+                        seen.add(el.var)
+    return est
+
+
+def check_complexity(catalog, ast, ceiling: float) -> None:
+    """Raise QueryComplexityError when the estimated cardinality exceeds
+    the ceiling — before any Spark job starts."""
+    score = estimate_query_complexity(catalog, ast)
+    if score > ceiling:
+        raise QueryComplexityError(
+            f"estimated result cardinality {score:.3g} exceeds the "
+            f"max_complexity ceiling ({ceiling:.3g}). The pattern likely "
+            "contains unconstrained cartesian products or deep var-length "
+            "expansions; add shared variables/labels, or raise/disable "
+            "the ceiling (CypherEngine(max_complexity=...))."
+        )
+
+
 class RateLimitExceeded(RuntimeError):
     """Query submission rate exceeded the configured limit."""
 

@@ -104,3 +104,71 @@ def test_audit_log_records_and_metrics(tpch, caplog):
         assert eng.metrics.counters["queries_compiled"] >= 1
     finally:
         audit.disable_audit_log()
+
+
+# --------------------------------------------------------------------- #
+# round-4: pre-execution complexity ceiling (reference query_complexity.py)
+# --------------------------------------------------------------------- #
+def test_complexity_rejects_pathological_cross_join(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.guards import QueryComplexityError
+
+    cat = GraphCatalog(spark)
+    # coalesce(1): a chained cartesian multiplies PARTITION counts
+    # (32^5 tasks would hang the unguarded control query below — the
+    # very pathology the ceiling exists to refuse)
+    cat.register_nodes(
+        "X",
+        spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1),
+        row_estimate=100_000,
+    )
+    eng = CypherEngine(cat)
+    with pytest.raises(QueryComplexityError, match="max_complexity"):
+        # 100k^5 = 1e25 estimated rows — refused before any job starts
+        eng.execute(
+            "MATCH (a:X) MATCH (b:X) MATCH (c:X) MATCH (d:X) MATCH (e:X) "
+            "RETURN count(*) AS c"
+        )
+    # a sane query on the same engine still runs
+    assert eng.execute("MATCH (a:X) RETURN count(*) AS c").collect()[0][0] == 1
+    # ceiling is configurable / removable
+    eng2 = CypherEngine(cat, max_complexity=None)
+    assert (
+        eng2.execute(
+            "MATCH (a:X) MATCH (b:X) MATCH (c:X) MATCH (d:X) MATCH (e:X) "
+            "RETURN count(*) AS c"
+        ).collect()[0][0]
+        == 1
+    )
+
+
+def test_complexity_estimator_shapes(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.cypher.parser import parse
+    from pycypher_nmetl_spark.guards import estimate_query_complexity
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P", spark.createDataFrame([(1,)], "id long"), row_estimate=1000
+    )
+    cat.register_edges(
+        "E",
+        spark.createDataFrame([(1, 1, 1)], "id long, src long, dst long"),
+        src_label="P", dst_label="P",
+    )
+    cat._meta[("e", "E")].row_estimate = 5000  # degree 5
+    CypherEngine(cat)
+    scan = estimate_query_complexity(cat, parse("MATCH (a:P) RETURN a.id AS i"))
+    hop = estimate_query_complexity(
+        cat, parse("MATCH (a:P)-[:E]->(b:P) RETURN a.id AS i")
+    )
+    var8 = estimate_query_complexity(
+        cat, parse("MATCH (a:P)-[:E*1..8]->(b:P) RETURN a.id AS i")
+    )
+    closure = estimate_query_complexity(
+        cat, parse("MATCH (a:P)-[:E]->(b:P)-[:E]->(a) RETURN a.id AS i")
+    )
+    assert scan == 1000
+    assert hop == pytest.approx(5000)        # 1000 * degree 5
+    assert var8 == pytest.approx(1000 * 5**8)
+    assert closure == pytest.approx(25)      # two hops / closure filter
