@@ -102,14 +102,24 @@ _NUMERIC_KINDS = {"int", "float"}
 _STRING_COERCIBLE = {"string", "int", "float", "bool", "date", "timestamp"}
 
 
-def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
-    """Would Spark's analyzer accept a binary comparison of these kinds?
+_SCALAR_CMP_KINDS = {"int", "float", "string", "bool", "date", "timestamp"}
 
-    Mirrors the measured Spark 4 coercion matrix (see VERDICT round-1
-    item 5): numeric x numeric, string x scalar, date x timestamp and
-    same-kind all coerce; bool/temporal x numeric, array x scalar and
-    anything x map are rejected (Cypher: incomparable -> null). None =
-    unknown, caller falls back to an analyzer probe.
+
+def _statically_comparable(lk: str | None, rk: str | None) -> bool | str | None:
+    """Static decision for a binary comparison of these kinds.
+
+    True   -> kinds coerce; use the native Spark comparison.
+    "cross"-> two DIFFERENT value types (Neo4j: `'1' = 1` is false, the
+              reference's pandas evaluator agrees): equality is false,
+              inequality true, orderings null — never Spark's implicit
+              cast, which would make '1' = 1 true.
+    False  -> Spark rejects the comparison and Cypher yields null.
+    None   -> unknown; caller falls back to an analyzer probe.
+
+    Same-kind, numeric x numeric and date x timestamp compare natively;
+    string x date/timestamp keeps SQL-style coercion (the one documented
+    divergence — temporal properties round-trip through strings in the
+    TPC-H fixtures and DuckDB oracles coerce identically).
     """
     if lk is None or rk is None:
         return None
@@ -128,10 +138,12 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | None:
         return True
     if lk in _NUMERIC_KINDS and rk in _NUMERIC_KINDS:
         return True
-    if "string" in (lk, rk) and {lk, rk} <= _STRING_COERCIBLE:
-        return True
     if {lk, rk} <= {"date", "timestamp"}:
         return True
+    if "string" in (lk, rk) and {lk, rk} <= {"string", "date", "timestamp"}:
+        return True
+    if lk in _SCALAR_CMP_KINDS and rk in _SCALAR_CMP_KINDS:
+        return "cross"
     return False
 
 
@@ -554,7 +566,9 @@ class ExprCompiler:
                         cond = self._incomparable_list_cmp(op, left, right)
                 else:
                     dec = _statically_comparable(lk, rk)
-                    if dec is False:
+                    if dec == "cross":
+                        cond = self._cross_type_cmp(op, left, right)
+                    elif dec is False:
                         cond = F.lit(None).cast("boolean")
                     elif dec is None:
                         try:
@@ -565,6 +579,21 @@ class ExprCompiler:
             left = right
             left_ast = rhs_ast
         return functools.reduce(lambda a, b: a & b, conds)
+
+    @staticmethod
+    def _cross_type_cmp(op: str, l: Column, r: Column) -> Column:
+        """Comparison of two DIFFERENT value types (string vs number,
+        bool vs number, temporal vs number, ...): Neo4j defines `=` as
+        false and `<>` as true across value types (null-propagating),
+        and orderings as null. Reference: comparison_evaluator.py:99-158
+        (raw pandas equality — '1' == 1 is False, never coerced)."""
+        null = F.lit(None).cast("boolean")
+        base = F.when(l.isNull() | r.isNull(), null)
+        if op == "=":
+            return base.otherwise(F.lit(False))
+        if op == "<>":
+            return base.otherwise(F.lit(True))
+        return null
 
     @staticmethod
     def _incomparable_list_cmp(op: str, l: Column, r: Column) -> Column:

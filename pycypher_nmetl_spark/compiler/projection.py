@@ -89,6 +89,15 @@ def _compile_aggregate(node, cc: ExprCompiler) -> Column:
         xs = F.sort_array(F.collect_list(arg))
         idx = F.greatest(F.lit(1), F.ceil(p * F.size(xs)).cast("int"))
         return F.element_at(xs, idx)
+    if name in ("approxpercentile", "approxpercentilecont",
+                "approxpercentiledisc"):
+        # scale opt-in: exact percentiles sort/collect the whole group —
+        # at 100 TB use the GK-sketch instead (bounded memory, one pass).
+        # Optional third arg = accuracy (higher = tighter, default 10000).
+        acc = (
+            cc.col(node.args[2]) if len(node.args) > 2 else F.lit(10_000)
+        )
+        return F.approx_percentile(arg, cc.col(node.args[1]), acc)
     raise NotImplementedError(f"aggregate {name}()")
 
 

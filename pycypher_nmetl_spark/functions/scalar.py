@@ -29,6 +29,7 @@ SCALAR_FUNCTIONS: dict[str, object] = {}
 AGGREGATE_FUNCTIONS = {
     "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
     "percentilecont", "percentiledisc", "approxcountdistinct",
+    "approxpercentile", "approxpercentilecont", "approxpercentiledisc",
 }
 
 

@@ -74,7 +74,15 @@ class QueryComplexityError(RuntimeError):
 
 def _rows_estimate(catalog, kind: str, name: str) -> float | None:
     """Driver-side row estimate for a table: registered row_estimate if
-    provided, else Catalyst sizeInBytes / 100B-per-row (no job runs)."""
+    provided, else Catalyst sizeInBytes / 100B-per-row (no job runs).
+
+    The first plausible estimate is cached on the table's metadata —
+    after mutations the table is a join-product plan whose sizeInBytes
+    is a multiplied-out upper bound (measured: 7e18 for a 2-row table
+    after one SET), useless as a row estimate; the pre-mutation number
+    stays representative. Estimates above ~1e12 rows are treated as
+    unknown for the same reason — a genuinely that-large table should
+    register an explicit row_estimate."""
     meta = catalog._meta.get((kind, name))
     if meta is not None and meta.row_estimate:
         return float(meta.row_estimate)
@@ -85,7 +93,12 @@ def _rows_estimate(catalog, kind: str, name: str) -> float | None:
     size = plan_size_bytes(df)
     if size is None:
         return None
-    return max(1.0, size / 100.0)
+    est = max(1.0, size / 100.0)
+    if est > 1e12:
+        return None
+    if meta is not None:
+        meta.row_estimate = int(est)
+    return est
 
 
 def estimate_query_complexity(

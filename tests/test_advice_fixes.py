@@ -230,3 +230,30 @@ def test_array_vs_compatible_numeric_array_coerces(golden, run):
 def test_array_vs_compatible_array_literal_compares(golden, run):
     golden.execute("CREATE (:Box {id: 1, nums: [1, 2, 3]})")
     assert run("MATCH (b:Box) RETURN b.nums = [1, 2, 3] AS eq") == [(True,)]
+
+
+# --------------------------------------------------------------------- #
+# round-4: cross-type scalar comparison follows Neo4j / the reference's
+# pandas evaluator — '1' = 1 is false (never Spark's implicit cast),
+# orderings across value types are null, null still propagates
+# --------------------------------------------------------------------- #
+def test_cross_type_scalar_equality_is_false(golden, run):
+    assert run(
+        "MATCH (p:Person {name:'Alice'}) "
+        "RETURN '1' = 1 AS a, 1 = '1' AS b, true = 1 AS c, "
+        "p.name = 30 AS d, p.age = '30' AS e"
+    ) == [(False, False, False, False, False)]
+
+
+def test_cross_type_scalar_inequality_and_order(golden, run):
+    assert run(
+        "MATCH (p:Person {name:'Alice'}) "
+        "RETURN '1' <> 1 AS ne, '1' < 1 AS lt, p.age >= 'x' AS ge"
+    ) == [(True, None, None)]
+
+
+def test_cross_type_null_still_propagates(golden, run):
+    # Dave's salary is null: null vs string -> null, not false
+    assert run(
+        "MATCH (p:Person {name:'Dave'}) RETURN p.salary = 'x' AS eq"
+    ) == [(None,)]

@@ -84,3 +84,15 @@ def test_global_aggregation_empty_match(run):
     assert run(
         "MATCH (n:Person) WHERE n.age > 100 RETURN count(*) AS c"
     ) == [(0,)]
+
+
+def test_approx_percentile_close_to_exact(golden, run):
+    # round-4 scale opt-in: GK-sketch percentile; on a tiny group with
+    # default accuracy it is exact
+    rows = run(
+        "MATCH (p:Person) RETURN percentileDisc(p.age, 0.5) AS exact, "
+        "approxPercentile(p.age, 0.5) AS approx, "
+        "approxPercentileCont(p.age, 0.5, 1000) AS approx_acc"
+    )
+    exact, approx, approx_acc = rows[0]
+    assert approx == exact == approx_acc == 28

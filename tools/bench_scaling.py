@@ -79,45 +79,53 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
+    # one or more replication factors: `python tools/bench_scaling.py 10 30`
+    ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10]
+    out_path = next((a for a in sys.argv[1:] if not a.isdigit()), "SCALING.json")
     from pycypher_nmetl_spark import get_spark
 
     spark = get_spark(app_name="bench-scaling")
-    replica = f"/tmp/spark_graft_sf{k}x"
-    t0 = time.time()
-    build_replica(spark, k, replica)
-    build_s = round(time.time() - t0, 1)
-
     t1 = run_bench(spark, BASE)
-    tk = run_bench(spark, replica)
+    results = {}
+    builds = {}
+    for k in ks:
+        replica = f"/tmp/spark_graft_sf{k}x"
+        t0 = time.time()
+        build_replica(spark, k, replica)
+        builds[k] = round(time.time() - t0, 1)
+        results[k] = run_bench(spark, replica)
+
     report = {}
     for name in t1:
-        exp = math.log(max(tk[name], 1e-3) / max(t1[name], 1e-3)) / math.log(k)
-        report[name] = {
-            "sf0.1_s": t1[name],
-            f"x{k}_s": tk[name],
-            "exponent": round(exp, 3),
-        }
-    payload = {"k": k, "build_s": build_s, "queries": report}
+        row = {"sf0.1_s": t1[name]}
+        for k in ks:
+            tk = results[k][name]
+            exp = math.log(max(tk, 1e-3) / max(t1[name], 1e-3)) / math.log(k)
+            row[f"x{k}_s"] = tk
+            row[f"exp{k}"] = round(exp, 3)
+        report[name] = row
+    payload = {"ks": ks, "build_s": builds, "queries": report}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 
+    klabels = " ".join(f"{k}x" for k in ks)
     lines = [
-        "# SCALING — bench workload at sf0.1 vs a synthesized "
-        f"{k}x key-shifted replica",
+        "# SCALING — bench workload at sf0.1 vs synthesized "
+        f"key-shifted replicas ({klabels})",
         "",
         "exponent = log(t_big/t_small)/log(k): 1.0 = linear in data,",
         "< 1 = sublinear (fixed overhead amortizing away), > 1 = a plan",
         "that degrades superlinearly and needs attention.",
         "",
-        "| query | sf0.1 (s) | " + f"{k}x (s) | exponent |",
-        "|---|---|---|---|",
+        "| query | sf0.1 (s) | "
+        + " | ".join(f"{k}x (s) | exp{k}" for k in ks) + " |",
+        "|---|---|" + "---|---|" * len(ks),
     ]
     for name, r in report.items():
-        lines.append(
-            f"| {name} | {r['sf0.1_s']} | {r[f'x{k}_s']} | {r['exponent']} |"
-        )
+        cells = [str(r["sf0.1_s"])]
+        for k in ks:
+            cells += [str(r[f"x{k}_s"]), str(r[f"exp{k}"])]
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(payload))
