@@ -677,12 +677,54 @@ class ExprCompiler:
         return F.regexp_like(l, F.concat(F.lit("^(?:"), r, F.lit(")$")))
 
     def _c_InList(self, e: InList) -> Column:
+        """`x IN list` — ternary OR over element equalities, using the
+        same cross-type rules as `=`: `1 IN ['1']` is false (Neo4j),
+        never Spark's implicit cast making it true."""
         item = self.col(e.item)
+        ik = self._static_kind(e.item) if not self.lambda_vars else None
+
+        def _elem_match(k1, k2):
+            # True: native equality applies; False: cross-type (never
+            # equal); None: unknown — fall back to the native operator
+            dec = _statically_comparable(k1, k2) if k1 and k2 else None
+            return {True: True, "cross": False, False: False}.get(dec)
+
         if isinstance(e.collection, ListLit) and all(
             isinstance(x, Literal) for x in e.collection.items
         ):
-            return item.isin([x.value for x in e.collection.items])
-        return F.array_contains(self.col(e.collection), item)
+            vals = [x.value for x in e.collection.items]
+            if not vals:
+                return F.lit(False)  # openCypher: x IN [] is false, even null x
+            if ik is not None:
+                keep, unknown = [], False
+                for v in vals:
+                    m = True if v is None else _elem_match(ik, _py_kind(v))
+                    if m is None:
+                        unknown = True
+                        break
+                    if m:
+                        keep.append(v)
+                if not unknown:
+                    if not keep:  # all elements cross-type, none null
+                        return F.when(
+                            item.isNull(), F.lit(None).cast("boolean")
+                        ).otherwise(F.lit(False))
+                    return item.isin(keep)
+            return item.isin(vals)
+        coll = self.col(e.collection)
+        ek = (
+            self._static_elem_kind(e.collection)
+            if not self.lambda_vars
+            else None
+        )
+        if ek not in (None, "null") and _elem_match(ik, ek) is False:
+            null = F.lit(None).cast("boolean")
+            return (
+                F.when(item.isNull() | coll.isNull(), null)
+                .when(F.exists(coll, lambda x: x.isNull()), null)
+                .otherwise(F.lit(False))
+            )
+        return F.array_contains(coll, item)
 
     def _c_Index(self, e: Index) -> Column:
         # n['key'] on a node/rel variable is dynamic property access

@@ -257,3 +257,12 @@ def test_cross_type_null_still_propagates(golden, run):
     assert run(
         "MATCH (p:Person {name:'Dave'}) RETURN p.salary = 'x' AS eq"
     ) == [(None,)]
+
+
+def test_in_list_cross_type_semantics(golden, run):
+    # IN uses the same cross-type rules as `=`: '1' never equals 1
+    assert run(
+        "MATCH (p:Person {name:'Alice'}) "
+        "RETURN 1 IN ['1'] AS a, '1' IN [1, 2] AS b, 1 IN ['1', 1] AS c, "
+        "2 IN ['2', null] AS d, null IN [] AS e, p.age IN ['30'] AS f"
+    ) == [(False, False, True, None, False, False)]
