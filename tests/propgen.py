@@ -452,6 +452,31 @@ def with_queries(draw) -> QuerySpec:
     return QuerySpec(cy, sql, ordered=False)
 
 
+@st.composite
+def unwind_queries(draw) -> QuerySpec:
+    """UNWIND literal-list AS u MATCH ... WHERE <pred vs u> RETURN ... —
+    correlates the unwound value with pattern properties."""
+    vals = draw(st.lists(st.sampled_from(INT_CONSTS), min_size=1, max_size=4))
+    pat = draw(st.sampled_from([pattern_scan_person,
+                                lambda: pattern_hop("R")]))()
+    allrefs = [(v, p) for v, props in pat.scope.props.items()
+               for p in props if pat.scope.props[v][p] == "int"]
+    var, prop = draw(st.sampled_from(allrefs))
+    ref = pat.scope.ref(var, prop)
+    op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+    sop = "!=" if op == "<>" else op
+    items = draw(st.lists(projection_items(pat.scope), min_size=1, max_size=2))
+    cy_items = ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items, 1))
+    sql_items = ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items, 1))
+    lit = ", ".join(str(v) for v in vals)
+    rows = ", ".join(f"({v})" for v in vals)
+    cy = (f"UNWIND [{lit}] AS u {pat.cypher_match} "
+          f"WHERE {ref.cy} {op} u RETURN u AS x0, {cy_items}")
+    sql = (f"SELECT u AS x0, {sql_items} FROM (VALUES {rows}) uv(u), "
+           f"{pat.sql_from[5:]} WHERE {ref.sql} {sop} u")
+    return QuerySpec(cy, sql, ordered=False)
+
+
 # ------------------------------------------------------------------ #
 # result comparison
 # ------------------------------------------------------------------ #
