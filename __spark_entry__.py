@@ -467,7 +467,14 @@ def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev_ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # ts precision depends on how the dataset was written: TIMESTAMP(NANOS)
+    # arrives as long under nanosAsLong, micros as a native timestamp
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get(
+        "ts"
+    ) == "bigint":
+        ev_ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        ev_ts = F.col("ts").cast("timestamp")
     agg = (
         sdf.withColumn("ev_ts", ev_ts)
         .withWatermark("ev_ts", "1 hour")
