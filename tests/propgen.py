@@ -395,8 +395,13 @@ def optional_queries(draw) -> QuerySpec:
 
 @st.composite
 def agg_queries(draw) -> QuerySpec:
-    pat = draw(st.sampled_from(PATTERNS))()
-    where = draw(st.none() | predicates(pat.scope))
+    pat = draw(st.sampled_from(PATTERNS + [pattern_optional]))()
+    # a WHERE after OPTIONAL MATCH binds to the optional side in Cypher
+    # but would render as an outer (row-dropping) filter in SQL — skip
+    where = (
+        None if pat.optional_where_slot
+        else draw(st.none() | predicates(pat.scope))
+    )
     allrefs = [(v, p) for v, props in pat.scope.props.items() for p in props]
     keys = draw(st.lists(st.sampled_from(allrefs), min_size=0, max_size=2,
                          unique=True))
