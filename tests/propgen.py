@@ -482,6 +482,56 @@ def unwind_queries(draw) -> QuerySpec:
     return QuerySpec(cy, sql, ordered=False)
 
 
+@st.composite
+def varlength_queries(draw) -> QuerySpec:
+    """(a:Person)-[:KNOWS*m..k]{->,<-,-}(b:Person) — the oracle is a
+    recursive CTE that walks edges carrying the visited-edge list, i.e.
+    exactly openCypher's relationship-uniqueness semantics. Undirected
+    walks traverse each non-loop edge in both orientations and each
+    self-loop once (matching the engine's fixed-hop convention)."""
+    direction = draw(st.sampled_from(["R", "L", "U"]))
+    m = draw(st.integers(1, 2))
+    k = draw(st.integers(m, min(m + 2, 4)))
+    start = draw(st.none() | st.sampled_from(["Alice", "Bob", "Carol", "Eve"]))
+    agg = draw(st.booleans())
+
+    arrow = {"R": ("-", "->"), "L": ("<-", "-"), "U": ("-", "-")}[direction]
+    cy = (f"MATCH (a:Person){arrow[0]}[:KNOWS*{m}..{k}]{arrow[1]}(b:Person)")
+    if start is not None:
+        cy = cy.replace("(a:Person)", f"(a:Person {{name: '{start}'}})")
+    if agg:
+        cy += " RETURN count(*) AS x0"
+    else:
+        cy += " RETURN a.id AS x0, b.id AS x1"
+
+    if direction == "R":
+        edges = "SELECT id, src AS f, dst AS t FROM knows"
+    elif direction == "L":
+        edges = "SELECT id, dst AS f, src AS t FROM knows"
+    else:
+        edges = ("SELECT id, src AS f, dst AS t FROM knows UNION ALL "
+                 "SELECT id, dst AS f, src AS t FROM knows WHERE src <> dst")
+    startf = ""
+    if start is not None:
+        startf = (f" WHERE e.f IN (SELECT id FROM person "
+                  f"WHERE name = '{start}')")
+    walk = (
+        f"WITH RECURSIVE e AS ({edges}), "
+        "walk(a, tip, eids, depth) AS ("
+        f"SELECT e.f, e.t, [e.id], 1 FROM e{startf} "
+        "UNION ALL "
+        "SELECT w.a, e.t, list_append(w.eids, e.id), w.depth + 1 "
+        f"FROM walk w JOIN e ON e.f = w.tip "
+        f"WHERE w.depth < {k} AND NOT list_contains(w.eids, e.id)) "
+        f"SELECT a, tip FROM walk WHERE depth BETWEEN {m} AND {k}"
+    )
+    if agg:
+        sql = f"SELECT count(*) AS x0 FROM ({walk}) t"
+    else:
+        sql = f"SELECT a AS x0, tip AS x1 FROM ({walk}) t"
+    return QuerySpec(cy, sql, ordered=False)
+
+
 # ------------------------------------------------------------------ #
 # result comparison
 # ------------------------------------------------------------------ #
