@@ -268,3 +268,31 @@ def test_image_features_real_decoder_in_spark(spark):
     out = extract_image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert len(out) == 1
     assert (out[0]["width"], out[0]["height"]) == (33, 21)
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # a shingle shared by EVERY doc fans out quadratically; max_df cuts
+    # it while near-identical pairs still surface
+    from pycypher_nmetl_spark.llmops import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps over"
+    rows = [
+        (1, common + " lazy dog one"),
+        (2, common + " lazy dog one"),   # exact dup of 1
+        (3, common + " something else entirely here"),
+        (4, common + " another unrelated tail text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.9, max_df=0.6
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # without the cut the same pair (and only it) passes 0.9 too
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert exact == {(1, 2)}
