@@ -532,6 +532,46 @@ def varlength_queries(draw) -> QuerySpec:
     return QuerySpec(cy, sql, ordered=False)
 
 
+@st.composite
+def shortest_path_queries(draw) -> QuerySpec:
+    """shortestPath((a)-[:KNOWS*1..k]->(b)) — min hop count per reachable
+    (a, b) pair; the oracle min-aggregates the uniqueness-walk CTE."""
+    direction = draw(st.sampled_from(["R", "L", "U"]))
+    k = draw(st.integers(1, 4))
+    start = draw(st.none() | st.sampled_from(["Alice", "Bob", "Eve"]))
+    arrow = {"R": ("-", "->"), "L": ("<-", "-"), "U": ("-", "-")}[direction]
+    node_a = "(a:Person)" if start is None else f"(a:Person {{name: '{start}'}})"
+    cy = (
+        f"MATCH p = shortestPath({node_a}{arrow[0]}[:KNOWS*1..{k}]"
+        f"{arrow[1]}(b:Person)) "
+        "RETURN a.id AS x0, b.id AS x1, length(p) AS x2"
+    )
+    if direction == "R":
+        edges = "SELECT id, src AS f, dst AS t FROM knows"
+    elif direction == "L":
+        edges = "SELECT id, dst AS f, src AS t FROM knows"
+    else:
+        edges = ("SELECT id, src AS f, dst AS t FROM knows UNION ALL "
+                 "SELECT id, dst AS f, src AS t FROM knows WHERE src <> dst")
+    startf = ""
+    if start is not None:
+        startf = (f" WHERE e.f IN (SELECT id FROM person "
+                  f"WHERE name = '{start}')")
+    sql = (
+        f"WITH RECURSIVE e AS ({edges}), "
+        "walk(a, tip, eids, depth) AS ("
+        f"SELECT e.f, e.t, [e.id], 1 FROM e{startf} "
+        "UNION ALL "
+        "SELECT w.a, e.t, list_append(w.eids, e.id), w.depth + 1 "
+        f"FROM walk w JOIN e ON e.f = w.tip "
+        f"WHERE w.depth < {k} AND NOT list_contains(w.eids, e.id)) "
+        "SELECT a AS x0, tip AS x1, min(depth) AS x2 FROM walk "
+        "WHERE a <> tip "  # Neo4j forbids identical shortestPath endpoints
+        "GROUP BY a, tip"
+    )
+    return QuerySpec(cy, sql, ordered=False)
+
+
 # ------------------------------------------------------------------ #
 # result comparison
 # ------------------------------------------------------------------ #
