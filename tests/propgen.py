@@ -572,6 +572,44 @@ def shortest_path_queries(draw) -> QuerySpec:
     return QuerySpec(cy, sql, ordered=False)
 
 
+@st.composite
+def exists_queries(draw) -> QuerySpec:
+    """[NOT] EXISTS pattern predicate -> semi/anti join, with an optional
+    inner predicate on the far endpoint."""
+    negated = draw(st.booleans())
+    direction = draw(st.sampled_from(["R", "L"]))
+    inner_pred = draw(st.booleans())
+    items = draw(st.lists(st.sampled_from(list(PERSON_PROPS)), min_size=1,
+                          max_size=2, unique=True))
+    if direction == "R":
+        cy_pat = "(n)-[:KNOWS]->(m:Person)"
+        sql_join = ("FROM knows r JOIN person m ON m.id = r.dst "
+                    "WHERE r.src = n.id")
+    else:
+        cy_pat = "(n)<-[:KNOWS]-(m:Person)"
+        sql_join = ("FROM knows r JOIN person m ON m.id = r.src "
+                    "WHERE r.dst = n.id")
+    cy_inner = sql_inner = ""
+    if inner_pred:
+        prop = draw(st.sampled_from(["age", "dept"]))
+        if prop == "age":
+            c = draw(st.sampled_from(INT_CONSTS[:5]))
+            op = draw(st.sampled_from(["<", ">", ">=", "<="]))
+            cy_inner, sql_inner = f" WHERE m.age {op} {c}", f" AND m.age {op} {c}"
+        else:
+            c = draw(st.sampled_from(["Engineering", "Sales", "HR"]))
+            cy_inner, sql_inner = (f" WHERE m.dept = '{c}'",
+                                   f" AND m.dept = '{c}'")
+    neg = "NOT " if negated else ""
+    cols_cy = ", ".join(f"n.{p} AS x{i}" for i, p in enumerate(items))
+    cols_sql = ", ".join(f"n.{p} AS x{i}" for i, p in enumerate(items))
+    cy = (f"MATCH (n:Person) WHERE {neg}EXISTS {{ MATCH {cy_pat}{cy_inner} }} "
+          f"RETURN {cols_cy}")
+    sql = (f"SELECT {cols_sql} FROM person n WHERE {neg}EXISTS "
+           f"(SELECT 1 {sql_join}{sql_inner})")
+    return QuerySpec(cy, sql, ordered=False)
+
+
 # ------------------------------------------------------------------ #
 # result comparison
 # ------------------------------------------------------------------ #

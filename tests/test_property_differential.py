@@ -5,7 +5,7 @@ vs DuckDB running the equivalently-generated SQL over the same graph.
 Scope mirrors the reference's tests/property_based/test_query_properties.py
 but with a real oracle instead of metamorphic identities. Generator and
 comparison rules live in tests/propgen.py. Total generated queries per
-run: 9 families x EXAMPLES (default 85) >= 765.
+run: 10 families x EXAMPLES (default 85) >= 850.
 
 Set PROP_EXAMPLES to change the per-family budget.
 """
@@ -166,4 +166,10 @@ def test_varlength_queries(rig, spec):
 @settings(**SETTINGS)
 @given(spec=G.shortest_path_queries())
 def test_shortest_path_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.exists_queries())
+def test_exists_queries(rig, spec):
     _check(rig, spec)
