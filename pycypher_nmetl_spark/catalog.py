@@ -271,6 +271,21 @@ class GraphCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(path, "_CURRENT"))
+        # Re-point every in-memory table at the parquet just written:
+        # a catalog built via load_durable holds lazy plans scanning an
+        # *older* version's files, which the prune below would delete —
+        # subsequent queries would hit FileNotFoundException. Swapping to
+        # the new files also truncates mutation lineage for free. The
+        # registration metadata (endpoints, broadcastable, fk_collapse)
+        # is unchanged by construction, so only the frames are swapped.
+        for label in list(self._nodes):
+            self._nodes[label] = self.spark.read.parquet(
+                os.path.join(vdir, f"nodes_{label}")
+            )
+        for rt in list(self._edges):
+            self._edges[rt] = self.spark.read.parquet(
+                os.path.join(vdir, f"edges_{rt}")
+            )
         for old in existing[: max(0, len(existing) - (keep - 1))]:
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
         return version

@@ -333,13 +333,26 @@ def _try_fk_collapse(
             rvar: F.xxhash64(src_e, dst_e),
         })
         pb = Bindings(df, {**pb.vars, rvar: rinfo})
-        if nxt.var is None and not nxt.labels:
-            # anonymous endpoint: the fk value is the binding
+        if nxt.var is None and not nxt.labels and not nxt.props:
+            # anonymous endpoint: the fk value is the binding. Existence
+            # must still hold — a NULL or dangling fk is not an edge, and
+            # the generic path's inner join to the endpoint table drops
+            # such rows. Enforce it with a left-semi join on the endpoint
+            # id column alone (one pruned broadcast-able column, far
+            # cheaper than the full node join this branch avoids).
+            df = df.filter(F.col(fkcol).isNotNull())
+            ids = node_scan(engine, nvar, [next_label])[0].select(nvar)
+            df = df.join(ids, df[fkcol] == ids[nvar], "left_semi")
             df = df.withColumn(nvar, F.col(fkcol))
             pb = Bindings(
                 df, {**pb.vars, nvar: VarInfo("node", (next_label,), anon=True)}
             )
         else:
+            # named / labeled / props-bearing endpoint: join the node
+            # table so property columns resolve (an inline props map on
+            # an anonymous endpoint MUST take this branch — the bare-id
+            # branch has no property columns and the trailing filter
+            # would silently compare NULL and drop every row).
             ndf, ninfo = node_scan(engine, nvar, [next_label])
             ninfo = VarInfo(
                 ninfo.kind, ninfo.labels,

@@ -214,3 +214,33 @@ def test_durable_versions_pruned(spark, tmp_path):
     versions = sorted(d for d in os.listdir(store) if d.startswith("v"))
     assert versions == ["v3", "v4"]
     assert open(os.path.join(store, "_CURRENT")).read() == "v4"
+
+
+def test_durable_reload_survives_pruning(spark, tmp_path):
+    """Round-5 ADVICE fix: a catalog built via load_durable holds lazy
+    plans over the loaded version's files; subsequent durable commits
+    must not prune that version out from under them (previously →
+    FileNotFoundException after two commits at keep=2)."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    store = str(tmp_path / "store")
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Person",
+        spark.createDataFrame([(1, "Alice"), (2, "Bob")], "id long, name string"),
+    )
+    cat.save_durable(store)  # v1
+
+    cat2 = GraphCatalog.load_durable(spark, store)  # plans scan v1
+    eng2 = CypherEngine(cat2, durable_path=store)
+    # two durable commits at keep=2 prune v1; the unmutated Person
+    # table must still be queryable afterwards
+    eng2.execute("CREATE (:Person {id: 3, name: 'Carol'})")  # v2
+    eng2.execute("CREATE (:Person {id: 4, name: 'Dave'})")   # v3, prunes v1
+    import os
+
+    versions = sorted(d for d in os.listdir(store) if d.startswith("v"))
+    assert "v1" not in versions
+    assert eng2.execute(
+        "MATCH (p:Person) RETURN count(*) AS c"
+    ).collect()[0][0] == 4
