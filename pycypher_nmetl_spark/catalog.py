@@ -43,6 +43,11 @@ class TableMeta:
 
     broadcastable: bool = False
     row_estimate: int | None = None
+    # data_epoch at which row_estimate was derived; a mutation commit
+    # bumps the catalog epoch, invalidating derived (non-user-supplied)
+    # estimates (guards._rows_estimate re-derives or degrades gracefully)
+    row_estimate_epoch: int = 0
+    row_estimate_pinned: bool = False  # user-supplied: never invalidated
 
 
 class GraphCatalog:
@@ -99,7 +104,9 @@ class GraphCatalog:
             raise ValueError(f"nodes for label {label!r} need an {ID!r} column")
         self._nodes[label] = df
         self._meta[("n", label)] = TableMeta(
-            broadcastable=bool(broadcastable), row_estimate=row_estimate
+            broadcastable=bool(broadcastable),
+            row_estimate=row_estimate,
+            row_estimate_pinned=row_estimate is not None,
         )
         self._max_id_cache.pop(("n", label), None)
 

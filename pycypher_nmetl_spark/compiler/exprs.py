@@ -679,9 +679,23 @@ class ExprCompiler:
     def _c_InList(self, e: InList) -> Column:
         """`x IN list` — ternary OR over element equalities, using the
         same cross-type rules as `=`: `1 IN ['1']` is false (Neo4j),
-        never Spark's implicit cast making it true."""
+        never Spark's implicit cast making it true.
+
+        Round-5 ADVICE fix: when the item's kind is not statically
+        known, probe the analyzer for its Spark dtype (driver-side
+        only), so `$p IN ['1']` keeps cross-type semantics regardless
+        of whether the param kind was tracked. Inside lambdas (where
+        probing can't analyze the expression) a literal element list
+        falls back to a runtime `typeof`-guarded ternary OR."""
         item = self.col(e.item)
         ik = self._static_kind(e.item) if not self.lambda_vars else None
+        if ik is None and not self.lambda_vars:
+            probed = _dtype_kind(self.bindings.dtype(item))
+            # a failed probe reports NullType -> "null"; the native
+            # operators already yield null for a null-typed item, so
+            # only adopt definite non-null kinds
+            if probed not in (None, "null"):
+                ik = probed
 
         def _elem_match(k1, k2):
             # True: native equality applies; False: cross-type (never
@@ -710,6 +724,8 @@ class ExprCompiler:
                             item.isNull(), F.lit(None).cast("boolean")
                         ).otherwise(F.lit(False))
                     return item.isin(keep)
+            if self.lambda_vars:
+                return self._runtime_in_literals(item, vals)
             return item.isin(vals)
         coll = self.col(e.collection)
         ek = (
@@ -717,6 +733,10 @@ class ExprCompiler:
             if not self.lambda_vars
             else None
         )
+        if ek is None and not self.lambda_vars:
+            cdt = self.bindings.dtype(coll)
+            if isinstance(cdt, T.ArrayType):
+                ek = _dtype_kind(cdt.elementType)
         if ek not in (None, "null") and _elem_match(ik, ek) is False:
             null = F.lit(None).cast("boolean")
             return (
@@ -725,6 +745,57 @@ class ExprCompiler:
                 .otherwise(F.lit(False))
             )
         return F.array_contains(coll, item)
+
+    @staticmethod
+    def _runtime_in_literals(item: Column, vals: list) -> Column:
+        """`x IN [literals...]` when x's kind is unknowable at compile
+        time (lambda context): guard each element equality with a
+        runtime check that x's Spark type class matches the literal's —
+        `typeof()` is constant-folded per column, so the guard costs
+        nothing per row. try_cast keeps ANSI mode from throwing on the
+        unreached branch (`false AND <error>` never evaluates safely in
+        Spark — there is no short-circuit guarantee)."""
+        t = F.typeof(item)
+        kind_class = (
+            F.when(
+                t.rlike("^(tinyint|smallint|int|bigint|float|double|decimal.*)$"),
+                F.lit("num"),
+            )
+            .when(t == "string", F.lit("string"))
+            .when(t == "boolean", F.lit("bool"))
+            .otherwise(F.concat(F.lit("other:"), t))
+        )
+
+        def _match(v) -> Column:
+            if isinstance(v, bool):
+                return (kind_class == "bool") & (
+                    item.try_cast("boolean") == F.lit(v)
+                )
+            if isinstance(v, (int, float)):
+                return (kind_class == "num") & (
+                    item.try_cast("double") == F.lit(float(v))
+                )
+            if isinstance(v, str):
+                return (kind_class == "string") & (
+                    item.try_cast("string") == F.lit(v)
+                )
+            # non-scalar literal kinds can't appear in a parsed literal
+            # list; be safe and never match
+            return F.lit(False)
+
+        null = F.lit(None).cast("boolean")
+        non_null = [v for v in vals if v is not None]
+        any_match = (
+            functools.reduce(lambda a, b: a | b, [_match(v) for v in non_null])
+            if non_null
+            else F.lit(False)
+        )
+        tail = null if len(non_null) < len(vals) else F.lit(False)
+        return (
+            F.when(item.isNull(), null)
+            .when(any_match, F.lit(True))
+            .otherwise(tail)
+        )
 
     def _c_Index(self, e: Index) -> Column:
         # n['key'] on a node/rel variable is dynamic property access

@@ -100,41 +100,74 @@ def build_varlength_path(
 
 
 # --------------------------------------------------------------------- #
+def _lcompat(a, b):
+    """Lenient label-space compatibility: unknown ('') matches anything,
+    known labels must agree (node ids are per-label spaces)."""
+    return (a == "") | (b == "") | (a == b)
+
+
 def _edge_hop_table(
     engine: "CypherEngine", rel: RelPattern, params: dict
 ) -> DataFrame:
-    """Edge table reduced to (_eid, _from, _to) in traversal orientation."""
+    """Edge table reduced to (_eid, _from, _to, _froml, _tol) in traversal
+    orientation. _froml/_tol carry each side's registered endpoint label
+    ('' = unknown): traversal joins are label-guarded because raw node
+    ids are only unique per label (round-5 fix — id collisions across
+    label spaces fabricated paths, e.g. (c:Customer)-[:FROM_NATION*2]->
+    chained a Nation tip back onto same-id Customer edges)."""
     from pycypher_nmetl_spark.compiler.patterns import edge_scan
 
-    tmp = fresh_name("_vl")
-    edf, rinfo = edge_scan(engine, tmp, rel.types)
-    src_c, dst_c = pcol(tmp, "src"), pcol(tmp, "dst")
+    cat = engine.catalog
+    use_types = list(rel.types) if rel.types else cat.rel_types()
+    outs: list[DataFrame] = []
+    for t in use_types:
+        tmp = fresh_name("_vl")
+        edf, rinfo = edge_scan(engine, tmp, [t])
+        src_c, dst_c = pcol(tmp, "src"), pcol(tmp, "dst")
 
-    if rel.props:
-        cc = ExprCompiler(Bindings(edf, {tmp: rinfo}), params)
-        for key, expr in rel.props.pairs:
-            phys = pcol(tmp, key)
-            target = edf[phys] if phys in edf.columns else F.lit(None)
-            edf = edf.filter(target == cc.col(expr))
+        if rel.props:
+            cc = ExprCompiler(Bindings(edf, {tmp: rinfo}), params)
+            for key, expr in rel.props.pairs:
+                phys = pcol(tmp, key)
+                target = edf[phys] if phys in edf.columns else F.lit(None)
+                edf = edf.filter(target == cc.col(expr))
 
-    if rel.direction == "R":
-        sel = edf.select(
-            F.col(tmp).alias("_eid"), F.col(src_c).alias("_from"), F.col(dst_c).alias("_to")
-        )
-    elif rel.direction == "L":
-        sel = edf.select(
-            F.col(tmp).alias("_eid"), F.col(dst_c).alias("_from"), F.col(src_c).alias("_to")
-        )
-    else:  # undirected: both orientations; edge-uniqueness stops backtracking
-        fwd = edf.select(
-            F.col(tmp).alias("_eid"), F.col(src_c).alias("_from"), F.col(dst_c).alias("_to")
-        )
-        bwd = edf.filter(F.col(src_c) != F.col(dst_c)).select(
-            F.col(tmp).alias("_eid"), F.col(dst_c).alias("_from"), F.col(src_c).alias("_to")
-        )
-        # self-loops only once (both orientations are the same traversal)
-        sel = fwd.unionByName(bwd)
-    return sel
+        sl, dl = cat.edge_endpoints(t)
+        sl, dl = F.lit(sl or ""), F.lit(dl or "")
+        if rel.direction == "R":
+            sel = edf.select(
+                F.col(tmp).alias("_eid"),
+                F.col(src_c).alias("_from"), F.col(dst_c).alias("_to"),
+                sl.alias("_froml"), dl.alias("_tol"),
+            )
+        elif rel.direction == "L":
+            sel = edf.select(
+                F.col(tmp).alias("_eid"),
+                F.col(dst_c).alias("_from"), F.col(src_c).alias("_to"),
+                dl.alias("_froml"), sl.alias("_tol"),
+            )
+        else:  # undirected: both orientations; edge-uniqueness stops backtracking
+            fwd = edf.select(
+                F.col(tmp).alias("_eid"),
+                F.col(src_c).alias("_from"), F.col(dst_c).alias("_to"),
+                sl.alias("_froml"), dl.alias("_tol"),
+            )
+            bwd = edf.filter(
+                (F.col(src_c) != F.col(dst_c)) | ~_lcompat(sl, dl)
+            ).select(
+                F.col(tmp).alias("_eid"),
+                F.col(dst_c).alias("_from"), F.col(src_c).alias("_to"),
+                dl.alias("_froml"), sl.alias("_tol"),
+            )
+            # self-loops only once (both orientations are the same
+            # traversal) — but same-id ENDPOINTS of different labels are
+            # distinct nodes, not self-loops, so keep those reversals
+            sel = fwd.unionByName(bwd)
+        outs.append(sel)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def _expand_varlength(
@@ -160,7 +193,20 @@ def _expand_varlength(
     edges = _edge_hop_table(engine, rel, params)
     # (measured: persisting the hop table here is a net loss — AQE's
     # ReuseExchange already dedupes the per-level scans at this scale)
-    starts = pb.df.select(F.col(prev_var).alias("_start")).dropDuplicates()
+    # Start label expression: exact when the binding's label is known,
+    # '' (lenient) for anonymous/multi-label bindings; unlabeled
+    # all-labels scans carry a per-row label column.
+    pinfo = pb.vars.get(prev_var)
+    plabcol = pcol(prev_var, "label")
+    if pinfo is not None and len(pinfo.labels) == 1:
+        prev_l = F.lit(pinfo.labels[0])
+    elif plabcol in pb.df.columns:
+        prev_l = F.col(plabcol)
+    else:
+        prev_l = F.lit("")
+    starts = pb.df.select(
+        F.col(prev_var).alias("_start"), prev_l.alias("_startl")
+    ).dropDuplicates()
 
     if shortest:
         paths = _bfs_shortest(engine, starts, edges, lo, hi, shortest)
@@ -168,32 +214,58 @@ def _expand_varlength(
         paths = _enumerate_lazy(starts, edges, lo, hi)
     else:
         paths = _enumerate_checkpointed(engine, starts, edges, lo, hi)
-    # paths: (_start, _tip, _edges array<edge id>)
+    # paths: (_start, _startl, _tip, _tipl, _edges array<edge id>)
 
     nvar = _ensure_var(nxt)
     already_bound = nvar in pb.vars
     tipname = fresh_name("_tip")
+    tiplname = fresh_name("_tipl")
     edgename = rvar
     paths = paths.select(
         F.col("_start").alias("_vlstart"),
+        F.col("_startl").alias("_vlstartl"),
         F.col("_tip").alias(tipname),
+        F.col("_tipl").alias(tiplname),
         F.col("_edges").alias(edgename),
     )
 
-    df = pb.df.join(paths, pb.df[prev_var] == paths["_vlstart"]).drop("_vlstart")
+    # join back on (id, label): two same-id starts of different labels
+    # are different nodes and must not swap traversals
+    df = pb.df.join(
+        paths,
+        (pb.df[prev_var] == paths["_vlstart"]) & (prev_l == paths["_vlstartl"]),
+    ).drop("_vlstart", "_vlstartl")
     vars_ = dict(pb.vars)
     vars_[rvar] = VarInfo("rel", tuple(rel.types), anon=rel.var is None)
     pb = Bindings(df, vars_)
 
+    def _tip_guard(target_labels: tuple[str, ...] | list[str]):
+        base = F.col(tiplname) == ""
+        if target_labels:
+            return base | F.col(tiplname).isin(*target_labels)
+        return F.lit(True)
+
     if already_bound:
-        pb = pb.with_df(pb.df.filter(F.col(tipname) == F.col(nvar)).drop(tipname))
+        binfo = pb.vars.get(nvar)
+        guard = _tip_guard(binfo.labels if binfo is not None else ())
+        if (binfo is None or not binfo.labels) and pcol(nvar, "label") in pb.df.columns:
+            guard = (F.col(tiplname) == "") | (
+                F.col(tiplname) == F.col(pcol(nvar, "label"))
+            )
+        pb = pb.with_df(
+            pb.df.filter((F.col(tipname) == F.col(nvar)) & guard)
+            .drop(tipname, tiplname)
+        )
     else:
         labels = list(nxt.labels)
         if not labels and nvar in outer.vars and outer.vars[nvar].labels:
             labels = list(outer.vars[nvar].labels)
         if labels:
             ndf, ninfo = node_scan(engine, nvar, labels)
-            df = pb.df.join(ndf, pb.df[tipname] == ndf[nvar], "inner").drop(tipname)
+            fdf = pb.df.filter(_tip_guard(labels))
+            df = fdf.join(
+                ndf, fdf[tipname] == ndf[nvar], "inner"
+            ).drop(tipname, tiplname)
             pb = Bindings(
                 df, {**pb.vars, nvar: VarInfo("node", tuple(labels), anon=nxt.var is None)}
             )
@@ -201,10 +273,18 @@ def _expand_varlength(
             # named endpoint without label knowledge: all-labels scan so
             # property access works
             ndf, _ = node_scan(engine, nvar, [])
-            df = pb.df.join(ndf, pb.df[tipname] == ndf[nvar], "inner").drop(tipname)
+            df = pb.df.join(
+                ndf,
+                (pb.df[tipname] == ndf[nvar])
+                & (
+                    (pb.df[tiplname] == "")
+                    | (pb.df[tiplname] == ndf[pcol(nvar, "label")])
+                ),
+                "inner",
+            ).drop(tipname, tiplname)
             pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", ())})
         else:
-            pb = pb.with_df(pb.df.withColumnRenamed(tipname, nvar))
+            pb = pb.with_df(pb.df.withColumnRenamed(tipname, nvar).drop(tiplname))
             pb = pb.add_var(nvar, VarInfo("node", (), anon=True))
         if nxt.props:
             cc = ExprCompiler(pb, params)
@@ -220,29 +300,52 @@ def _expand_varlength(
 def _zero_hop(starts: DataFrame) -> DataFrame:
     return starts.select(
         F.col("_start"),
+        F.col("_startl"),
         F.col("_start").alias("_tip"),
+        F.col("_startl").alias("_tipl"),
         F.array().cast("array<long>").alias("_edges"),
+    )
+
+
+_PATH_COLS = ("_start", "_startl", "_tip", "_tipl", "_edges")
+
+
+def _first_hop(starts: DataFrame, edges: DataFrame) -> DataFrame:
+    return starts.join(
+        edges,
+        (starts["_start"] == edges["_from"])
+        & _lcompat(starts["_startl"], edges["_froml"]),
+    ).select(
+        "_start", "_startl",
+        F.col("_to").alias("_tip"), F.col("_tol").alias("_tipl"),
+        F.array("_eid").alias("_edges"),
+    )
+
+
+def _next_hop(level: DataFrame, edges: DataFrame) -> DataFrame:
+    return (
+        level.join(
+            edges,
+            (level["_tip"] == edges["_from"])
+            & _lcompat(level["_tipl"], edges["_froml"]),
+        )
+        .filter(~F.array_contains(F.col("_edges"), F.col("_eid")))
+        .select(
+            "_start", "_startl",
+            F.col("_to").alias("_tip"), F.col("_tol").alias("_tipl"),
+            F.array_append("_edges", F.col("_eid")).alias("_edges"),
+        )
     )
 
 
 def _enumerate_lazy(starts: DataFrame, edges: DataFrame, lo: int, hi: int) -> DataFrame:
     """All paths of length lo..hi as one lazy union-of-joins plan."""
     out: list[DataFrame] = [] if lo > 0 else [_zero_hop(starts)]
-    level = starts.join(edges, starts["_start"] == edges["_from"]).select(
-        "_start", F.col("_to").alias("_tip"), F.array("_eid").alias("_edges")
-    )
+    level = _first_hop(starts, edges)
     if lo <= 1:
         out.append(level)
     for k in range(2, hi + 1):
-        level = (
-            level.join(edges, level["_tip"] == edges["_from"])
-            .filter(~F.array_contains(F.col("_edges"), F.col("_eid")))
-            .select(
-                "_start",
-                F.col("_to").alias("_tip"),
-                F.array_append("_edges", F.col("_eid")).alias("_edges"),
-            )
-        )
+        level = _next_hop(level, edges)
         if k >= lo:
             out.append(level)
     res = out[0]
@@ -255,11 +358,7 @@ def _enumerate_checkpointed(
     engine: "CypherEngine", starts: DataFrame, edges: DataFrame, lo: int, hi: int
 ) -> DataFrame:
     """Driver BFS loop with lineage truncation + empty-frontier early exit."""
-    level = (
-        starts.join(edges, starts["_start"] == edges["_from"])
-        .select("_start", F.col("_to").alias("_tip"), F.array("_eid").alias("_edges"))
-        .localCheckpoint()
-    )
+    level = _first_hop(starts, edges).localCheckpoint()
     collected: list[DataFrame] = [] if lo > 0 else [_zero_hop(starts)]
     if lo <= 1:
         collected.append(level)
@@ -267,16 +366,7 @@ def _enumerate_checkpointed(
     while k < hi:
         if level.isEmpty():
             break
-        level = (
-            level.join(edges, level["_tip"] == edges["_from"])
-            .filter(~F.array_contains(F.col("_edges"), F.col("_eid")))
-            .select(
-                "_start",
-                F.col("_to").alias("_tip"),
-                F.array_append("_edges", F.col("_eid")).alias("_edges"),
-            )
-            .localCheckpoint()
-        )
+        level = _next_hop(level, edges).localCheckpoint()
         k += 1
         if k >= lo:
             collected.append(level)
@@ -300,6 +390,7 @@ def _bfs_shortest(
     allShortestPaths -> every min-hop path per (start, end)
     (reference: path_expander.py:299-490).
     """
+    pair_keys = ["_start", "_startl", "_tip", "_tipl"]
     if lo > 1:
         # A pair whose true shortest path is below lo must still yield its
         # shortest *qualifying* (>= lo hops, edge-unique) path. The
@@ -310,7 +401,7 @@ def _bfs_shortest(
         # paths, not as search pruning).
         res = _enumerate_checkpointed(engine, starts, edges, lo, hi)
         if mode == "shortest":
-            w = Window.partitionBy("_start", "_tip").orderBy(
+            w = Window.partitionBy(*pair_keys).orderBy(
                 F.size("_edges"), F.col("_edges")
             )
             return (
@@ -318,26 +409,31 @@ def _bfs_shortest(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        w = Window.partitionBy("_start", "_tip")
+        w = Window.partitionBy(*pair_keys)
         return (
             res.withColumn("_min", F.min(F.size("_edges")).over(w))
             .filter(F.size("_edges") == F.col("_min"))
             .drop("_min")
         )
 
-    visited = starts.select(F.col("_start"), F.col("_start").alias("_tip")).localCheckpoint()
+    # Visited starts EMPTY for lo >= 1 (round-5 fix): pre-seeding it with
+    # (start, start) both (a) swallowed 1-hop paths whose endpoint shares
+    # the start's raw id in a DIFFERENT label space, and (b) made every
+    # shortest cycle back to the start itself unreachable — "reached at
+    # level 0" is only true when the zero-hop path is itself a candidate
+    # (lo == 0).
     frontier = _zero_hop(starts).localCheckpoint()
-    found: list[DataFrame] = [] if lo > 0 else [frontier]
+    if lo == 0:
+        visited = frontier.select(*pair_keys).localCheckpoint()
+        found: list[DataFrame] = [frontier]
+    else:
+        visited = frontier.select(*pair_keys).limit(0).localCheckpoint()
+        found = []
     k = 0
     while k < hi:
         nxt = (
-            frontier.join(edges, frontier["_tip"] == edges["_from"])
-            .select(
-                "_start",
-                F.col("_to").alias("_tip"),
-                F.array_append("_edges", F.col("_eid")).alias("_edges"),
-            )
-            .join(visited, on=["_start", "_tip"], how="left_anti")
+            _next_hop(frontier, edges)
+            .join(visited, on=pair_keys, how="left_anti")
             .localCheckpoint()
         )
         if nxt.isEmpty():
@@ -346,7 +442,7 @@ def _bfs_shortest(
         if k >= lo:
             found.append(nxt)
         visited = (
-            visited.unionByName(nxt.select("_start", "_tip").dropDuplicates())
+            visited.unionByName(nxt.select(*pair_keys).dropDuplicates())
             .dropDuplicates()
             .localCheckpoint()
         )
@@ -357,7 +453,7 @@ def _bfs_shortest(
     for p in found[1:]:
         res = res.unionByName(p)
     if mode == "shortest":
-        w = Window.partitionBy("_start", "_tip").orderBy(F.size("_edges"), F.col("_edges"))
+        w = Window.partitionBy(*pair_keys).orderBy(F.size("_edges"), F.col("_edges"))
         res = (
             res.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

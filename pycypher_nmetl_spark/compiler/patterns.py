@@ -273,6 +273,44 @@ def _scan_node_into(
     return out
 
 
+def _types_label_expr(cat, rvar: str, types: list[str], side: str):
+    """Column holding the registered endpoint label ('' = unknown) of
+    each edge row's type on the given side ('src'/'dst'). A literal for
+    single-type scans (Catalyst constant-folds every downstream guard
+    to true/false — zero runtime cost in the fully-labeled case); a
+    when-chain over the type discriminator column for multi-type unions."""
+    idx = 0 if side == "src" else 1
+    if len(types) == 1:
+        return F.lit(cat.edge_endpoints(types[0])[idx] or "")
+    tcol = F.col(pcol(rvar, "type"))
+    chain = None
+    for t in types:
+        lab = cat.edge_endpoints(t)[idx] or ""
+        chain = (
+            F.when(tcol == t, F.lit(lab))
+            if chain is None
+            else chain.when(tcol == t, F.lit(lab))
+        )
+    return chain.otherwise(F.lit(""))
+
+
+def _label_guard(pb: Bindings, var: str, side_label) -> "F.Column":
+    """Condition that `var`'s label space is compatible with an edge
+    side's label column. Node ids are PER-LABEL spaces in this engine
+    (see mutations: per-label id allocation), so a raw-id equi-join
+    against an edge endpoint is only meaningful when the labels agree.
+    Lenient on unknowns ('' on either side matches anything) so
+    label-less edge registrations keep their current behavior."""
+    base = side_label == ""
+    info = pb.vars.get(var)
+    if info is not None and info.labels:
+        return base | side_label.isin(*info.labels)
+    lab = pcol(var, "label")
+    if lab in pb.df.columns:
+        return base | (side_label == pb.df[lab])
+    return F.lit(True)
+
+
 def _try_fk_collapse(
     engine: "CypherEngine",
     pb: Bindings,
@@ -410,21 +448,49 @@ def _expand(
     rinfo = VarInfo(rinfo.kind, rinfo.labels, anon=rel.var is None)
 
     src_c, dst_c = pcol(rvar, "src"), pcol(rvar, "dst")
+    # transient join-side/other-side endpoint-label columns: node ids are
+    # per-label spaces, so every raw-id join below is guarded by label
+    # compatibility (round-5 fix: (n:Nation)-[:FROM_NATION]->() matched
+    # Customer-keyed edges whenever ids collided across the label spaces).
+    # Dropped before returning; fully constant-folded for single-type,
+    # fully-labeled scans.
+    use_types = list(rel.types) if rel.types else cat.rel_types()
+    jlcol, olcol = pcol(rvar, "__jl"), pcol(rvar, "__ol")
+    slab = _types_label_expr(cat, rvar, use_types, "src")
+    dlab = _types_label_expr(cat, rvar, use_types, "dst")
     if rel.direction == "U":
         # undirected: traverse both orientations (src/dst swapped copy).
         # startNode()/endNode() on an undirected rel reflect traversal order.
+        edf = edf.withColumns({jlcol: slab, olcol: dlab})
         swapped = edf.withColumnsRenamed({src_c: "__tmp", dst_c: src_c}).withColumnRenamed(
             "__tmp", dst_c
+        )
+        # the swapped copy's join side carries dst values: swap the labels
+        swapped = swapped.withColumns(
+            {jlcol: F.col(olcol), olcol: F.col(jlcol)}
         )
         # self-loops appear identically in both orientations; Neo4j
         # matches an undirected self-loop once, so keep only the
         # forward copy (filter the swap, not a post-union DISTINCT —
-        # parallel edges between the same pair must stay distinct)
-        edf = edf.unionByName(swapped.filter(F.col(src_c) != F.col(dst_c)))
+        # parallel edges between the same pair must stay distinct).
+        # Same raw id with two DIFFERENT known endpoint labels is a
+        # cross-space pair, not a self-loop: keep its reversal.
+        edf = edf.unionByName(
+            swapped.filter(
+                (F.col(src_c) != F.col(dst_c))
+                | (
+                    (F.col(jlcol) != "")
+                    & (F.col(olcol) != "")
+                    & (F.col(jlcol) != F.col(olcol))
+                )
+            )
+        )
         join_col, other_col = src_c, dst_c
     elif rel.direction == "R":
+        edf = edf.withColumns({jlcol: slab, olcol: dlab})
         join_col, other_col = src_c, dst_c
     else:  # 'L'
+        edf = edf.withColumns({jlcol: dlab, olcol: slab})
         join_col, other_col = dst_c, src_c
 
     if rel.props:
@@ -434,13 +500,19 @@ def _expand(
             target = edf[phys] if phys in edf.columns else F.lit(None)
             edf = edf.filter(target == cc.col(expr))
 
-    df = pb.df.join(edf, pb.df[prev_var] == edf[join_col], "inner")
+    cond = (pb.df[prev_var] == edf[join_col]) & _label_guard(pb, prev_var, edf[jlcol])
+    df = pb.df.join(edf, cond, "inner")
     pb = Bindings(df, {**pb.vars, rvar: rinfo})
 
     nvar = _ensure_var(nxt)
     if nvar in pb.vars:
         # cyclic back-reference (pattern_matcher.py:502-570)
-        pb = pb.with_df(pb.df.filter(F.col(other_col) == F.col(nvar)))
+        pb = pb.with_df(
+            pb.df.filter(
+                (F.col(other_col) == F.col(nvar))
+                & _label_guard(pb, nvar, F.col(olcol))
+            )
+        )
         if nxt.labels:
             # label check on an already-bound var: semi-join
             pb = pb.with_df(
@@ -450,7 +522,7 @@ def _expand(
                     how="left_semi",
                 )
             )
-        return pb, rvar
+        return pb.with_df(pb.df.drop(jlcol, olcol)), rvar
 
     labels = list(nxt.labels)
     if not labels:
@@ -469,6 +541,12 @@ def _expand(
                 labels = [inferred]
 
     if labels:
+        # declared/inferred endpoint label vs the edge's registered
+        # other-side label: mismatches match nothing (constant-folds to
+        # an empty plan when both are static)
+        pb = pb.with_df(
+            pb.df.filter((F.col(olcol) == "") | F.col(olcol).isin(*labels))
+        )
         ndf, ninfo = node_scan(engine, nvar, labels)
         ninfo = VarInfo(ninfo.kind, ninfo.labels, anon=nxt.var is None or nxt.var.startswith("_anon"))
         df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])
@@ -483,7 +561,12 @@ def _expand(
         # unknown label on a *named* var: union-all scan over every label
         # so property access still works (pattern_matcher.py:152-284)
         ndf, ninfo = node_scan(engine, nvar, [])
-        df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])
+        df = pb.df.join(
+            ndf,
+            (pb.df[other_col] == ndf[nvar])
+            & ((pb.df[olcol] == "") | (pb.df[olcol] == ndf[pcol(nvar, "label")])),
+            "inner",
+        ).drop(ndf[nvar])
         df = df.withColumn(nvar, F.col(other_col))
         pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", ())})
 
@@ -493,7 +576,7 @@ def _expand(
             phys = pcol(nvar, key)
             target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
             pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
-    return pb, rvar
+    return pb.with_df(pb.df.drop(jlcol, olcol)), rvar
 
 
 # ---------------------------------------------------------------------- #

@@ -84,20 +84,32 @@ def _rows_estimate(catalog, kind: str, name: str) -> float | None:
     unknown for the same reason — a genuinely that-large table should
     register an explicit row_estimate."""
     meta = catalog._meta.get((kind, name))
+    epoch = getattr(catalog, "data_epoch", 0)
     if meta is not None and meta.row_estimate:
-        return float(meta.row_estimate)
+        # user-pinned estimates are authoritative; derived ones are valid
+        # only for the epoch they were computed at — a mutation commit
+        # bumps the epoch and forces a re-derive (round-5 ADVICE fix:
+        # permanently cached estimates went stale after large CREATEs)
+        if meta.row_estimate_pinned or meta.row_estimate_epoch == epoch:
+            return float(meta.row_estimate)
     try:
         df = catalog.nodes(name) if kind == "n" else catalog.edges(name)
     except KeyError:
         return None
     size = plan_size_bytes(df)
-    if size is None:
-        return None
-    est = max(1.0, size / 100.0)
-    if est > 1e12:
-        return None
+    est = max(1.0, size / 100.0) if size is not None else None
+    if est is not None and est > 1e12:
+        est = None  # join-product plan upper bound: useless
     if meta is not None:
-        meta.row_estimate = int(est)
+        if est is not None:
+            meta.row_estimate = int(est)
+        # implausible re-derive: keep the previous (stale) estimate —
+        # still more representative than "unknown" — but stamp the
+        # current epoch so the costly plan analysis isn't repeated
+        # until the next mutation commit
+        meta.row_estimate_epoch = epoch
+        if est is None and meta.row_estimate:
+            return float(meta.row_estimate)
     return est
 
 
@@ -164,6 +176,12 @@ def estimate_query_complexity(
             continue
         for path in clause.paths:
             elements = path.elements
+            # shortestPath/allShortestPaths executes as frontier BFS with
+            # per-hop dedup (compiler/paths.py), not full enumeration —
+            # cost ~ edges × hops, so the degree**hops term below would
+            # falsely refuse deep shortestPath on high-degree graphs
+            # (round-5 ADVICE fix)
+            is_shortest = getattr(path, "shortest", None) is not None
             for i, el in enumerate(elements):
                 if isinstance(el, NodePattern):
                     bound = el.var is not None and el.var in seen
@@ -182,7 +200,10 @@ def estimate_query_complexity(
                     if el.varlength:
                         hops = min(el.max_hops or varlength_hop_cap,
                                    varlength_hop_cap)
-                        est *= max(d, 1.0) ** hops
+                        if is_shortest:
+                            est *= max(d, 1.0) * hops  # BFS: linear in hops
+                        else:
+                            est *= max(d, 1.0) ** hops
                     else:
                         est *= d
                     if el.var:

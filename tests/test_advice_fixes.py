@@ -266,3 +266,61 @@ def test_in_list_cross_type_semantics(golden, run):
         "RETURN 1 IN ['1'] AS a, '1' IN [1, 2] AS b, 1 IN ['1', 1] AS c, "
         "2 IN ['2', null] AS d, null IN [] AS e, p.age IN ['30'] AS f"
     ) == [(False, False, True, None, False, False)]
+
+
+def test_in_list_param_item_cross_type(golden):
+    """Round-5 ADVICE fix: `$p IN [...]` keeps cross-type rules even
+    when the item's static kind isn't tracked — never Spark's implicit
+    cast ('1' = 1 must stay false for params too)."""
+    def run_p(q, params):
+        return [tuple(r) for r in golden.execute(q, params).collect()]
+
+    q = "MATCH (p:Person {name:'Alice'}) RETURN $x IN ['1', '2'] AS a"
+    assert run_p(q, {"x": 1}) == [(False,)]
+    assert run_p(q, {"x": "1"}) == [(True,)]
+    q2 = "MATCH (p:Person {name:'Alice'}) RETURN $x IN [1, 2] AS a"
+    assert run_p(q2, {"x": "1"}) == [(False,)]
+    assert run_p(q2, {"x": 1}) == [(True,)]
+    assert run_p(q2, {"x": 1.0}) == [(True,)]   # int/float coerce
+
+
+def test_in_list_inside_lambda_cross_type(golden, run):
+    """Round-5 ADVICE fix: IN with a literal list inside a lambda
+    (list comprehension / quantifier) uses a runtime typeof guard, so
+    cross-type elements never match via implicit cast."""
+    # (the iterated list itself must be homogeneous — Spark arrays
+    # coerce mixed literals at construction; that's a representation
+    # limit of list literals, not of IN)
+    assert run(
+        "RETURN [x IN ['1', '2'] WHERE x IN [1, '2']] AS a"
+    ) == [((["2"]),)]
+    assert run(
+        "RETURN [x IN [1, 2, 3] WHERE x IN [2, '3']] AS a"
+    ) == [(([2],))]
+    assert run(
+        "RETURN any(x IN ['1'] WHERE x IN [1]) AS a"
+    ) == [(False,)]
+    # null semantics preserved under the runtime guard
+    assert run(
+        "RETURN [x IN [1, 2] WHERE x IN [9, null]] AS a"
+    ) == [(([]),)]
+
+
+def test_in_list_unknown_schema_kind_probed(spark):
+    """Items whose kind comes only from the analyzed plan (not the
+    tracked schema) are probed driver-side: cross-type stays false."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "T", spark.createDataFrame([(1, "7")], "id long, code string")
+    )
+    eng = CypherEngine(cat)
+    out = [
+        tuple(r)
+        for r in eng.execute(
+            "MATCH (t:T) RETURN t.code IN [7] AS a, t.code IN ['7'] AS b, "
+            "(t.id + 0) IN ['1'] AS c"
+        ).collect()
+    ]
+    assert out == [(False, True, False)]

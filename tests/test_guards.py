@@ -172,3 +172,70 @@ def test_complexity_estimator_shapes(spark):
     assert hop == pytest.approx(5000)        # 1000 * degree 5
     assert var8 == pytest.approx(1000 * 5**8)
     assert closure == pytest.approx(25)      # two hops / closure filter
+
+
+def test_shortest_path_estimate_linear_not_exponential(spark):
+    """Round-5 ADVICE fix: shortestPath executes as frontier BFS
+    (cost ~ edges x hops), so the estimator must not apply the
+    degree**hops full-enumeration term — deep shortestPath on
+    high-degree graphs was falsely refused."""
+    import pytest as _pt
+
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.cypher.parser import parse
+    from pycypher_nmetl_spark.guards import estimate_query_complexity
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P", spark.createDataFrame([(1,)], "id long"), row_estimate=1000
+    )
+    cat.register_edges(
+        "E",
+        spark.createDataFrame([(1, 1, 1)], "id long, src long, dst long"),
+        src_label="P", dst_label="P",
+    )
+    cat._meta[("e", "E")].row_estimate = 5000  # degree 5
+    CypherEngine(cat)
+    sp = estimate_query_complexity(
+        cat,
+        parse("MATCH p = shortestPath((a:P)-[:E*1..8]->(b:P)) RETURN length(p) AS l"),
+    )
+    enum = estimate_query_complexity(
+        cat, parse("MATCH (a:P)-[:E*1..8]->(b:P) RETURN a.id AS i")
+    )
+    assert sp == _pt.approx(1000 * 5 * 8)  # scan x degree x hops, linear
+    assert enum == _pt.approx(1000 * 5**8)
+    assert sp < enum / 1e3
+
+
+def test_row_estimate_invalidated_on_commit(spark, tmp_path):
+    """Round-5 ADVICE fix: derived row estimates are epoch-keyed and
+    re-derived after a mutation commit; user-pinned ones persist.
+
+    Uses a parquet-backed table: createDataFrame plans are RDD-backed
+    in Spark 4 and report the unknown-size sentinel, so only file scans
+    yield a derived estimate in the first place."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.guards import _rows_estimate
+
+    p = str(tmp_path / "q.parquet")
+    spark.createDataFrame([(i,) for i in range(5)], "id long").write.parquet(p)
+    cat = GraphCatalog(spark)
+    cat.register_nodes("Q", spark.read.parquet(p))
+    cat.register_nodes(
+        "Pinned", spark.createDataFrame([(1,)], "id long"), row_estimate=777
+    )
+    eng = CypherEngine(cat)
+    first = _rows_estimate(cat, "n", "Q")
+    assert first is not None
+    meta = cat._meta[("n", "Q")]
+    assert meta.row_estimate_epoch == cat.data_epoch
+    # poison the cache, then commit a mutation: the stale value must be
+    # re-derived (not returned verbatim) at the new epoch
+    meta.row_estimate = 123456
+    eng.execute("CREATE (:Q {id: 100})")
+    after = _rows_estimate(cat, "n", "Q")
+    assert after != 123456
+    assert meta.row_estimate_epoch == cat.data_epoch
+    # pinned estimates survive commits untouched
+    assert _rows_estimate(cat, "n", "Pinned") == 777.0
