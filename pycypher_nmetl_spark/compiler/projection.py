@@ -40,11 +40,14 @@ if TYPE_CHECKING:
     from pycypher_nmetl_spark.engine import CypherEngine
 
 
-def _compile_aggregate(node, cc: ExprCompiler) -> Column:
+def _compile_aggregate(node, cc: ExprCompiler, approx_percentiles: bool = False) -> Column:
     """One aggregate AST node -> Spark aggregate Column.
 
     Reference semantics: aggregation_evaluator.py:32-196 — all aggregates
-    ignore nulls; count(*) counts rows.
+    ignore nulls; count(*) counts rows. With ``approx_percentiles``
+    (input estimated above engine.percentile_exact_max_rows),
+    percentileCont/Disc compile to the GK sketch instead of the exact
+    whole-group sort — bounded executor memory at corpus scale.
     """
     if isinstance(node, CountStar):
         return F.count(F.lit(1))
@@ -77,12 +80,18 @@ def _compile_aggregate(node, cc: ExprCompiler) -> Column:
     if name == "stdevp":
         return F.stddev_pop(arg)
     if name == "percentilecont":
+        if approx_percentiles:
+            return F.approx_percentile(arg, cc.col(node.args[1]), F.lit(10_000))
         return F.percentile(arg, cc.col(node.args[1]))
     if name == "approxcountdistinct":
         # HLL-sketch distinct count — the scale extension the reference
         # lacks (SURVEY.md §2.5 approximate aggregates)
         return F.approx_count_distinct(arg)
     if name == "percentiledisc":
+        if approx_percentiles:
+            # GK sketch returns an actual element of the group, which is
+            # exactly percentileDisc's contract (within sketch error)
+            return F.approx_percentile(arg, cc.col(node.args[1]), F.lit(10_000))
         # exact lower-interpolation percentile: smallest element whose
         # cumulative fraction >= p (aggregation_evaluator.py:95-134)
         p = cc.col(node.args[1])
@@ -279,11 +288,23 @@ def _aggregate_projection(
             agg_nodes.setdefault(ast_key(node), node)
 
     cc2 = ExprCompiler(Bindings(df, bindings.vars), params, subst, engine.functions)
+    # percentile regime: exact below the configured input-row estimate,
+    # GK sketch above (only probe the plan when a percentile is present)
+    approx_pct = False
+    ceiling = getattr(engine, "percentile_exact_max_rows", None)
+    if ceiling is not None and any(
+        isinstance(n, FuncCall) and n.name in ("percentilecont", "percentiledisc")
+        for n in agg_nodes.values()
+    ):
+        from pycypher_nmetl_spark.guards import plan_size_bytes
+
+        size = plan_size_bytes(df)
+        approx_pct = size is not None and (size / 100.0) > ceiling
     agg_map: dict = {}
     agg_exprs: list[Column] = []
     for k, node in agg_nodes.items():
         icol = fresh_name("_a")
-        agg_exprs.append(_compile_aggregate(node, cc2).alias(icol))
+        agg_exprs.append(_compile_aggregate(node, cc2, approx_pct).alias(icol))
         agg_map[k] = icol
 
     if group_cols or carry:

@@ -51,6 +51,7 @@ class CypherEngine:
         rate_limit_qps: float | None = None,
         durable_path: str | None = None,
         max_complexity: float | None = 1e15,
+        percentile_exact_max_rows: float | None = 10_000_000,
     ):
         self.catalog = catalog
         self.spark = catalog.spark
@@ -71,6 +72,10 @@ class CypherEngine:
         self.max_cross_join_product_bytes = max_cross_join_product_bytes
         # pre-execution cardinality ceiling (reference query_complexity.py)
         self.max_complexity = max_complexity
+        # exact percentiles sort/collect whole groups; above this input
+        # row estimate percentileCont/Disc auto-degrade to the GK sketch
+        # (F.approx_percentile, bounded memory). None = always exact.
+        self.percentile_exact_max_rows = percentile_exact_max_rows
         self.query_timeout_s = query_timeout_s
         self.rate_limiter = None
         if rate_limit_qps is not None:

@@ -49,7 +49,10 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def _pair_jaccard(
-    df: DataFrame, id_col: str, shingle_col: Column, max_df: float | None = None
+    df: DataFrame,
+    id_col: str,
+    shingle_col: Column,
+    max_df: float | str | None = "auto",
 ) -> DataFrame:
     """Exact Jaccard for every pair sharing >= 1 shingle (inverted index).
 
@@ -63,10 +66,25 @@ def _pair_jaccard(
     a near-quadratic join fan-out while carrying almost no similarity
     signal — the standard DF-style stop-shingle cut drops it from BOTH
     the numerator and the denominator (Jaccard over the filtered shingle
-    space). Off by default: results are exact Jaccard unless set."""
+    space).
+
+    Default ``"auto"`` (round-5): cut shingles present in more than
+    max(1000, 0.1% of docs) documents, so a first-time user on a corpus
+    with one viral shingle doesn't hit a near-quadratic hot bucket. The
+    auto cut is a no-op below 1000 documents (no shingle can exceed it
+    — the plan stays the exact inverted-index self-join), and above that
+    it perturbs a pair's Jaccard by at most 1/|union| per cut shingle.
+    Pass ``max_df=None`` for exact Jaccard regardless of corpus shape."""
     base = df.select(F.col(id_col).alias("_id"), shingle_col.alias("_sh"))
-    if max_df is not None:
+    cut = None
+    if max_df == "auto":
+        n_docs = base.count()
+        auto_cut = max(1000, int(0.001 * n_docs))
+        if n_docs > auto_cut:
+            cut = auto_cut
+    elif max_df is not None:
         cut = max(1, int(max_df * base.count()))
+    if cut is not None:
         exploded = base.select(
             "_id", F.explode(F.transform("_sh", lambda g: F.xxhash64(g))).alias("_g")
         ).dropDuplicates(["_id", "_g"])
@@ -107,13 +125,15 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.7,
-    max_df: float | None = None,
+    max_df: float | str | None = "auto",
 ) -> DataFrame:
-    """Exact near-duplicate pairs by word-k-gram Jaccard >= threshold.
+    """Near-duplicate pairs by word-k-gram Jaccard >= threshold.
 
-    Pass ``max_df`` (e.g. 0.3) at corpus scale to drop shingles present
-    in more than that fraction of documents before the inverted-index
-    self-join — the hot-shingle skew mitigation (see _pair_jaccard)."""
+    ``max_df="auto"`` (default) cuts shingles present in more than
+    max(1000, 0.1% of docs) documents before the inverted-index
+    self-join — the hot-shingle skew mitigation, a no-op below 1000
+    docs. Pass a fraction (e.g. 0.3) for an explicit cut, or None for
+    exact Jaccard regardless of corpus shape (see _pair_jaccard)."""
     return (
         _pair_jaccard(df, id_col, shingles(F.col(text_col), k), max_df=max_df)
         .filter(F.col("jaccard") >= threshold)

@@ -191,12 +191,18 @@ def ivf_build(
     if n <= sample:
         rows = vecs.collect()
     else:
-        frac = min(1.0, 1.5 * sample / n)  # oversample, then trim
-        rows = vecs.sample(fraction=frac, seed=42).limit(sample).collect()
+        # uniform sample; any trim back to `sample` happens DRIVER-side
+        # with the RNG — a .limit() after sample() would take the first
+        # partitions of the sampled stream, silently dropping the tail
+        # partitions of partition-ordered data (round-5 ADVICE fix)
+        frac = min(1.0, 1.5 * sample / n)
+        rows = vecs.sample(fraction=frac, seed=42).collect()
         if not rows:  # pathological tiny-fraction draw
             rows = vecs.limit(sample).collect()
     X = np.array([r[0] for r in rows], dtype="float64")
     rng = np.random.RandomState(42)
+    if len(X) > sample:
+        X = X[rng.choice(len(X), size=sample, replace=False)]
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     for _ in range(iters):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)

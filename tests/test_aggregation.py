@@ -96,3 +96,34 @@ def test_approx_percentile_close_to_exact(golden, run):
     )
     exact, approx, approx_acc = rows[0]
     assert approx == exact == approx_acc == 28
+
+
+def test_percentile_auto_approx_above_threshold(spark, tmp_path):
+    """Round-5: percentileCont/Disc switch to the GK sketch when the
+    input row estimate exceeds engine.percentile_exact_max_rows; stay
+    exact below (the default 10M ceiling)."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    p = str(tmp_path / "v.parquet")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 1002)], "id long, v double"
+    ).write.parquet(p)
+
+    def build(**kw):
+        cat = GraphCatalog(spark)
+        cat.register_nodes("V", spark.read.parquet(p))
+        return CypherEngine(cat, **kw)
+
+    q = (
+        "MATCH (n:V) RETURN percentileCont(n.v, 0.5) AS c, "
+        "percentileDisc(n.v, 0.5) AS d"
+    )
+    exact = build().execute(q).collect()[0]
+    assert exact["c"] == 501.0 and exact["d"] == 501.0
+    approx = build(percentile_exact_max_rows=1).execute(q).collect()[0]
+    # sketch at accuracy 10k is exact for 1001 rows
+    assert abs(approx["c"] - 501.0) <= 1.0
+    assert abs(approx["d"] - 501.0) <= 1.0
+    # None disables the auto switch entirely
+    off = build(percentile_exact_max_rows=None).execute(q).collect()[0]
+    assert off["c"] == 501.0

@@ -296,3 +296,45 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
     }
     assert exact == {(1, 2)}
+
+
+def test_ivf_build_trim_not_partition_ordered(spark):
+    # round-5 ADVICE: after sample(), trimming back to `sample` rows must
+    # happen driver-side with the RNG — a .limit() would keep only the
+    # FIRST partitions of the sampled stream. Cluster B lives entirely in
+    # the tail partitions and is wider than the oversample margin, so a
+    # partition-ordered trim would drop it completely.
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    a = rng.normal([10, 0, 0], 0.1, size=(700, 3))
+    b = rng.normal([0, 10, 0], 0.1, size=(300, 3))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.concatenate([a, b]))]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>"
+    ).repartitionByRange(10, "id")
+    assigned, cents = ivf_build(df, "embedding", n_clusters=2, sample=60, iters=10)
+    cents = np.array(cents)
+    assert any(c[0] > 5 for c in cents) and any(c[1] > 5 for c in cents)
+
+
+def test_ngram_jaccard_auto_cut_viral_shingle(spark):
+    # round-5: default max_df="auto" bounds the hot bucket on a corpus
+    # with one viral shingle while leaving pair recall unchanged — and
+    # is a pure no-op below 1000 docs (identical result to exact).
+    import random
+
+    rng = random.Random(3)
+    docs = []
+    # 1200 docs, each ending with the same viral 3-gram; two true dups
+    for i in range(1200):
+        words = [f"w{rng.randrange(10_000)}" for _ in range(12)]
+        docs.append((i, " ".join(words) + " visit our site now"))
+    docs.append((2000, docs[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    auto = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.7)
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.7, max_df=None)
+    got_auto = {(r["id1"], r["id2"]) for r in auto.collect()}
+    got_exact = {(r["id1"], r["id2"]) for r in exact.collect()}
+    assert (0, 2000) in got_auto
+    assert got_auto == got_exact  # recall unchanged by the auto cut
