@@ -454,6 +454,94 @@ def _q_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = [0]
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """(streaming df, event-time Column) over events.parquet."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get(
+        "ts"
+    ) == "bigint":
+        ev_ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        ev_ts = F.col("ts").cast("timestamp")
+    return sdf, ev_ts
+
+
+def _run_stream(agg, name_prefix: str, mode: str = "complete"):
+    _STREAM_SEQ[0] += 1
+    name = f"{name_prefix}_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+def _q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-merged session windows per user (library operator
+    streaming/windows.py session_window_agg; reference windows.py:137-176).
+    Oracle: islands-style gap merge in SQL — sessions break when the gap
+    to the previous event is >= 30 minutes; Spark's session end is
+    last-event + gap."""
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.streaming.windows import session_window_agg
+
+    sdf, ev_ts = _events_stream(spark, sf_dir)
+    agg = session_window_agg(
+        sdf.withColumn("ev_ts", ev_ts),
+        "ev_ts",
+        "30 minutes",
+        {
+            "cnt": F.count(F.lit(1)),
+            "total": F.round(F.sum("value"), 2),
+        },
+        keys=["user_id"],
+        watermark="1 hour",
+    ).select(
+        "session_start", "session_end", F.col("user_id").alias("uid"),
+        "cnt", "total",
+    )
+    name = _run_stream(agg, "gate_stream_sess")
+    return spark.sql(
+        f"SELECT session_start, session_end, uid, cnt, total FROM {name}"
+    )
+
+
+def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (library StreamPipeline.join_static;
+    reference: StreamTableJoin, joins.py:19-205): events stream joined to
+    the customer dimension snapshot, aggregated per market segment."""
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.streaming.core import StreamPipeline
+
+    sdf, ev_ts = _events_stream(spark, sf_dir)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    )
+    pipe = StreamPipeline(sdf.withColumn("ev_ts", ev_ts)).join_static(
+        customers, on=["user_id"], how="inner"
+    )
+    agg = (
+        pipe.df.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    name = _run_stream(agg, "gate_stream_join")
+    return spark.sql(f"SELECT seg, cnt, total FROM {name}")
+
+
 def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet: watermark + 1-day tumbling
     window aggregation, availableNow trigger, memory sink."""
@@ -813,6 +901,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _EXTRA_QUERIES = {
     "mutation_roundtrip": _q_mutation_roundtrip,
     "stream_window_agg": _q_stream_window,
+    "stream_session_window": _q_stream_session_window,
+    "stream_static_join": _q_stream_static_join,
 }
 
 _EXTRA_ORACLE = {
@@ -823,6 +913,28 @@ _EXTRA_ORACLE = {
     "stream_window_agg": (
         "SELECT date_trunc('day', ts)::DATE AS day, event_type AS etype, "
         "count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY 1, 2"
+    ),
+    # islands-style gap merge: a session breaks when the gap to the
+    # previous event is >= 30 min; Spark session end = last event + gap
+    "stream_session_window": (
+        "WITH t AS ("
+        "  SELECT user_id, ts, value,"
+        "         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        "                 >= INTERVAL 30 MINUTE"
+        "              THEN 1 ELSE 0 END AS brk"
+        "  FROM events), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        "      ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
+        "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,"
+        "       user_id AS uid, count(*) AS cnt, round(sum(value), 2) AS total "
+        "FROM s GROUP BY user_id, sid"
+    ),
+    "stream_static_join": (
+        "SELECT c.c_mktsegment AS seg, count(*) AS cnt,"
+        "       round(sum(e.value), 2) AS total "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY 1"
     ),
 }
 

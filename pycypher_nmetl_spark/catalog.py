@@ -66,6 +66,12 @@ class GraphCatalog:
         # each other's uncommitted state (reference: ExecutionScope
         # ContextVar isolation, relational_models.py:341-401)
         self._tl = threading.local()
+        # writer serialization: concurrent mutation transactions take this
+        # lock for their whole begin -> commit span, so the second writer
+        # snapshots AFTER the first's pointer swap (no lost updates).
+        # Readers never take it — they compile against a thread-local
+        # begin() snapshot and stay lock-free (round-5 concurrency work).
+        self._write_lock = threading.RLock()
         # registered Cypher scalar functions / procedures
         self.functions: dict[str, object] = {}
         self.procedures: dict[str, object] = {}

@@ -115,7 +115,7 @@ def _edge_hop_table(
     ids are only unique per label (round-5 fix — id collisions across
     label spaces fabricated paths, e.g. (c:Customer)-[:FROM_NATION*2]->
     chained a Nation tip back onto same-id Customer edges)."""
-    from pycypher_nmetl_spark.compiler.patterns import edge_scan
+    from pycypher_nmetl_spark.compiler.patterns import edge_scan, entity_prop_col
 
     cat = engine.catalog
     use_types = list(rel.types) if rel.types else cat.rel_types()
@@ -128,8 +128,7 @@ def _edge_hop_table(
         if rel.props:
             cc = ExprCompiler(Bindings(edf, {tmp: rinfo}), params)
             for key, expr in rel.props.pairs:
-                phys = pcol(tmp, key)
-                target = edf[phys] if phys in edf.columns else F.lit(None)
+                target = entity_prop_col(edf, tmp, key)
                 edf = edf.filter(target == cc.col(expr))
 
         sl, dl = cat.edge_endpoints(t)
@@ -180,7 +179,9 @@ def _expand_varlength(
     params: dict,
     shortest: str | None,
 ):
-    from pycypher_nmetl_spark.compiler.patterns import _ensure_var, node_scan
+    from pycypher_nmetl_spark.compiler.patterns import (
+        _ensure_var, entity_prop_col, node_scan,
+    )
 
     cat = engine.catalog
     rvar = rel.var or fresh_name("_anon")
@@ -289,8 +290,7 @@ def _expand_varlength(
         if nxt.props:
             cc = ExprCompiler(pb, params)
             for key, expr in nxt.props.pairs:
-                phys = pcol(nvar, key)
-                target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+                target = entity_prop_col(pb.df, nvar, key)
                 pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
 
     return pb, rvar, F.size(F.col(edgename))
@@ -400,6 +400,12 @@ def _bfs_shortest(
         # path_expander applies the lower bound as a filter on found
         # paths, not as search pruning).
         res = _enumerate_checkpointed(engine, starts, edges, lo, hi)
+        # Neo4j: shortestPath yields nothing for identical endpoints
+        # (same node = same id AND same label space — NOT merely the
+        # same raw id, round-5 fix)
+        res = res.filter(
+            ~((F.col("_tip") == F.col("_start")) & (F.col("_tipl") == F.col("_startl")))
+        )
         if mode == "shortest":
             w = Window.partitionBy(*pair_keys).orderBy(
                 F.size("_edges"), F.col("_edges")
@@ -416,19 +422,16 @@ def _bfs_shortest(
             .drop("_min")
         )
 
-    # Visited starts EMPTY for lo >= 1 (round-5 fix): pre-seeding it with
-    # (start, start) both (a) swallowed 1-hop paths whose endpoint shares
-    # the start's raw id in a DIFFERENT label space, and (b) made every
-    # shortest cycle back to the start itself unreachable — "reached at
-    # level 0" is only true when the zero-hop path is itself a candidate
-    # (lo == 0).
+    # Pre-seeding visited with the zero-hop keys does double duty: BFS
+    # minimality pruning AND Neo4j's identical-endpoints exclusion
+    # (shortestPath((a)-[*1..]->(b)) yields nothing for a == b; the
+    # fuzzer oracle and reference path_expander agree). The keys are
+    # (id, label)-qualified (round-5 fix): a plain raw-id seed also
+    # swallowed 1-hop paths whose endpoint shares the start's raw id in
+    # a DIFFERENT label space — a different node entirely.
     frontier = _zero_hop(starts).localCheckpoint()
-    if lo == 0:
-        visited = frontier.select(*pair_keys).localCheckpoint()
-        found: list[DataFrame] = [frontier]
-    else:
-        visited = frontier.select(*pair_keys).limit(0).localCheckpoint()
-        found = []
+    visited = frontier.select(*pair_keys).localCheckpoint()
+    found: list[DataFrame] = [] if lo > 0 else [frontier]
     k = 0
     while k < hi:
         nxt = (

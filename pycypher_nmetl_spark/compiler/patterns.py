@@ -121,6 +121,19 @@ if TYPE_CHECKING:
 # ---------------------------------------------------------------------- #
 # node scans
 # ---------------------------------------------------------------------- #
+def entity_prop_col(df: DataFrame, var: str, key: str):
+    """Resolve an inline-props-map key against an entity's columns.
+
+    `id` is the identity column itself, not a `var__id` satellite —
+    without this, `MATCH (n:Person {id: 1})` compiled to a NULL = 1
+    filter and silently matched nothing (round-5 fuzzer find; the
+    ExprCompiler's `n.id` path at exprs.py _c_Prop already knew this)."""
+    if key == "id":
+        return df[var]
+    phys = pcol(var, key)
+    return df[phys] if phys in df.columns else F.lit(None)
+
+
 def node_scan(engine: "CypherEngine", var: str, labels: list[str]) -> tuple[DataFrame, VarInfo]:
     """Scan a label (or all labels) into var-prefixed columns."""
     cat = engine.catalog
@@ -267,8 +280,7 @@ def _scan_node_into(
     if np.props:
         cc = ExprCompiler(out, params)
         for key, expr in np.props.pairs:
-            phys = pcol(var, key)
-            target = out.df[phys] if phys in out.df.columns else F.lit(None)
+            target = entity_prop_col(out.df, var, key)
             out = out.with_df(out.df.filter(target == cc.col(expr)))
     return out
 
@@ -423,8 +435,7 @@ def _try_fk_collapse(
     if nxt.props:
         cc = ExprCompiler(pb, params)
         for key, expr in nxt.props.pairs:
-            phys = pcol(nvar, key)
-            target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+            target = entity_prop_col(pb.df, nvar, key)
             pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
     return pb, rvar
 
@@ -496,8 +507,7 @@ def _expand(
     if rel.props:
         cc = ExprCompiler(Bindings(edf, {rvar: rinfo}), params)
         for key, expr in rel.props.pairs:
-            phys = pcol(rvar, key)
-            target = edf[phys] if phys in edf.columns else F.lit(None)
+            target = entity_prop_col(edf, rvar, key)
             edf = edf.filter(target == cc.col(expr))
 
     cond = (pb.df[prev_var] == edf[join_col]) & _label_guard(pb, prev_var, edf[jlcol])
@@ -573,8 +583,7 @@ def _expand(
     if nxt.props:
         cc = ExprCompiler(pb, params)
         for key, expr in nxt.props.pairs:
-            phys = pcol(nvar, key)
-            target = pb.df[phys] if phys in pb.df.columns else F.lit(None)
+            target = entity_prop_col(pb.df, nvar, key)
             pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
     return pb.with_df(pb.df.drop(jlcol, olcol)), rvar
 

@@ -340,15 +340,17 @@ class CypherEngine:
             isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
         )
         if not has_mutation:
-            dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
-        else:
-            self.catalog.begin()
-            try:
+            with self._read_snapshot():
                 dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
-                self.catalog.commit(durable_path=self.durable_path)
-            except Exception:
-                self.catalog.rollback()
-                raise
+        else:
+            with self.catalog._write_lock:
+                self.catalog.begin()
+                try:
+                    dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
+                    self.catalog.commit(durable_path=self.durable_path)
+                except Exception:
+                    self.catalog.rollback()
+                    raise
         cols0 = dfs[0].columns
         for df in dfs[1:]:
             if df.columns != cols0:
@@ -362,19 +364,47 @@ class CypherEngine:
             out = out.dropDuplicates()
         return out
 
+    def _read_snapshot(self):
+        """Context manager: compile reads against a thread-local snapshot
+        of the catalog pointers (begin/rollback, never commit), so a
+        concurrent writer's commit can't tear a multi-table read —
+        `self._nodes` and `self._edges` are swapped as two separate
+        assignments, and a query reads many tables during compile. The
+        returned plans stay valid after rollback (DataFrame immutability).
+        No-op when this thread already holds a transaction (e.g. a read
+        issued from inside a procedure during a mutation)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            opened = not self.catalog.in_transaction()
+            if opened:
+                self.catalog.begin()
+            try:
+                yield
+            finally:
+                if opened:
+                    self.catalog.rollback()
+
+        return _cm()
+
     def _execute_query(self, ast: Query, params: dict) -> DataFrame:
         has_mutation = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
         if not has_mutation:
-            return self._run_clauses(ast.clauses, params)
-        # mutation transaction: shadow -> atomic swap (or discard on error)
-        self.catalog.begin()
-        try:
-            result = self._run_clauses(ast.clauses, params)
-            self.catalog.commit(durable_path=self.durable_path)
-            return result
-        except Exception:
-            self.catalog.rollback()
-            raise
+            with self._read_snapshot():
+                return self._run_clauses(ast.clauses, params)
+        # mutation transaction: shadow -> atomic swap (or discard on
+        # error); writers serialize on the catalog write lock so a
+        # concurrent writer can't base its shadow on a stale snapshot
+        with self.catalog._write_lock:
+            self.catalog.begin()
+            try:
+                result = self._run_clauses(ast.clauses, params)
+                self.catalog.commit(durable_path=self.durable_path)
+                return result
+            except Exception:
+                self.catalog.rollback()
+                raise
 
     def _run_clauses(self, clauses: list[Clause], params: dict) -> DataFrame:
         import time

@@ -68,6 +68,11 @@ def read_source(
         df = spark.read.options(**opts).json(uri)
     elif fmt == "jdbc":
         # postgresql://host/db?table=x -> spark.read.jdbc
+        # (reference reads SQL DBs via DuckDB scanners,
+        # ingestion/data_sources.py:687-749; here it is Spark's native
+        # partitioned JDBC reader. ENV-BLOCKED live: the sandbox ships no
+        # JDBC driver jar — the option plumbing below is stub-tested in
+        # tests/test_pipeline.py::test_jdbc_source_option_plumbing.)
         table = opts.pop("table", None) or opts.pop("dbtable", None)
         if table is None:
             raise ValueError("jdbc source needs a 'table' option")

@@ -661,3 +661,257 @@ def assert_rows_match(spark_rows, duck_rows, spec: QuerySpec):
                 f"cypher: {spec.cypher}\nsql: {spec.sql}\n"
                 f"spark row: {g}\nduck row:  {w}"
             )
+
+
+# ------------------------------------------------------------------ #
+# round-5: deep expression trees (arith with Cypher integer division,
+# string fns with 0-based substring, list literals/index/comprehension,
+# CASE, null injection at every leaf) rendered to Cypher AND DuckDB SQL.
+# Every rendering difference is encoded here so a mismatch is an engine
+# semantics bug:
+#   * Cypher int/int truncates toward zero -> SQL cast(trunc(a/b::d))
+#   * substring(s, i[, n]) is 0-based       -> substr(s, i+1[, n])
+#   * range(a, b) is inclusive              -> range(a, b+1)
+#   * list index is 0-based                 -> list_extract(l, i+1)
+#   * floor/ceil return FLOAT in Cypher     -> cast(... as double)
+#   * toInteger truncates toward zero       -> cast(trunc(x) as bigint)
+# ------------------------------------------------------------------ #
+_EXPR_INT_CONSTS = [0, 1, 2, 3, 7, -4, 25, 41]
+_EXPR_FLOAT_CONSTS = [0.5, 2.0, -1.5, 80.0]
+_EXPR_STR_CONSTS = ["Alice", "gineer", "a", "Sales", ","]
+
+
+def _num_refs(scope: Scope, kind: str):
+    return [(v, p) for v, props in scope.props.items()
+            for p, k in props.items() if k == kind]
+
+
+@st.composite
+def int_expr(draw, scope: Scope, depth: int = 0) -> Item:
+    opts = ["lit", "ref", "null"]
+    if depth < 2:
+        opts += ["add", "sub", "mul", "div", "mod", "abs", "size_str",
+                 "case", "idx", "toint"]
+    c = draw(st.sampled_from(opts))
+    if c == "lit":
+        v = draw(st.sampled_from(_EXPR_INT_CONSTS))
+        return Item(f"{v}", f"{v}", "int")
+    if c == "ref":
+        refs = _num_refs(scope, "int")
+        if refs:
+            v, p = draw(st.sampled_from(refs))
+            return Item(scope.ref(v, p).cy, scope.ref(v, p).sql, "int")
+        c = "null"
+    if c == "null":
+        return Item("NULL", "CAST(NULL AS BIGINT)", "int")
+    if c in ("add", "sub", "mul"):
+        a = draw(int_expr(scope, depth + 1))
+        b = draw(int_expr(scope, depth + 1))
+        op = {"add": "+", "sub": "-", "mul": "*"}[c]
+        return Item(f"({a.cy} {op} {b.cy})", f"({a.sql} {op} {b.sql})", "int")
+    if c == "div":
+        a = draw(int_expr(scope, depth + 1))
+        b = draw(st.sampled_from([2, 3, 7, -4]))  # nonzero literal divisor
+        return Item(
+            f"({a.cy} / {b})",
+            f"CAST(trunc(({a.sql}) / CAST({b} AS DOUBLE)) AS BIGINT)",
+            "int",
+        )
+    if c == "mod":
+        a = draw(int_expr(scope, depth + 1))
+        b = draw(st.sampled_from([2, 3, 7]))
+        return Item(f"({a.cy} % {b})", f"(({a.sql}) % {b})", "int")
+    if c == "abs":
+        a = draw(int_expr(scope, depth + 1))
+        return Item(f"abs({a.cy})", f"abs({a.sql})", "int")
+    if c == "size_str":
+        s = draw(str_expr(scope, depth + 1))
+        return Item(f"size({s.cy})", f"length({s.sql})", "int")
+    if c == "case":
+        p = draw(predicates(scope, depth=2))
+        a = draw(int_expr(scope, depth + 1))
+        b = draw(int_expr(scope, depth + 1))
+        return Item(
+            f"(CASE WHEN {p.cy} THEN {a.cy} ELSE {b.cy} END)",
+            f"(CASE WHEN {p.sql} THEN {a.sql} ELSE {b.sql} END)",
+            "int",
+        )
+    if c == "idx":
+        vals = draw(st.lists(st.sampled_from(_EXPR_INT_CONSTS),
+                             min_size=2, max_size=4))
+        i = draw(st.integers(0, len(vals) - 1))
+        lst = ", ".join(map(str, vals))
+        return Item(f"[{lst}][{i}]", f"list_extract([{lst}], {i + 1})", "int")
+    # toint
+    f = draw(st.sampled_from(_EXPR_FLOAT_CONSTS))
+    return Item(
+        f"toInteger({f})", f"CAST(trunc({f}) AS BIGINT)", "int"
+    )
+
+
+@st.composite
+def float_expr(draw, scope: Scope, depth: int = 0) -> Item:
+    opts = ["lit", "ref", "null"]
+    if depth < 2:
+        opts += ["add", "mul", "div", "floorceil", "tofloat", "case"]
+    c = draw(st.sampled_from(opts))
+    if c == "lit":
+        v = draw(st.sampled_from(_EXPR_FLOAT_CONSTS))
+        return Item(f"{v}", f"{v}", "float")
+    if c == "ref":
+        refs = _num_refs(scope, "float")
+        if refs:
+            v, p = draw(st.sampled_from(refs))
+            return Item(scope.ref(v, p).cy, scope.ref(v, p).sql, "float")
+        c = "null"
+    if c == "null":
+        return Item("NULL", "CAST(NULL AS DOUBLE)", "float")
+    if c in ("add", "mul"):
+        a = draw(float_expr(scope, depth + 1))
+        b = draw(float_expr(scope, depth + 1))
+        op = "+" if c == "add" else "*"
+        return Item(f"({a.cy} {op} {b.cy})", f"({a.sql} {op} {b.sql})", "float")
+    if c == "div":
+        a = draw(float_expr(scope, depth + 1))
+        b = draw(st.sampled_from([2.0, -1.5, 0.5]))
+        return Item(f"({a.cy} / {b})", f"(({a.sql}) / {b})", "float")
+    if c == "floorceil":
+        a = draw(float_expr(scope, depth + 1))
+        fn = draw(st.sampled_from(["floor", "ceil"]))
+        return Item(
+            f"{fn}({a.cy})", f"CAST({fn}({a.sql}) AS DOUBLE)", "float"
+        )
+    if c == "tofloat":
+        a = draw(int_expr(scope, depth + 1))
+        return Item(f"toFloat({a.cy})", f"CAST({a.sql} AS DOUBLE)", "float")
+    p = draw(predicates(scope, depth=2))
+    a = draw(float_expr(scope, depth + 1))
+    b = draw(float_expr(scope, depth + 1))
+    return Item(
+        f"(CASE WHEN {p.cy} THEN {a.cy} ELSE {b.cy} END)",
+        f"(CASE WHEN {p.sql} THEN {a.sql} ELSE {b.sql} END)",
+        "float",
+    )
+
+
+@st.composite
+def str_expr(draw, scope: Scope, depth: int = 0) -> Item:
+    opts = ["lit", "ref", "null"]
+    if depth < 2:
+        opts += ["upper", "lower", "reverse", "trim", "replace", "concat",
+                 "substr", "leftright", "split_idx", "case"]
+    c = draw(st.sampled_from(opts))
+    if c == "lit":
+        v = draw(st.sampled_from(_EXPR_STR_CONSTS))
+        return Item(f"'{v}'", f"'{v}'", "str")
+    if c == "ref":
+        refs = [(v, p) for v, props in scope.props.items()
+                for p, k in props.items() if k == "str"]
+        if refs:
+            v, p = draw(st.sampled_from(refs))
+            return Item(scope.ref(v, p).cy, scope.ref(v, p).sql, "str")
+        c = "null"
+    if c == "null":
+        return Item("NULL", "CAST(NULL AS VARCHAR)", "str")
+    if c in ("upper", "lower", "reverse"):
+        a = draw(str_expr(scope, depth + 1))
+        fn = {"upper": "toUpper", "lower": "toLower", "reverse": "reverse"}[c]
+        sfn = {"upper": "upper", "lower": "lower", "reverse": "reverse"}[c]
+        return Item(f"{fn}({a.cy})", f"{sfn}({a.sql})", "str")
+    if c == "trim":
+        a = draw(str_expr(scope, depth + 1))
+        fn = draw(st.sampled_from(["trim", "lTrim", "rTrim"]))
+        sfn = {"trim": "trim", "lTrim": "ltrim", "rTrim": "rtrim"}[fn]
+        return Item(f"{fn}({a.cy})", f"{sfn}({a.sql})", "str")
+    if c == "replace":
+        a = draw(str_expr(scope, depth + 1))
+        x = draw(st.sampled_from(["a", "e", "li"]))
+        y = draw(st.sampled_from(["_", "", "Z"]))
+        return Item(
+            f"replace({a.cy}, '{x}', '{y}')",
+            f"replace({a.sql}, '{x}', '{y}')", "str",
+        )
+    if c == "concat":
+        a = draw(str_expr(scope, depth + 1))
+        b = draw(str_expr(scope, depth + 1))
+        return Item(f"({a.cy} + {b.cy})", f"({a.sql} || {b.sql})", "str")
+    if c == "substr":
+        a = draw(str_expr(scope, depth + 1))
+        i = draw(st.integers(0, 3))
+        if draw(st.booleans()):
+            n = draw(st.integers(0, 4))
+            return Item(
+                f"substring({a.cy}, {i}, {n})",
+                f"substr({a.sql}, {i + 1}, {n})", "str",
+            )
+        return Item(
+            f"substring({a.cy}, {i})", f"substr({a.sql}, {i + 1})", "str"
+        )
+    if c == "leftright":
+        a = draw(str_expr(scope, depth + 1))
+        n = draw(st.integers(0, 4))
+        fn = draw(st.sampled_from(["left", "right"]))
+        # DuckDB right(s, 0) == '' and left likewise — matches Cypher
+        return Item(f"{fn}({a.cy}, {n})", f"{fn}({a.sql}, {n})", "str")
+    if c == "split_idx":
+        a = draw(str_expr(scope, depth + 1))
+        d = draw(st.sampled_from(["a", "e", ","]))
+        i = draw(st.integers(0, 1))
+        return Item(
+            f"split({a.cy}, '{d}')[{i}]",
+            f"list_extract(string_split({a.sql}, '{d}'), {i + 1})", "str",
+        )
+    p = draw(predicates(scope, depth=2))
+    a = draw(str_expr(scope, depth + 1))
+    b = draw(str_expr(scope, depth + 1))
+    return Item(
+        f"(CASE WHEN {p.cy} THEN {a.cy} ELSE {b.cy} END)",
+        f"(CASE WHEN {p.sql} THEN {a.sql} ELSE {b.sql} END)",
+        "str",
+    )
+
+
+@st.composite
+def list_scalar_expr(draw, scope: Scope) -> Item:
+    """List-producing forms reduced to a scalar (comprehension + reduce
+    shapes that stay DuckDB-expressible)."""
+    c = draw(st.sampled_from(["size_range", "comp_sum", "head_last"]))
+    a = draw(st.integers(-2, 3))
+    b = a + draw(st.integers(0, 5))
+    if c == "size_range":
+        return Item(
+            f"size(range({a}, {b}))", f"len(range({a}, {b + 1}))", "int"
+        )
+    if c == "comp_sum":
+        m = draw(st.sampled_from([2, 3]))
+        k = draw(st.sampled_from([0, 1]))
+        return Item(
+            f"size([x IN range({a}, {b}) WHERE x % {m} = {k}])",
+            f"len(list_filter(range({a}, {b + 1}), x -> x % {m} = {k}))",
+            "int",
+        )
+    which = draw(st.sampled_from(["head", "last"]))
+    idx = "1" if which == "head" else "-1"
+    return Item(
+        f"{which}(range({a}, {b}))",
+        f"list_extract(range({a}, {b + 1}), {idx})", "int",
+    )
+
+
+@st.composite
+def expression_queries(draw) -> QuerySpec:
+    """RETURN of 2-3 deep expressions over the Person scan."""
+    pat = pattern_scan_person()
+    n = draw(st.integers(2, 3))
+    items = []
+    for i in range(n):
+        fam = draw(st.sampled_from(["int", "float", "str", "list"]))
+        e = draw({"int": int_expr(pat.scope), "float": float_expr(pat.scope),
+                  "str": str_expr(pat.scope), "list": list_scalar_expr(pat.scope)}[fam])
+        items.append(e)
+    cy_items = ", ".join(f"{e.cy} AS x{i}" for i, e in enumerate(items))
+    sql_items = ", ".join(f"{e.sql} AS x{i}" for i, e in enumerate(items))
+    # key by n.id so multiset compare is stable across engines
+    cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"
+    sql = f"SELECT {sql_items}, n.id AS k {pat.sql_from}"
+    return QuerySpec(cy, sql, ordered=False)

@@ -102,7 +102,10 @@ def test_shortest_path_same_id_cross_label_endpoint(collide):
     assert rows(out2) == [("b1", 1), ("b3", 3)]
 
 
-def test_shortest_path_finds_cycle_back_to_start(spark):
+def test_shortest_path_identical_endpoints_excluded(spark):
+    # Neo4j: shortestPath yields nothing when start and end are the SAME
+    # node — but "same node" is (id, label), not raw id (the fuzzer
+    # oracle's `a <> tip` rule). A cycle back to the start is excluded...
     cat = GraphCatalog(spark)
     cat.register_nodes(
         "P", spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, name string")
@@ -119,22 +122,19 @@ def test_shortest_path_finds_cycle_back_to_start(spark):
         "MATCH p = shortestPath((a:P {name:'x'})-[:E*1..6]->(b:P {name:'x'})) "
         "RETURN length(p) AS l"
     )
-    assert rows(out) == [(3,)]
-
-
-def test_shortest_path_self_loop_edge(spark):
-    cat = GraphCatalog(spark)
-    cat.register_nodes("P", spark.createDataFrame([(1, "x")], "id long, name string"))
-    cat.register_edges(
-        "E",
-        spark.createDataFrame([(10, 1, 1)], "id long, src long, dst long"),
-        src_label="P", dst_label="P",
+    assert rows(out) == []
+    # ...and so is a pure self-loop pair
+    out2 = eng.execute(
+        "MATCH p = shortestPath((a:P {name:'y'})-[:E*1..1]->(b:P {name:'y'})) "
+        "RETURN length(p) AS l"
     )
-    eng = CypherEngine(cat)
-    out = eng.execute(
-        "MATCH p = shortestPath((a:P)-[:E*1..4]->(b:P)) RETURN length(p) AS l"
+    assert rows(out2) == []
+    # but the plain var-length enumeration still finds the cycle
+    out3 = eng.execute(
+        "MATCH (a:P {name:'x'})-[:E*1..6]->(b:P {name:'x'}) "
+        "RETURN size([1]) AS one LIMIT 1"
     )
-    assert rows(out) == [(1,)]
+    assert rows(out3) == [(1,)]
 
 
 def test_undirected_same_id_cross_label_not_a_self_loop(collide):

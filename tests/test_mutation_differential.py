@@ -1,0 +1,96 @@
+"""Mutation-script property-based differential tests (round-5).
+
+Random write scripts (CREATE / SET all forms / MERGE ON CREATE|ON MATCH
+/ DELETE / DETACH DELETE / REMOVE / FOREACH) execute against the engine
+AND a plain-Python model of the reference's mutation semantics
+(tests/mutgen.py). Full post-commit table state must match; ops the
+model expects to raise (DELETE of a connected node) must raise in the
+engine and leave its state untouched.
+
+Two families x MUT_EXAMPLES (default 85) scripts per run. The merge
+family runs on the parallel-edge/self-loop graph — MERGE is the most
+branch-heavy mutation path (compiler/mutations.py:513).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from tests import mutgen as M
+
+EXAMPLES = int(os.environ.get("MUT_EXAMPLES", "85"))
+
+SETTINGS = dict(
+    max_examples=EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+    print_blob=True,
+)
+
+
+@pytest.fixture(scope="module")
+def mrig(spark):
+    """One engine whose base tables are re-registered per example."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    eng = CypherEngine(cat, cache_results=False)
+
+    def reset():
+        cat.register_nodes(
+            "Person",
+            spark.createDataFrame(
+                [
+                    (p["id"], p.get("name"), p.get("age"), p.get("dept"), p.get("salary"))
+                    for p in M.PERSON_BASE
+                ],
+                "id long, name string, age long, dept string, salary double",
+            ),
+        )
+        cat.register_nodes(
+            "Company",
+            spark.createDataFrame(
+                [(c["id"], c.get("cname"), c.get("industry")) for c in M.COMPANY_BASE],
+                "id long, cname string, industry string",
+            ),
+        )
+        cat.register_edges(
+            "KNOWS",
+            spark.createDataFrame(
+                [(e["id"], e["src"], e["dst"], e.get("since")) for e in M.KNOWS_BASE],
+                "id long, src long, dst long, since long",
+            ),
+            src_label="Person", dst_label="Person",
+        )
+        cat.register_edges(
+            "WORKS_AT",
+            spark.createDataFrame(
+                [(e["id"], e["src"], e["dst"]) for e in M.WORKS_AT_BASE],
+                "id long, src long, dst long",
+            ),
+            src_label="Person", dst_label="Company",
+        )
+        return eng
+
+    return reset
+
+
+@settings(**SETTINGS)
+@given(script=M.mutation_scripts())
+def test_mutation_scripts(mrig, script):
+    eng = mrig()
+    M.run_script(eng, script)
+
+
+@settings(**SETTINGS)
+@given(script=M.merge_scripts())
+def test_merge_scripts(mrig, script):
+    eng = mrig()
+    M.run_script(eng, script)

