@@ -215,10 +215,39 @@ _CYPHER_QUERIES: dict[str, str] = {
         "CALL graph.pageRank('FROM_NATION') YIELD id, rank "
         "RETURN id AS id, round(rank, 6) AS rank ORDER BY rank DESC, id LIMIT 10"
     ),
+    # round-5 regression gates: anonymous FK-collapsed endpoint WITH an
+    # inline props map (the ADVICE-high silent-empty-result shape)
+    "fk_props_endpoint": (
+        "MATCH (c:Customer)-[:FROM_NATION]->({name: 'NATION_3'}) "
+        "RETURN c.name AS name"
+    ),
+    # parameterized IN with cross-type elements: Cypher says 1 IN ['1'] is
+    # false ('5' must not match integer sizes) but 2.0 = 2 numerically
+    "param_in_cross_type": (
+        "MATCH (p:Part) WHERE p.size IN $sizes "
+        "RETURN p.size AS size, count(*) AS cnt"
+    ),
+    # both endpoints anonymous-unlabeled: label inference from registered
+    # relationship endpoints + raw-id joins guarded by label space
+    "anon_both_ends": (
+        "MATCH (x)-[:IN_REGION]->(y) "
+        "RETURN y.name AS region, count(*) AS nations"
+    ),
+    # undirected relationship from the target side (only incoming exists)
+    "undirected_hop": (
+        "MATCH (r:Region)-[:IN_REGION]-(n) "
+        "RETURN r.name AS region, count(*) AS cnt"
+    ),
+    # right-to-left arrow + source-side filter
+    "reverse_hop": (
+        "MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer) WHERE c.acctbal < 0.0 "
+        "RETURN n.name AS nation, count(*) AS cnt"
+    ),
 }
 
 _PARAMS: dict[str, dict] = {
     "param_filter": {"min": 200000.0, "st": "F"},
+    "param_in_cross_type": {"sizes": [1, "5", 10, 2.0]},
 }
 
 _ORACLE: dict[str, str] = {
@@ -382,6 +411,28 @@ _ORACLE: dict[str, str] = {
         "s AS (SELECT k, ln, count(*) OVER (PARTITION BY k, grp) AS run_len FROM g) "
         "SELECT k*10+ln AS id, 0 AS triangles FROM s WHERE run_len >= 2"
     ),
+    "fk_props_endpoint": (
+        "SELECT c_name AS name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_3'"
+    ),
+    # Cypher IN element rules: '5' never equals an integer size; 2.0 = 2
+    "param_in_cross_type": (
+        "SELECT p_size AS size, count(*) AS cnt FROM part "
+        "WHERE p_size IN (1, 2, 10) GROUP BY p_size"
+    ),
+    "anon_both_ends": (
+        "SELECT r_name AS region, count(*) AS nations FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "undirected_hop": (
+        "SELECT r_name AS region, count(*) AS cnt FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "reverse_hop": (
+        "SELECT n_name AS nation, count(*) AS cnt FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal < 0.0 GROUP BY n_name"
+    ),
 }
 
 
@@ -448,6 +499,30 @@ def _q_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("MATCH (d:Debtor) SET d.absbal = -d.bal")
     return eng.execute(
         "MATCH (d:Debtor) RETURN count(*) AS n, round(sum(d.absbal), 2) AS total"
+    )
+
+
+def _q_merge_on_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE hitting both branches (ON MATCH for an existing node key,
+    ON CREATE for a fresh one) on a throwaway catalog, then read back.
+
+    Reference semantics: mutation_engine.py merge_node — the props map is
+    the match key; ON MATCH/ON CREATE SET apply exclusively.
+    """
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    eng = CypherEngine(GraphCatalog.from_tpch(spark, sf_dir))
+    eng.execute(
+        "MERGE (n:Nation {name: 'NATION_3'}) "
+        "ON MATCH SET n.seen = 1 ON CREATE SET n.seen = 0"
+    )
+    eng.execute(
+        "MERGE (n:Nation {name: 'NATION_99X'}) "
+        "ON MATCH SET n.seen = 1 ON CREATE SET n.seen = 0"
+    )
+    return eng.execute(
+        "MATCH (n:Nation) WHERE n.seen IS NOT NULL "
+        "RETURN n.name AS name, n.seen AS seen"
     )
 
 
@@ -900,12 +975,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _EXTRA_QUERIES = {
     "mutation_roundtrip": _q_mutation_roundtrip,
+    "merge_on_match": _q_merge_on_match,
     "stream_window_agg": _q_stream_window,
     "stream_session_window": _q_stream_session_window,
     "stream_static_join": _q_stream_static_join,
 }
 
 _EXTRA_ORACLE = {
+    "merge_on_match": (
+        "SELECT n_name AS name, CAST(1 AS BIGINT) AS seen FROM nation "
+        "WHERE n_name = 'NATION_3' "
+        "UNION ALL SELECT 'NATION_99X' AS name, CAST(0 AS BIGINT) AS seen"
+    ),
     "mutation_roundtrip": (
         "SELECT count(*) AS n, round(sum(-c_acctbal), 2) AS total "
         "FROM customer WHERE c_acctbal <= -10.0"

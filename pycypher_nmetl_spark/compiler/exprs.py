@@ -703,10 +703,23 @@ class ExprCompiler:
             dec = _statically_comparable(k1, k2) if k1 and k2 else None
             return {True: True, "cross": False, False: False}.get(dec)
 
+        # a Param bound to a concrete scalar list is as statically known
+        # as a literal list — route it through the same element-wise
+        # cross-type filtering (round-5 fix: it previously fell through
+        # to array_contains over a type-coerced literal array, so
+        # `p.size IN $sizes` with sizes=[1,'5'] matched size 5)
+        vals = None
         if isinstance(e.collection, ListLit) and all(
             isinstance(x, Literal) for x in e.collection.items
         ):
             vals = [x.value for x in e.collection.items]
+        elif isinstance(e.collection, Param):
+            pv = self.params.get(e.collection.name)
+            if isinstance(pv, (list, tuple)) and not any(
+                isinstance(x, (list, tuple, dict)) for x in pv
+            ):
+                vals = list(pv)
+        if vals is not None:
             if not vals:
                 return F.lit(False)  # openCypher: x IN [] is false, even null x
             if ik is not None:

@@ -54,8 +54,19 @@ def check_cross_join(left: DataFrame, right: DataFrame, max_product_bytes: float
     """Advisory ceiling on a cartesian product, estimated as the product
     of both sides' Catalyst sizeInBytes (Spark estimates a cross join's
     output size the same way). Raises CrossJoinGuardError above the
-    ceiling; unknown estimates pass (advisory, not a hard gate)."""
+    ceiling; unknown estimates pass (advisory, not a hard gate).
+
+    A side whose estimate exceeds ~1 PB is treated as unknown: without
+    CBO, Catalyst propagates a multiplied-out join-product upper bound
+    through post-mutation table plans (measured: 8.85e18 B for a 5-row
+    table after one SET — just under the Long.MaxValue sentinel), and an
+    advisory guard must never false-refuse on garbage stats. Mirrors the
+    >1e12-row implausibility rule in _rows_estimate."""
     lb, rb = plan_size_bytes(left), plan_size_bytes(right)
+    if lb is not None and lb > 1e15:
+        lb = None
+    if rb is not None and rb > 1e15:
+        rb = None
     if lb is None or rb is None:
         return
     if lb * rb > max_product_bytes:

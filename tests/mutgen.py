@@ -422,21 +422,27 @@ def _norm(v):
     return v
 
 
+# key=repr throughout: dumped tuples may hold None next to int/str,
+# which plain tuple ordering cannot compare (fuzzer-found)
 def model_person_rows(m: Model):
     return sorted(
-        tuple(_norm(p.get(c)) for c in ["id"] + PERSON_PROPS) for p in m.person
+        (tuple(_norm(p.get(c)) for c in ["id"] + PERSON_PROPS) for p in m.person),
+        key=repr,
     )
 
 
 def model_knows_rows(m: Model):
     return sorted(
-        (e["src"], e["dst"], _norm(e.get("since")), _norm(e.get("w")))
-        for e in m.knows
+        (
+            (e["src"], e["dst"], _norm(e.get("since")), _norm(e.get("w")))
+            for e in m.knows
+        ),
+        key=repr,
     )
 
 
 def model_works_rows(m: Model):
-    return sorted((e["src"], e["dst"]) for e in m.works_at)
+    return sorted(((e["src"], e["dst"]) for e in m.works_at), key=repr)
 
 
 PERSON_DUMP = (
@@ -453,15 +459,21 @@ WORKS_DUMP = (
 
 
 def engine_person_rows(eng):
-    return sorted(tuple(_norm(v) for v in r) for r in eng.execute(PERSON_DUMP).collect())
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in eng.execute(PERSON_DUMP).collect()),
+        key=repr,
+    )
 
 
 def engine_knows_rows(eng):
-    return sorted(tuple(_norm(v) for v in r) for r in eng.execute(KNOWS_DUMP).collect())
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in eng.execute(KNOWS_DUMP).collect()),
+        key=repr,
+    )
 
 
 def engine_works_rows(eng):
-    return sorted(tuple(r) for r in eng.execute(WORKS_DUMP).collect())
+    return sorted((tuple(r) for r in eng.execute(WORKS_DUMP).collect()), key=repr)
 
 
 def run_script(eng, script):
@@ -469,6 +481,17 @@ def run_script(eng, script):
     and full-state parity at the end."""
     m = Model()
     for op in script:
+        if hasattr(op, "expect"):  # checked read (ReadOp)
+            # key=repr: tuples may hold None next to str/int (unsortable)
+            got = sorted(
+                (tuple(_norm(v) for v in r) for r in eng.execute(op.cypher).collect()),
+                key=repr,
+            )
+            want = sorted(op.expect(m), key=repr)
+            assert got == want, (
+                f"read diverged: {op.cypher!r}\n engine={got}\n model={want}"
+            )
+            continue
         model_err = False
         try:
             op.apply(m)
@@ -486,3 +509,130 @@ def run_script(eng, script):
     assert engine_person_rows(eng) == model_person_rows(m), "Person state diverged"
     assert engine_knows_rows(eng) == model_knows_rows(m), "KNOWS state diverged"
     assert engine_works_rows(eng) == model_works_rows(m), "WORKS_AT state diverged"
+
+
+# ------------------------------------------------------------------ #
+# read ops (round-5): differential reads over POST-MUTATION state.
+# propgen's read fuzzers all run against clean registered tables; after
+# a mutation the catalog tables are shadow/join-product plan chains
+# where optimizer paths (FK-collapse, guards, pushdown) behave
+# differently — this family caught the cross-join-guard false refusal.
+# ------------------------------------------------------------------ #
+@dataclass
+class ReadOp:
+    cypher: str
+    expect: Callable[[Model], list]
+    label: str = ""
+
+
+def _live_knows(m: Model):
+    ids = {p["id"] for p in m.person}
+    return [e for e in m.knows if e["src"] in ids and e["dst"] in ids]
+
+
+def read_filtered_scan(draw, fresh):
+    pred_cy, pred = _pred(draw)
+    prop = draw(st.sampled_from(PERSON_PROPS))
+    where = f" WHERE {pred_cy}" if pred_cy else ""
+    cy = f"MATCH (n:Person){where} RETURN n.id AS id, n.{prop} AS v"
+
+    def expect(m: Model):
+        return [(p["id"], _norm(p.get(prop))) for p in m.person if pred(p)]
+
+    return ReadOp(cy, expect, label="read_filtered_scan")
+
+
+def read_hop(draw, fresh):
+    k = draw(st.sampled_from([1, 2, 5]))
+    cy = (
+        f"MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.id <= {k} "
+        "RETURN a.id AS a, b.id AS b, r.since AS s"
+    )
+
+    def expect(m: Model):
+        return [
+            (e["src"], e["dst"], _norm(e.get("since")))
+            for e in _live_knows(m)
+            if e["src"] <= k
+        ]
+
+    return ReadOp(cy, expect, label="read_hop")
+
+
+def read_optional_count(draw, fresh):
+    cy = (
+        "MATCH (n:Person) OPTIONAL MATCH (n)-[:KNOWS]->(m2:Person) "
+        "RETURN n.id AS id, count(m2) AS c"
+    )
+
+    def expect(m: Model):
+        live = _live_knows(m)
+        return [
+            (p["id"], sum(1 for e in live if e["src"] == p["id"]))
+            for p in m.person
+        ]
+
+    return ReadOp(cy, expect, label="read_optional_count")
+
+
+def read_aggregate(draw, fresh):
+    cy = (
+        "MATCH (n:Person) RETURN count(*) AS c, sum(n.age) AS s, "
+        "min(n.name) AS mn"
+    )
+
+    def expect(m: Model):
+        ages = [p["age"] for p in m.person if p.get("age") is not None]
+        names = [p["name"] for p in m.person if p.get("name") is not None]
+        # Cypher: sum() over an empty/all-null input is 0, never null
+        return [(len(m.person), sum(ages), min(names) if names else None)]
+
+    return ReadOp(cy, expect, label="read_aggregate")
+
+
+def read_exists(draw, fresh):
+    cy = (
+        "MATCH (n:Person) WHERE EXISTS { (n)-[:KNOWS]->(:Person) } "
+        "RETURN n.id AS id"
+    )
+
+    def expect(m: Model):
+        srcs = {e["src"] for e in _live_knows(m)}
+        return [(p["id"],) for p in m.person if p["id"] in srcs]
+
+    return ReadOp(cy, expect, label="read_exists")
+
+
+def read_group_by(draw, fresh):
+    cy = "MATCH (n:Person) RETURN n.dept AS d, count(*) AS c"
+
+    def expect(m: Model):
+        groups: dict = {}
+        for p in m.person:
+            groups[p.get("dept")] = groups.get(p.get("dept"), 0) + 1
+        return list(groups.items())
+
+    return ReadOp(cy, expect, label="read_group_by")
+
+
+READ_OPS = [
+    read_filtered_scan, read_hop, read_optional_count,
+    read_aggregate, read_exists, read_group_by,
+]
+
+
+@st.composite
+def interleaved_scripts(draw):
+    """Mutations interleaved with checked reads: every read's result is
+    compared against the model mid-script, exercising the read/compile
+    pipeline over mutated (non-parquet-scan) table plans."""
+    fresh = iter(range(700, 800))
+    n = draw(st.integers(2, 6))
+    ops = []
+    pool = GENERAL_OPS + [op_merge_node, op_merge_edge]
+    for i in range(n):
+        if i % 2 == 1:
+            ops.append(draw(st.sampled_from(READ_OPS))(draw, fresh))
+        else:
+            ops.append(draw(st.sampled_from(pool))(draw, fresh))
+    return ops

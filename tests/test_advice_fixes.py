@@ -324,3 +324,44 @@ def test_in_list_unknown_schema_kind_probed(spark):
         ).collect()
     ]
     assert out == [(False, True, False)]
+
+
+def test_param_in_list_cross_type(spark):
+    """$p IN with a concrete param list follows the same element rules as
+    a literal list: '5' never equals integer 5, 2.0 = 2 numerically
+    (round-5 fix: previously fell through to array_contains over a
+    type-coerced literal array)."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "T", spark.createDataFrame([(1, 2), (2, 5), (3, 10)], "id long, v long")
+    )
+    eng = CypherEngine(cat)
+    rows = [
+        tuple(r)
+        for r in eng.execute(
+            "MATCH (t:T) WHERE t.v IN $vals RETURN t.v AS v ORDER BY v",
+            {"vals": [1, "5", 10, 2.0]},
+        ).collect()
+    ]
+    assert rows == [(2,), (10,)]
+    # all-cross-type list: false for non-null items, and null item -> null
+    rows = [
+        tuple(r)
+        for r in eng.execute(
+            "MATCH (t:T) RETURN t.v IN $vals AS hit, t.missing IN $vals AS m "
+            "ORDER BY t.v",
+            {"vals": ["a", "b"]},
+        ).collect()
+    ]
+    assert rows == [(False, None), (False, None), (False, None)]
+    # empty param list is false even for null items (openCypher)
+    rows = [
+        tuple(r)
+        for r in eng.execute(
+            "MATCH (t:T) WHERE t.id = 1 RETURN t.missing IN $vals AS e",
+            {"vals": []},
+        ).collect()
+    ]
+    assert rows == [(False,)]

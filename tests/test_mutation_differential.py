@@ -94,3 +94,55 @@ def test_mutation_scripts(mrig, script):
 def test_merge_scripts(mrig, script):
     eng = mrig()
     M.run_script(eng, script)
+
+
+def test_regression_cross_join_after_mutation(mrig):
+    """Round-5 fuzzer find: after any SET, the table plan's sizeInBytes
+    is a multiplied-out upper bound (~8.8e18) just below the Long.Max
+    sentinel, and the advisory cross-join guard false-refused
+    MATCH (a {id:..}), (b {id:..}) CREATE. Guard now treats >1 PB-per-
+    side estimates as unknown."""
+
+    def set_map_replace(m: M.Model):
+        for p in m.person:
+            if p["id"] == 1:
+                pid = p["id"]
+                p.clear()
+                p.update({"id": pid, "name": "Alice", "salary": 10.0})
+
+    def foreach_set(m: M.Model):
+        for p in m.person:
+            if p.get("age") is not None and p["age"] >= 26:
+                p["flag"] = 1
+
+    def create_edge(m: M.Model):
+        if any(p["id"] == 1 for p in m.person):
+            m.knows.append({"id": next(m._eid), "src": 1, "dst": 1, "since": 1999})
+
+    script = [
+        M.MutOp(
+            "MATCH (n:Person) WHERE n.id = 1 "
+            "SET n = {name: 'Alice', salary: 10.0}",
+            set_map_replace,
+            label="set_map_replace",
+        ),
+        M.MutOp(
+            "MATCH (n:Person) WHERE n.age >= 26 WITH collect(n) AS ns "
+            "FOREACH (x IN ns | SET x.flag = 1)",
+            foreach_set,
+            label="foreach_set",
+        ),
+        M.MutOp(
+            "MATCH (a:Person {id: 1}), (b:Person {id: 1}) "
+            "CREATE (a)-[:KNOWS {since: 1999}]->(b)",
+            create_edge,
+            label="create_edge",
+        ),
+    ]
+    M.run_script(mrig(), script)
+
+
+@settings(**SETTINGS)
+@given(script=M.interleaved_scripts())
+def test_interleaved_read_write_scripts(mrig, script):
+    M.run_script(mrig(), script)

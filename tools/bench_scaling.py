@@ -21,6 +21,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench import BENCH_QUERIES  # noqa: E402
 
@@ -79,9 +80,18 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    # one or more replication factors: `python tools/bench_scaling.py 10 30`
-    ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10]
-    out_path = next((a for a in sys.argv[1:] if not a.isdigit()), "SCALING.json")
+    # replication factors and/or genuine regenerated scales:
+    #   python tools/bench_scaling.py 10 30 gen10
+    # `N`    -> key-shifted replica of sf0.1 at Nx (shards, degree preserved)
+    # `genN` -> genuine Nx dataset from tools/gen_sf.py (real distribution:
+    #           FK fan-out and group cardinalities actually grow with scale)
+    argv = sys.argv[1:]
+    ks = [int(a) for a in argv if a.isdigit()] or ([10] if not argv else [])
+    gens = [int(a[3:]) for a in argv if a.startswith("gen") and a[3:].isdigit()]
+    out_path = next(
+        (a for a in argv if not a.isdigit() and not a.startswith("gen")),
+        "SCALING.json",
+    )
     from pycypher_nmetl_spark import get_spark
 
     spark = get_spark(app_name="bench-scaling")
@@ -94,13 +104,24 @@ def main() -> None:
         build_replica(spark, k, replica)
         builds[k] = round(time.time() - t0, 1)
         results[k] = run_bench(spark, replica)
+    for g in gens:
+        gen_dir = f"/tmp/spark_graft_gen_sf{g}x"
+        t0 = time.time()
+        if not os.path.exists(f"{gen_dir}/lineitem.parquet"):
+            from gen_sf import generate  # noqa: E402 (same tools dir)
+
+            generate(spark, g, gen_dir)
+        builds[f"gen{g}"] = round(time.time() - t0, 1)
+        results[f"gen{g}"] = run_bench(spark, gen_dir)
+    ks = ks + [f"gen{g}" for g in gens]
 
     report = {}
     for name in t1:
         row = {"sf0.1_s": t1[name]}
         for k in ks:
             tk = results[k][name]
-            exp = math.log(max(tk, 1e-3) / max(t1[name], 1e-3)) / math.log(k)
+            factor = int(str(k).removeprefix("gen"))
+            exp = math.log(max(tk, 1e-3) / max(t1[name], 1e-3)) / math.log(factor)
             row[f"x{k}_s"] = tk
             row[f"exp{k}"] = round(exp, 3)
         report[name] = row
@@ -110,8 +131,13 @@ def main() -> None:
 
     klabels = " ".join(f"{k}x" for k in ks)
     lines = [
-        "# SCALING — bench workload at sf0.1 vs synthesized "
-        f"key-shifted replicas ({klabels})",
+        "# SCALING — bench workload at sf0.1 vs scaled datasets "
+        f"({klabels})",
+        "",
+        "`Nx` columns = key-shifted replicas of sf0.1 (independent shards,",
+        "degree distribution preserved). `genNx` columns = genuine Nx data",
+        "from tools/gen_sf.py (same recipe/distributions as TESTDATA.md,",
+        "FK fan-out and group cardinality actually grow with scale).",
         "",
         "exponent = log(t_big/t_small)/log(k): 1.0 = linear in data,",
         "< 1 = sublinear (fixed overhead amortizing away), > 1 = a plan",
