@@ -69,5 +69,11 @@ class ResultCache:
         while len(self._data) > self.max_entries:
             self._data.popitem(last=False)
 
+    def evict(self, key: tuple | None) -> None:
+        """Drop one entry (e.g. a Dataset poisoned by job-group
+        cancellation — Spark 4 re-raises on any later action of it)."""
+        if key is not None:
+            self._data.pop(key, None)
+
     def clear(self) -> None:
         self._data.clear()

@@ -10,10 +10,14 @@ def test_cache_hit_and_epoch_invalidation(spark):
     eng = CypherEngine(cat)
     df1 = eng.execute("MATCH (n:P) RETURN n.name AS name")
     df2 = eng.execute("MATCH (n:P) RETURN n.name AS name")
-    assert df1 is df2 and eng.cache.hits == 1
+    # a hit serves a fresh select("*") wrapper (never the stored object —
+    # a once-cancelled Dataset would stay poisoned), so identity is NOT
+    # expected; the hit counter and identical results are the contract
+    assert eng.cache.hits == 1
+    assert df2.collect() == df1.collect()
     eng.execute("CREATE (:P {id: 2, name: 'b'})")
     df3 = eng.execute("MATCH (n:P) RETURN n.name AS name")
-    assert df3 is not df1  # epoch bumped by the committed mutation
+    assert eng.cache.hits == 1  # epoch bumped by the committed mutation
     assert df3.count() == 2
 
 

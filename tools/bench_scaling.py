@@ -64,19 +64,31 @@ def build_replica(spark, k: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(target)
 
 
-def run_bench(spark, sf_dir: str) -> dict[str, float]:
+def run_bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    """Median of `reps` warm runs per query (bench.py methodology).
+
+    A full unmeasured warm-up pass runs first: the FIRST dataset
+    benched in a JVM otherwise absorbs all one-time codegen/reader
+    costs, which inflated the small-scale numbers and produced
+    negative scaling exponents (measured: 2.25 s vs 0.40 s for the
+    same scan, smaller dataset first)."""
+    import statistics
+
     from pycypher_nmetl_spark import CypherEngine, GraphCatalog
 
     engine = CypherEngine(
         GraphCatalog.from_tpch(spark, sf_dir, materialize_derived=True)
     )
     engine.execute("MATCH (r:Region) RETURN count(*) AS c").collect()
-    timings = {}
-    for name, q in BENCH_QUERIES:
-        t0 = time.perf_counter()
+    for _, q in BENCH_QUERIES:  # unmeasured warm-up pass
         engine.execute(q).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    return timings
+    samples: dict[str, list[float]] = {name: [] for name, _ in BENCH_QUERIES}
+    for _ in range(reps):
+        for name, q in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            engine.execute(q).toPandas()
+            samples[name].append(time.perf_counter() - t0)
+    return {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
 
 
 def main() -> None:
