@@ -636,3 +636,59 @@ def interleaved_scripts(draw):
         else:
             ops.append(draw(st.sampled_from(pool))(draw, fresh))
     return ops
+
+
+def read_varlength(draw, fresh):
+    """[*1..2] over the mutated KNOWS graph: the path expander compiles
+    against post-mutation plan chains here. openCypher relationship
+    uniqueness: a length-2 path may not reuse an edge (self-loop twice
+    is excluded); nodes may repeat."""
+    cy = (
+        "MATCH (a:Person)-[:KNOWS*1..2]->(b:Person) "
+        "RETURN a.id AS a, b.id AS b"
+    )
+
+    def expect(m: Model):
+        edges = _live_knows(m)
+        rows = [(e["src"], e["dst"]) for e in edges]
+        rows += [
+            (e1["src"], e2["dst"])
+            for e1 in edges
+            for e2 in edges
+            if e1["id"] != e2["id"] and e1["dst"] == e2["src"]
+        ]
+        return rows
+
+    return ReadOp(cy, expect, label="read_varlength")
+
+
+def read_shortest(draw, fresh):
+    src = draw(st.sampled_from([1, 2]))
+    cy = (
+        f"MATCH p = shortestPath((a:Person {{id: {src}}})-[:KNOWS*]->(b:Person)) "
+        "RETURN DISTINCT b.id AS b, length(p) AS l"
+    )
+
+    def expect(m: Model):
+        if not any(p["id"] == src for p in m.person):
+            return []
+        adj: dict = {}
+        for e in _live_knows(m):
+            adj.setdefault(e["src"], set()).add(e["dst"])
+        dist = {src: 0}
+        frontier = [src]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        # same-node pair excluded (no zero-length path row)
+        return [(b, d) for b, d in dist.items() if b != src]
+
+    return ReadOp(cy, expect, label="read_shortest")
+
+
+READ_OPS.extend([read_varlength, read_shortest])

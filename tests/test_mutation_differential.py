@@ -146,3 +146,33 @@ def test_regression_cross_join_after_mutation(mrig):
 @given(script=M.interleaved_scripts())
 def test_interleaved_read_write_scripts(mrig, script):
     M.run_script(mrig(), script)
+
+
+@settings(max_examples=min(EXAMPLES, 20), deadline=None,
+          suppress_health_check=SETTINGS["suppress_health_check"],
+          print_blob=True)
+@given(script=M.mutation_scripts())
+def test_durable_roundtrip_after_scripts(mrig, script, tmp_path_factory):
+    """Random mutation script -> save_durable -> load_durable into a
+    FRESH catalog -> full state parity with the model. Fuzzes snapshot
+    serialization across every property type/shape the script generator
+    produces (null columns, added props, deleted rows), not just the
+    fixed kill-and-reload fixtures in test_mutations."""
+    import pycypher_nmetl_spark as P
+
+    eng = mrig()
+    m = M.Model()
+    for op in script:
+        try:
+            op.apply(m)
+        except M._ExpectedError:
+            with pytest.raises(Exception):
+                eng.execute(op.cypher)
+            continue
+        eng.execute(op.cypher)
+    path = str(tmp_path_factory.mktemp("durable"))
+    eng.catalog.save_durable(path)
+    eng2 = P.CypherEngine(P.GraphCatalog.load_durable(eng.spark, path))
+    assert M.engine_person_rows(eng2) == M.model_person_rows(m)
+    assert M.engine_knows_rows(eng2) == M.model_knows_rows(m)
+    assert M.engine_works_rows(eng2) == M.model_works_rows(m)
