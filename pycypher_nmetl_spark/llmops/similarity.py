@@ -139,14 +139,31 @@ def near_dup_pairs(
         )
 
     sig_arr = F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_sig)
-    sig = base.select("_id", "_v", F.posexplode(sig_arr).alias("_band", "_bkt"))
+    sig = base.withColumn("_sigs", sig_arr).select(
+        "_id", "_v", "_sigs",
+        F.posexplode(F.col("_sigs")).alias("_band", "_bkt"),
+    )
     a, b = sig.alias("a"), sig.alias("b")
+    # a duplicate-heavy corpus makes buckets hot: a tight cluster of m
+    # near-identical vectors collides in ALL bands, so a post-join
+    # dropDuplicates must sort bands*m^2/2 rows (measured: task-memory
+    # spill death at m~2.5k, bands=32). Standard LSH fix: emit a pair
+    # only from its FIRST colliding band — an in-join filter, so each
+    # pair leaves the join exactly once and no dedup pass exists.
+    first_collision = (
+        F.array_position(
+            F.zip_with(F.col("a._sigs"), F.col("b._sigs"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a._band") == F.col("b._band"))
             & (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id"))
+            & (first_collision == F.col("a._band")),
         )
         .select(
             F.col("a._id").alias("id1"),
@@ -154,7 +171,6 @@ def near_dup_pairs(
             F.col("a._v").alias("_v1"),
             F.col("b._v").alias("_v2"),
         )
-        .dropDuplicates(["id1", "id2"])  # a pair may collide in many bands
     )
     return (
         cand.select(
