@@ -72,17 +72,15 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
         "RETURN c.name AS cust, count(o) AS n_orders"
     ),
-    # §2.9 CASE
-    "case_buckets": (
+    # §2.9 CASE + §2.8 string fns + CONTAINS predicate in one grouped
+    # projection (merged case_buckets + string_fns: the driver records at
+    # most 50 gates in queries() order, so overlapping gates are combined
+    # to keep every operator inside the recorded set)
+    "case_string_fns": (
         "MATCH (p:Part) RETURN CASE WHEN p.size < 10 THEN 'small' "
         "WHEN p.size < 30 THEN 'medium' ELSE 'large' END AS bucket, "
-        "count(*) AS cnt"
-    ),
-    # §2.8 string functions + predicate
-    "string_fns": (
-        "MATCH (p:Part) WHERE p.name CONTAINS 'a' "
-        "RETURN toUpper(left(p.name, 5)) AS prefix, size(p.name) AS len, "
-        "count(*) AS cnt"
+        "toUpper(left(p.name, 5)) AS prefix, size(p.name) AS len, "
+        "p.name CONTAINS 'a' AS has_a, count(*) AS cnt"
     ),
     # §2.7 DISTINCT
     "distinct_segments": "MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS seg",
@@ -117,12 +115,6 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (s:Supplier) RETURN s.name AS name, "
         "round(sqrt(abs(s.acctbal)), 3) AS v, sign(s.acctbal) AS sg"
     ),
-    # §2.9 list ops: reduce / comprehension / size
-    "list_ops": (
-        "RETURN reduce(acc = 0, x IN [1,2,3,4] | acc + x) AS total, "
-        "join([x IN range(1,6) WHERE x % 2 = 0 | toString(x)], ',') AS evens, "
-        "size([1,2,3]) AS n"
-    ),
     # §2.4 variable-length paths over the NEXT_LINE chain
     "varlength_path": (
         "MATCH (a:Lineitem)-[:NEXT_LINE*1..3]->(b:Lineitem) "
@@ -140,43 +132,43 @@ _CYPHER_QUERIES: dict[str, str] = {
         "round(sum(e.value), 2) AS total"
     ),
     # §2.5 percentiles & stddev
-    "stats_fns": (
+    # §2.5 stdev + percentileCont/Disc + string min/max per segment
+    # (merged stats_fns + disc_and_string_minmax under the 50-gate cap)
+    "stats_percentiles": (
         "MATCH (c:Customer) RETURN c.mktsegment AS seg, "
         "round(stdev(c.acctbal), 3) AS sd, "
-        "round(percentileCont(c.acctbal, 0.5), 3) AS median"
+        "round(percentileCont(c.acctbal, 0.5), 3) AS median, "
+        "round(percentileDisc(c.acctbal, 0.25), 2) AS q1, "
+        "min(c.name) AS first_name, max(c.name) AS last_name"
     ),
     # parameterized comparison
     "param_filter": (
         "MATCH (o:Order) WHERE o.totalprice > $min AND o.orderstatus = $st "
         "RETURN count(*) AS cnt"
     ),
-    # temporal extraction + grouping
-    "orders_by_month": (
+    # temporal extraction (.year/.month) + date.truncate + grouping
+    # (merged orders_by_month + temporal_truncate under the 50-gate cap)
+    "temporal_month_truncate": (
         "MATCH (o:Order) WHERE o.orderdate.year = 1997 "
-        "RETURN o.orderdate.month AS mo, count(*) AS cnt, "
+        "RETURN o.orderdate.month AS mo, "
+        "date.truncate('quarter', o.orderdate) AS qtr, count(*) AS cnt, "
         "round(sum(o.totalprice), 2) AS total"
-    ),
-    # percentileDisc + min/max on strings
-    "disc_and_string_minmax": (
-        "MATCH (c:Customer) RETURN round(percentileDisc(c.acctbal, 0.25), 2) AS q1, "
-        "min(c.name) AS first_name, max(c.name) AS last_name"
-    ),
-    # string concat with + and IN predicate
-    "concat_in": (
-        "MATCH (n:Nation) WHERE n.name IN ['NATION_1', 'NATION_2', 'NATION_3'] "
-        "RETURN n.name + '!' AS tagged"
     ),
     # OPTIONAL MATCH ... IS NULL (anti-join shape)
     "optional_anti": (
         "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
         "WITH c, o WHERE o IS NULL RETURN count(*) AS customers_without_orders"
     ),
-    # quantifier over a collected list
+    # quantifier over a collected list + reduce/comprehension/range
+    # scalars in the same projection (absorbed list_ops under the
+    # 50-gate cap)
     "collect_quantifier": (
         "MATCH (c:Customer)-[:PLACED]->(o:Order) "
         "WITH c.name AS cust, collect(o.totalprice) AS prices "
         "RETURN cust, size(prices) AS n, "
-        "all(p IN prices WHERE p > 0.0) AS all_positive "
+        "all(p IN prices WHERE p > 0.0) AS all_positive, "
+        "reduce(acc = 0, x IN [1,2,3,4] | acc + x) AS rtotal, "
+        "join([x IN range(1,6) WHERE x % 2 = 0 | toString(x)], ',') AS evens "
         "ORDER BY n DESC, cust LIMIT 20"
     ),
     # arithmetic semantics: integer division + modulo + pow
@@ -184,15 +176,14 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (p:Part) RETURN p.size % 3 AS m, count(*) AS cnt, "
         "sum(p.size / 10) AS intdiv_sum"
     ),
-    # §2.8 temporal truncate (date.truncate with unit)
-    "temporal_truncate": (
-        "MATCH (o:Order) RETURN date.truncate('quarter', o.orderdate) AS qtr, "
-        "count(*) AS cnt, round(avg(o.totalprice), 2) AS avg_price"
-    ),
-    # §2.2 `=~` full-string regex + §2.8 hash functions
-    "regex_hash_fns": (
+    # §2.2 `=~` full-string regex OR IN-list predicate + string concat
+    # with + and §2.8 hash functions (merged regex_hash_fns + concat_in
+    # under the 50-gate cap)
+    "regex_in_concat_hash": (
         "MATCH (n:Nation) WHERE n.name =~ 'NATION_1[0-9]' "
-        "RETURN n.name AS name, md5(n.name) AS h_md5, sha256(n.name) AS h_sha256"
+        "OR n.name IN ['NATION_1', 'NATION_2', 'NATION_3'] "
+        "RETURN n.name + '!' AS tagged, md5(n.name) AS h_md5, "
+        "sha256(n.name) AS h_sha256"
     ),
     # §2.9 pattern comprehension -> correlated collect_list
     "pattern_comprehension": (
@@ -233,15 +224,16 @@ _CYPHER_QUERIES: dict[str, str] = {
         "MATCH (x)-[:IN_REGION]->(y) "
         "RETURN y.name AS region, count(*) AS nations"
     ),
-    # undirected relationship from the target side (only incoming exists)
-    "undirected_hop": (
+    # undirected relationship from the target side UNION ALL a
+    # right-to-left arrow with source-side filter (merged undirected_hop
+    # + reverse_hop under the 50-gate cap; also exercises UNION ALL —
+    # union_names covers the deduplicating UNION)
+    "undirected_reverse_hops": (
         "MATCH (r:Region)-[:IN_REGION]-(n) "
-        "RETURN r.name AS region, count(*) AS cnt"
-    ),
-    # right-to-left arrow + source-side filter
-    "reverse_hop": (
+        "RETURN r.name AS name, count(*) AS cnt "
+        "UNION ALL "
         "MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer) WHERE c.acctbal < 0.0 "
-        "RETURN n.name AS nation, count(*) AS cnt"
+        "RETURN n.name AS name, count(*) AS cnt"
     ),
 }
 
@@ -285,13 +277,11 @@ _ORACLE: dict[str, str] = {
         "SELECT c_name AS cust, count(o_orderkey) AS n_orders FROM customer "
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_name"
     ),
-    "case_buckets": (
+    "case_string_fns": (
         "SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' "
-        "ELSE 'large' END AS bucket, count(*) AS cnt FROM part GROUP BY 1"
-    ),
-    "string_fns": (
-        "SELECT upper(left(p_name, 5)) AS prefix, length(p_name) AS len, "
-        "count(*) AS cnt FROM part WHERE contains(p_name, 'a') GROUP BY 1, 2"
+        "ELSE 'large' END AS bucket, upper(left(p_name, 5)) AS prefix, "
+        "length(p_name) AS len, contains(p_name, 'a') AS has_a, "
+        "count(*) AS cnt FROM part GROUP BY 1, 2, 3, 4"
     ),
     "distinct_segments": "SELECT DISTINCT c_mktsegment AS seg FROM customer",
     "union_names": (
@@ -319,7 +309,6 @@ _ORACLE: dict[str, str] = {
         "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "
         "CAST(sign(s_acctbal) AS BIGINT) AS sg FROM supplier"
     ),
-    "list_ops": "SELECT 10 AS total, '2,4,6' AS evens, 3 AS n",
     "varlength_path": (
         "WITH RECURSIVE pairs AS ("
         "  SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln FROM lineitem"
@@ -343,27 +332,22 @@ _ORACLE: dict[str, str] = {
         "SELECT event_type AS etype, count(*) AS cnt, round(sum(value), 2) AS total "
         "FROM events GROUP BY event_type"
     ),
-    "stats_fns": (
+    "stats_percentiles": (
         "SELECT c_mktsegment AS seg, round(stddev_samp(c_acctbal), 3) AS sd, "
-        "round(quantile_cont(c_acctbal, 0.5), 3) AS median "
+        "round(quantile_cont(c_acctbal, 0.5), 3) AS median, "
+        "round(quantile_disc(c_acctbal, 0.25), 2) AS q1, "
+        "min(c_name) AS first_name, max(c_name) AS last_name "
         "FROM customer GROUP BY c_mktsegment"
     ),
     "param_filter": (
         "SELECT count(*) AS cnt FROM orders "
         "WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'"
     ),
-    "orders_by_month": (
-        "SELECT EXTRACT(month FROM o_orderdate) AS mo, count(*) AS cnt, "
+    "temporal_month_truncate": (
+        "SELECT EXTRACT(month FROM o_orderdate) AS mo, "
+        "date_trunc('quarter', o_orderdate)::DATE AS qtr, count(*) AS cnt, "
         "round(sum(o_totalprice), 2) AS total FROM orders "
-        "WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1"
-    ),
-    "disc_and_string_minmax": (
-        "SELECT round(quantile_disc(c_acctbal, 0.25), 2) AS q1, "
-        "min(c_name) AS first_name, max(c_name) AS last_name FROM customer"
-    ),
-    "concat_in": (
-        "SELECT n_name || '!' AS tagged FROM nation "
-        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')"
+        "WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1, 2"
     ),
     "optional_anti": (
         "SELECT count(*) AS customers_without_orders FROM customer "
@@ -371,7 +355,8 @@ _ORACLE: dict[str, str] = {
     ),
     "collect_quantifier": (
         "SELECT c_name AS cust, count(*) AS n, "
-        "bool_and(o_totalprice > 0.0) AS all_positive "
+        "bool_and(o_totalprice > 0.0) AS all_positive, "
+        "10 AS rtotal, '2,4,6' AS evens "
         "FROM customer JOIN orders ON o_custkey = c_custkey "
         "GROUP BY c_name ORDER BY n DESC, cust LIMIT 20"
     ),
@@ -380,13 +365,11 @@ _ORACLE: dict[str, str] = {
         "CAST(sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS BIGINT) AS intdiv_sum "
         "FROM part GROUP BY 1"
     ),
-    "temporal_truncate": (
-        "SELECT date_trunc('quarter', o_orderdate)::DATE AS qtr, count(*) AS cnt, "
-        "round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1"
-    ),
-    "regex_hash_fns": (
-        "SELECT n_name AS name, md5(n_name) AS h_md5, sha256(n_name) AS h_sha256 "
-        "FROM nation WHERE regexp_full_match(n_name, 'NATION_1[0-9]')"
+    "regex_in_concat_hash": (
+        "SELECT n_name || '!' AS tagged, md5(n_name) AS h_md5, "
+        "sha256(n_name) AS h_sha256 FROM nation "
+        "WHERE regexp_full_match(n_name, 'NATION_1[0-9]') "
+        "OR n_name IN ('NATION_1', 'NATION_2', 'NATION_3')"
     ),
     "pattern_comprehension": (
         "SELECT n_name AS nation, "
@@ -424,12 +407,11 @@ _ORACLE: dict[str, str] = {
         "SELECT r_name AS region, count(*) AS nations FROM nation "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
     ),
-    "undirected_hop": (
-        "SELECT r_name AS region, count(*) AS cnt FROM nation "
-        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
-    ),
-    "reverse_hop": (
-        "SELECT n_name AS nation, count(*) AS cnt FROM customer "
+    "undirected_reverse_hops": (
+        "SELECT r_name AS name, count(*) AS cnt FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name "
+        "UNION ALL "
+        "SELECT n_name AS name, count(*) AS cnt FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey "
         "WHERE c_acctbal < 0.0 GROUP BY n_name"
     ),
@@ -1020,14 +1002,45 @@ _EXTRA_ORACLE = {
 }
 
 
+# The driver records at most 50 gates in queries() iteration order
+# (round 5 silently dropped entries 51-56), so the total is kept at
+# exactly 50 and the gates with unique coverage — mutations, streaming,
+# multimodal — are pinned near the front as insurance against any
+# tighter future cap.
+_GATE_PRIORITY = [
+    "simple_scan",
+    "filtered_scan",
+    "order_limit",
+    "single_hop",
+    "two_hop_filter",
+    "agg_pricing_summary",
+    "varlength_path",
+    "shortest_path",
+    "optional_hop_count",
+    "mutation_roundtrip",
+    "merge_on_match",
+    "stream_window_agg",
+    "stream_session_window",
+    "stream_static_join",
+    "llm_multimodal",
+]
+
+
+def _ordered(full: dict) -> dict:
+    out = {k: full[k] for k in _GATE_PRIORITY if k in full}
+    out.update({k: v for k, v in full.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER_QUERIES.items():
         out[name] = _cypher(q, _PARAMS.get(name))
     out.update(_LLMOPS_QUERIES)
     out.update(_EXTRA_QUERIES)
-    return out
+    assert len(out) <= 50, f"driver records only 50 gates; got {len(out)}"
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_ORACLE, **_LLMOPS_ORACLE, **_EXTRA_ORACLE}
+    return _ordered({**_ORACLE, **_LLMOPS_ORACLE, **_EXTRA_ORACLE})
