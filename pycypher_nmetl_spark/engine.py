@@ -188,12 +188,17 @@ class CypherEngine:
             else:
                 from pycypher_nmetl_spark.guards import deadline
 
-                self._deadline_active.flag = True
+                # depth counter, not a boolean: a nested run(timeout_s=..)
+                # (e.g. from a procedure inside an outer timed run) must
+                # not clear the outer deadline's marker on its way out
+                self._deadline_active.depth = (
+                    getattr(self._deadline_active, "depth", 0) + 1
+                )
                 try:
                     with deadline(self.spark, timeout):
                         rows = self.execute(cypher, parameters).collect()
                 finally:
-                    self._deadline_active.flag = False
+                    self._deadline_active.depth -= 1
         except Exception as e:
             from pycypher_nmetl_spark.guards import QueryTimeout
 
@@ -247,7 +252,7 @@ class CypherEngine:
                 # Outside a deadline the stored object is served as-is —
                 # re-collecting it reuses already-computed shuffle stages
                 # (a real warm-query win bench reps rely on).
-                if getattr(self._deadline_active, "flag", False):
+                if getattr(self._deadline_active, "depth", 0) > 0:
                     return hit.select("*")
                 return hit
 

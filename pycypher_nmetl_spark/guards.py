@@ -63,10 +63,22 @@ def check_cross_join(left: DataFrame, right: DataFrame, max_product_bytes: float
     advisory guard must never false-refuse on garbage stats. Mirrors the
     >1e12-row implausibility rule in _rows_estimate."""
     lb, rb = plan_size_bytes(left), plan_size_bytes(right)
+    discarded = [b for b in (lb, rb) if b is not None and b > 1e15]
     if lb is not None and lb > 1e15:
         lb = None
     if rb is not None and rb > 1e15:
         rb = None
+    if discarded:
+        # the discard is visible, not silent: a genuinely petabyte-scale
+        # input would also land here, and the operator should know the
+        # advisory guard stood down (ADVICE round 5)
+        from pycypher_nmetl_spark.audit import audit_event
+
+        audit_event(
+            "cross_join_guard", "<stats>", status="estimate_discarded",
+            elapsed_ms=0.0,
+            parameters={f"discarded_{b:.3g}B": None for b in discarded},
+        )
     if lb is None or rb is None:
         return
     if lb * rb > max_product_bytes:

@@ -365,3 +365,68 @@ def test_param_in_list_cross_type(spark):
         ).collect()
     ]
     assert rows == [(False,)]
+
+
+# --------------------------------------------------------------------- #
+# round-5 ADVICE: nested run(timeout_s=...) must not clear the outer
+# deadline marker (depth counter, not a boolean)
+# --------------------------------------------------------------------- #
+def test_nested_timed_run_keeps_outer_deadline_marker(golden):
+    q = "MATCH (p:Person) RETURN count(*) AS c"
+    # simulate an outer timed run in progress on this thread
+    golden._deadline_active.depth = 1
+    try:
+        assert golden.run(q, timeout_s=30.0)[0][0] == 4
+        # the inner run's finally must restore, not clear, the marker
+        assert golden._deadline_active.depth == 1
+        # with the outer deadline still active, a cache hit must be
+        # re-wrapped (never the stored Dataset, whose job group the
+        # outer deadline cannot cancel)
+        first = golden.execute(q)
+        second = golden.execute(q)
+        assert second is not first
+    finally:
+        golden._deadline_active.depth = 0
+    # outside any deadline the stored object is served as-is
+    third = golden.execute(q)
+    assert golden.execute(q) is third
+
+
+# --------------------------------------------------------------------- #
+# round-5 ADVICE: discarded garbage stats estimates are audited
+# --------------------------------------------------------------------- #
+def test_cross_join_guard_logs_discarded_estimate(golden, monkeypatch):
+    import logging
+
+    from pycypher_nmetl_spark import audit, guards
+
+    monkeypatch.setattr(guards, "plan_size_bytes", lambda df: 1e16)
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    audit.enable_audit_log(_Capture())
+    try:
+        df = golden.execute("MATCH (p:Person) RETURN p.name AS n")
+        # both sides report garbage stats -> guard stands down, no raise
+        guards.check_cross_join(df, df, max_product_bytes=1.0)
+    finally:
+        audit.disable_audit_log()
+    assert any("cross_join_guard" in r and "estimate_discarded" in r for r in records)
+
+
+# --------------------------------------------------------------------- #
+# round-5 ADVICE: bench_scaling with only an output path still defaults
+# to the 10x replica
+# --------------------------------------------------------------------- #
+def test_bench_scaling_arg_default():
+    import sys
+    sys.path.insert(0, "tools")
+    from bench_scaling import parse_args
+
+    assert parse_args([]) == ([10], [], "SCALING.json")
+    assert parse_args(["SCALING2.json"]) == ([10], [], "SCALING2.json")
+    assert parse_args(["10", "30", "gen10"]) == ([10, 30], [10], "SCALING.json")
+    assert parse_args(["gen10", "OUT.json"]) == ([], [10], "OUT.json")

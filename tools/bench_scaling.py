@@ -91,19 +91,28 @@ def run_bench(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     return {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
 
 
+def parse_args(argv: list[str]) -> tuple[list[int], list[int], str]:
+    """`N` -> key-shifted replica factor, `genN` -> genuine regenerated
+    scale, anything else -> output path. No factor args at all (with or
+    without an output path) defaults to a 10x replica."""
+    ks = [int(a) for a in argv if a.isdigit()]
+    gens = [int(a[3:]) for a in argv if a.startswith("gen") and a[3:].isdigit()]
+    if not ks and not gens:
+        ks = [10]
+    out_path = next(
+        (a for a in argv if not a.isdigit() and not (a.startswith("gen") and a[3:].isdigit())),
+        "SCALING.json",
+    )
+    return ks, gens, out_path
+
+
 def main() -> None:
     # replication factors and/or genuine regenerated scales:
     #   python tools/bench_scaling.py 10 30 gen10
     # `N`    -> key-shifted replica of sf0.1 at Nx (shards, degree preserved)
     # `genN` -> genuine Nx dataset from tools/gen_sf.py (real distribution:
     #           FK fan-out and group cardinalities actually grow with scale)
-    argv = sys.argv[1:]
-    ks = [int(a) for a in argv if a.isdigit()] or ([10] if not argv else [])
-    gens = [int(a[3:]) for a in argv if a.startswith("gen") and a[3:].isdigit()]
-    out_path = next(
-        (a for a in argv if not a.isdigit() and not a.startswith("gen")),
-        "SCALING.json",
-    )
+    ks, gens, out_path = parse_args(sys.argv[1:])
     from pycypher_nmetl_spark import get_spark
 
     spark = get_spark(app_name="bench-scaling")
