@@ -915,3 +915,127 @@ def expression_queries(draw) -> QuerySpec:
     cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"
     sql = f"SELECT {sql_items}, n.id AS k {pat.sql_from}"
     return QuerySpec(cy, sql, ordered=False)
+
+
+@st.composite
+def union_queries(draw) -> QuerySpec:
+    """Two generated scan branches joined by UNION / UNION ALL.
+
+    Per-column expression families are fixed across branches so both
+    engines agree on column types; Cypher requires identical column
+    names (x0..xn) in every branch. Exercises engine._execute_union
+    (previously fixed-query tested only)."""
+    all_kw = draw(st.booleans())
+    fams = draw(
+        st.lists(st.sampled_from(["int", "str"]), min_size=1, max_size=2)
+    )
+    branches_cy, branches_sql = [], []
+    for _ in range(2):
+        pat = draw(
+            st.sampled_from([pattern_scan_person, pattern_scan_company])
+        )()
+        where = draw(st.none() | predicates(pat.scope))
+        items = [
+            draw(int_expr(pat.scope) if fam == "int" else str_expr(pat.scope))
+            for fam in fams
+        ]
+        cy = pat.cypher_match
+        sqlw = ""
+        if where is not None:
+            cy += f" WHERE {where.cy}"
+            sqlw = f" WHERE {where.sql}"
+        cy += " RETURN " + ", ".join(
+            f"{it.cy} AS x{i}" for i, it in enumerate(items)
+        )
+        sql = (
+            "SELECT "
+            + ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
+            + f" {pat.sql_from}{sqlw}"
+        )
+        branches_cy.append(cy)
+        branches_sql.append(sql)
+    kw = " UNION ALL " if all_kw else " UNION "
+    return QuerySpec(
+        kw.join(branches_cy),
+        kw.join(f"({s})" for s in branches_sql),
+        ordered=False,
+    )
+
+
+@st.composite
+def quantifier_queries(draw) -> QuerySpec:
+    """collect() into a list, then a quantifier (all/any/none/single)
+    over it — vs FILTERed SQL bool aggregates. Cypher collect() drops
+    nulls, so size(xs) = count(col) and the quantifier never sees a
+    null element; empty-list defaults are all=true, any=false."""
+    col_cy, col_sql, lo, hi = draw(
+        st.sampled_from(
+            [
+                ("b.age", "b.age", 24, 42),
+                ("e.since", "e.since", 2014, 2023),
+                ("b.salary", "b.salary", 79, 121),
+            ]
+        )
+    )
+    t = draw(st.integers(lo, hi))
+    op = draw(st.sampled_from([">", "<", ">=", "<="]))
+    quant = draw(st.sampled_from(["all", "any", "none", "single"]))
+    pred_sql = f"{col_sql} {op} {t}"
+    filt = f"FILTER (WHERE {col_sql} IS NOT NULL)"
+    if quant == "all":
+        q_sql = f"coalesce(bool_and({pred_sql}) {filt}, TRUE)"
+    elif quant == "any":
+        q_sql = f"coalesce(bool_or({pred_sql}) {filt}, FALSE)"
+    elif quant == "none":
+        q_sql = f"(NOT coalesce(bool_or({pred_sql}) {filt}, FALSE))"
+    else:  # single: exactly one qualifying element
+        q_sql = (
+            f"(coalesce(sum(CASE WHEN {pred_sql} THEN 1 ELSE 0 END) "
+            f"{filt}, 0) = 1)"
+        )
+    cy = (
+        "MATCH (a:Person)-[e:KNOWS]->(b:Person) "
+        f"WITH a.id AS k, collect({col_cy}) AS xs "
+        f"RETURN k, size(xs) AS n, {quant}(x IN xs WHERE x {op} {t}) AS q"
+    )
+    sql = (
+        f"SELECT a.id AS k, count({col_sql}) AS n, {q_sql} AS q "
+        "FROM person a JOIN knows e ON e.src = a.id "
+        "JOIN person b ON b.id = e.dst GROUP BY a.id"
+    )
+    return QuerySpec(cy, sql, ordered=False)
+
+
+@st.composite
+def pattern_comp_queries(draw) -> QuerySpec:
+    """size() of a predicated pattern comprehension per scan row — vs a
+    correlated COUNT subquery. Covers both edge directions and a null-
+    producing predicate (null pred drops the element on both sides)."""
+    dirn = draw(st.sampled_from(["out", "in"]))
+    t = draw(st.integers(24, 42))
+    pred_cy, pred_sql = draw(
+        st.sampled_from(
+            [
+                (f"b.age > {t}", f"b.age > {t}"),
+                ("b.name CONTAINS 'a'", "contains(b.name, 'a')"),
+                ("b.id % 2 = 0", "b.id % 2 = 0"),
+                (f"b.age IS NULL OR b.age < {t}",
+                 f"b.age IS NULL OR b.age < {t}"),
+            ]
+        )
+    )
+    if dirn == "out":
+        comp = f"(n)-[:KNOWS]->(b:Person) WHERE {pred_cy} | b.id"
+        corr = (
+            "SELECT count(*) FROM knows e JOIN person b ON b.id = e.dst "
+            f"WHERE e.src = n.id AND ({pred_sql})"
+        )
+    else:
+        comp = f"(n)<-[:KNOWS]-(b:Person) WHERE {pred_cy} | b.id"
+        corr = (
+            "SELECT count(*) FROM knows e JOIN person b ON b.id = e.src "
+            f"WHERE e.dst = n.id AND ({pred_sql})"
+        )
+    cy = f"MATCH (n:Person) RETURN n.id AS k, size([{comp}]) AS cnt"
+    sql = f"SELECT n.id AS k, ({corr}) AS cnt FROM person n"
+    return QuerySpec(cy, sql, ordered=False)

@@ -181,3 +181,21 @@ def test_expression_queries(rig, spec):
     # round-5: deep expression trees (Cypher int division, 0-based
     # substring/list index, inclusive range, CASE, null injection)
     _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.union_queries())
+def test_union_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.quantifier_queries())
+def test_quantifier_queries(rig, spec):
+    _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.pattern_comp_queries())
+def test_pattern_comp_queries(rig, spec):
+    _check(rig, spec)
