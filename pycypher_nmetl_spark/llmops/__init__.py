@@ -19,10 +19,14 @@ from pycypher_nmetl_spark.llmops.similarity import (
 from pycypher_nmetl_spark.llmops.textstats import (
     add_fingerprint, add_lang_id, add_quality, add_token_count, tokens,
 )
+from pycypher_nmetl_spark.llmops.export import (
+    global_shuffle, pack_sequences, split, stratified_sample,
+)
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
     "simhash", "simhash_buckets",
     "brute_force_topk", "cosine_col", "ivf_build", "ivf_topk", "near_dup_pairs",
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
+    "split", "stratified_sample", "global_shuffle", "pack_sequences",
 ]
