@@ -924,17 +924,55 @@ class ExprCompiler:
     def _c_Reduce(self, e: Reduce) -> Column:
         ek = self._elem_kind(e.collection)
         ak = self._static_kind(e.init)
+        # Spark's aggregate() requires the zero type to equal the merge
+        # lambda's result type, but Cypher's accumulator is dynamically
+        # typed: `reduce(acc = 5, x IN bigints | acc + x)` must not fail
+        # on INT-vs-BIGINT. Infer the merge-body kind with acc/x bound,
+        # then unify: int accumulators run as BIGINT (Cypher ints are
+        # 64-bit), any float in the tower promotes the fold to DOUBLE.
+        _missing = object()
+        saved = {
+            n: (self.lambda_vars.get(n, _missing), self.lambda_kinds.get(n, _missing))
+            for n in (e.var, e.acc)
+        }
+        self.lambda_vars[e.var] = F.lit(None)
+        self.lambda_kinds[e.var] = ek
+        self.lambda_vars[e.acc] = F.lit(None)
+        self.lambda_kinds[e.acc] = ak
+        try:
+            bk = self._static_kind(e.body)
+        finally:
+            for n, (sv, sk) in saved.items():
+                if sv is _missing:
+                    self.lambda_vars.pop(n, None)
+                else:
+                    self.lambda_vars[n] = sv
+                if sk is _missing:
+                    self.lambda_kinds.pop(n, None)
+                else:
+                    self.lambda_kinds[n] = sk
+        kinds = {k for k in (ak, bk) if k not in (None, "null")}
+        acc_cast = None
+        if kinds == {"int"}:
+            acc_cast = "long"
+        elif kinds and kinds <= {"int", "float"}:
+            acc_cast = "double"
         coll = self.col(e.collection)
         init = self.col(e.init)
+        if acc_cast:
+            init = init.cast(acc_cast)
+
+        unified_ak = {"long": "int", "double": "float"}.get(acc_cast, ak)
 
         def merge(acc, x):
             def body():
                 saved = self.lambda_vars.get(e.acc)
                 saved_kind = self.lambda_kinds.get(e.acc)
                 self.lambda_vars[e.acc] = acc
-                self.lambda_kinds[e.acc] = ak
+                self.lambda_kinds[e.acc] = unified_ak
                 try:
-                    return self.col(e.body)
+                    out = self.col(e.body)
+                    return out.cast(acc_cast) if acc_cast else out
                 finally:
                     if saved is None:
                         self.lambda_vars.pop(e.acc, None)

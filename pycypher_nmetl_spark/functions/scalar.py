@@ -297,7 +297,14 @@ simple("toBooleanList", lambda xs: F.transform(xs, lambda x: x.try_cast("boolean
 def _range(cc, args):
     start, end = cc.col(args[0]).cast("long"), cc.col(args[1]).cast("long")
     step = cc.col(args[2]).cast("long") if len(args) > 2 else F.lit(1).cast("long")
-    return F.sequence(start, end, step)
+    # Cypher range() returns [] when the step points away from the end
+    # (range(3, 2) -> []); Spark's sequence() throws on such boundaries.
+    empty = F.array().cast("array<long>")
+    return (
+        F.when((step > 0) & (start > end), empty)
+        .when((step < 0) & (start < end), empty)
+        .otherwise(F.sequence(start, end, step))
+    )
 
 
 @register("toList")

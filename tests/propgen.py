@@ -1039,3 +1039,116 @@ def pattern_comp_queries(draw) -> QuerySpec:
     cy = f"MATCH (n:Person) RETURN n.id AS k, size([{comp}]) AS cnt"
     sql = f"SELECT n.id AS k, ({corr}) AS cnt FROM person n"
     return QuerySpec(cy, sql, ordered=False)
+
+
+# ------------------------------------------------------------------ #
+# deep list operations: index / slice (negative + out-of-range),
+# comprehension with map, REDUCE, reverse/concat/contains — the §2.9
+# forms previously covered by fixed unit tests only.  Translation rules
+# (verified over an exhaustive grid, round 6): Cypher index i -> DuckDB
+# i+1 if i >= 0 else i; Cypher slice [a..b] -> DuckDB [lo:hi] with
+# lo = a+1 if a >= 0 else a, hi = b if b >= 0 else b-1; Cypher
+# range(a, b) -> DuckDB range(a, b+1); reduce seeds via list_prepend.
+@st.composite
+def deep_list_item(draw, scope: Scope | None = None) -> Item:
+    """One list-valued or list-derived-scalar item, Cypher + DuckDB."""
+
+    def lits(min_size=0, max_size=5):
+        xs = draw(st.lists(st.integers(-9, 99), min_size=min_size,
+                           max_size=max_size))
+        return xs
+
+    def render(xs):
+        body = ", ".join(str(x) for x in xs)
+        return f"[{body}]", f"[{body}]"
+
+    shape = draw(st.sampled_from(
+        ["index", "slice", "comp", "reduce", "rev_concat", "contains",
+         "graph_comp"]
+    ))
+    if shape == "index":
+        xs = lits()
+        cy_l, sql_l = render(xs)
+        i = draw(st.integers(-6, 6))
+        di = i + 1 if i >= 0 else i
+        return Item(f"{cy_l}[{i}]", f"({sql_l})[{di}]", "int")
+    if shape == "slice":
+        xs = lits()
+        cy_l, sql_l = render(xs)
+        a = draw(st.integers(-5, 5))
+        b = draw(st.integers(-5, 5))
+        lo = a + 1 if a >= 0 else a
+        hi = b if b >= 0 else b - 1
+        return Item(f"{cy_l}[{a}..{b}]", f"({sql_l})[{lo}:{hi}]", "list")
+    if shape == "comp":
+        a = draw(st.integers(-2, 3))
+        b = a + draw(st.integers(0, 6))
+        m = draw(st.sampled_from([2, 3]))
+        k = draw(st.integers(0, m - 1))
+        c = draw(st.integers(-3, 3))
+        d = draw(st.integers(-5, 5))
+        use_where = draw(st.booleans())
+        use_map = draw(st.booleans()) or not use_where
+        cy = f"x IN range({a}, {b})"
+        sql = f"range({a}, {b + 1})"
+        if use_where:
+            cy += f" WHERE x % {m} = {k}"
+            sql = f"list_filter({sql}, x -> x % {m} = {k})"
+        if use_map:
+            cy += f" | x * {c} + {d}"
+            sql = f"list_transform({sql}, x -> x * {c} + {d})"
+        return Item(f"[{cy}]", sql, "list")
+    if shape == "reduce":
+        a = draw(st.integers(-2, 3))
+        b = a + draw(st.integers(-1, 6))  # -1 => empty range -> seed
+        s = draw(st.integers(-5, 9))
+        c = draw(st.integers(-3, 3))
+        body_cy, body_sql = draw(st.sampled_from([
+            (f"acc + x * {c}", f"(a, b) -> a + b * {c}"),
+            ("acc - x", "(a, b) -> a - b"),
+            ("acc + x % 3", "(a, b) -> a + b % 3"),
+        ]))
+        return Item(
+            f"reduce(acc = {s}, x IN range({a}, {b}) | {body_cy})",
+            f"list_reduce(list_prepend({s}, range({a}, {b + 1})), {body_sql})",
+            "int",
+        )
+    if shape == "rev_concat":
+        xs, ys = lits(), lits()
+        cy_x, sql_x = render(xs)
+        cy_y, sql_y = render(ys)
+        out_cy = f"reverse({cy_x} + {cy_y})"
+        out_sql = f"list_reverse({sql_x} || {sql_y})"
+        if draw(st.booleans()):
+            return Item(f"size({out_cy})", f"len({out_sql})", "int")
+        return Item(out_cy, out_sql, "list")
+    if shape == "contains":
+        xs = lits()
+        cy_l, sql_l = render(xs)
+        v = draw(st.integers(-9, 99))
+        return Item(
+            f"{v} IN {cy_l}", f"list_contains({sql_l}, {v})", "bool"
+        )
+    # graph_comp: comprehension whose predicate references the row —
+    # exercises outer-column capture in Spark lambda functions. Null age
+    # yields a null predicate, dropped by both engines' filters.
+    hi = draw(st.integers(0, 4))
+    m = draw(st.sampled_from([5, 7]))
+    return Item(
+        f"[x IN range(0, {hi}) WHERE x < n.age % {m} | x]",
+        f"list_filter(range(0, {hi + 1}), x -> x < n.age % {m})",
+        "list",
+    )
+
+
+@st.composite
+def list_deep_queries(draw) -> QuerySpec:
+    """2-3 deep-list items per Person row, keyed by n.id."""
+    pat = pattern_scan_person()
+    n = draw(st.integers(2, 3))
+    items = [draw(deep_list_item(pat.scope)) for _ in range(n)]
+    cy_items = ", ".join(f"{e.cy} AS x{i}" for i, e in enumerate(items))
+    sql_items = ", ".join(f"{e.sql} AS x{i}" for i, e in enumerate(items))
+    cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"
+    sql = f"SELECT {sql_items}, n.id AS k {pat.sql_from}"
+    return QuerySpec(cy, sql, ordered=False)

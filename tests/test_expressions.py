@@ -116,6 +116,30 @@ def test_reduce(golden):
     assert one(golden, "reduce(s = '', x IN ['a','b'] | s + x)") == "ab"
 
 
+def test_reduce_accumulator_type_unification(golden):
+    """Cypher's accumulator is dynamically typed; Spark's aggregate()
+    demands zero type == merge result type. Int seeds must run as
+    BIGINT (found by list_deep_queries fuzzer, round 6)."""
+    # int seed over a bigint collection with a widening merge
+    assert one(golden, "reduce(acc = 5, x IN range(1, 4) | acc + x * 2)") == 25
+    # float anywhere in the tower promotes the fold to double
+    assert one(golden, "reduce(acc = 0.5, x IN range(1, 3) | acc + x)") == 6.5
+    assert one(golden, "reduce(acc = 0, x IN [1.5, 2.5] | acc + x)") == 4.0
+    # int division semantics survive the unification
+    assert one(golden, "reduce(acc = 10, x IN range(1, 3) | acc / x)") == 1
+    # empty collection returns the seed
+    assert one(golden, "reduce(acc = 7, x IN range(3, 2) | acc + x)") == 7
+
+
+def test_range_empty_when_step_points_away(golden):
+    """range(3, 2) is [] in Cypher; Spark's sequence() throws on such
+    boundaries (found by list_deep_queries fuzzer, round 6)."""
+    assert one(golden, "range(3, 2)") == []
+    assert one(golden, "range(1, 5, -1)") == []
+    assert one(golden, "range(5, 1, -2)") == [5, 3, 1]
+    assert one(golden, "size(range(0, -1))") == 0
+
+
 def test_map_literal_and_access(golden):
     assert one(golden, "{a: 1, b: 'x'}.a") == 1
     assert one(golden, "{a: 1}['a']") == 1

@@ -199,3 +199,12 @@ def test_quantifier_queries(rig, spec):
 @given(spec=G.pattern_comp_queries())
 def test_pattern_comp_queries(rig, spec):
     _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.list_deep_queries())
+def test_list_deep_queries(rig, spec):
+    # index/slice with negative + out-of-range bounds, comprehension
+    # with map, REDUCE (incl. empty collections and type promotion),
+    # reverse/concat/contains, row-coupled lambda predicates
+    _check(rig, spec)
