@@ -626,6 +626,14 @@ def norm_value(v):
         if v == 0.0:
             return 0.0
         return float(f"{v:.9g}")
+    # structs: Spark returns Row, DuckDB returns dict — normalize both
+    # to a key-sorted dict so equality and sort keys are engine-agnostic
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return {k: norm_value(v[k]) for k in sorted(v)}
+    if isinstance(v, (list, tuple)):
+        return [norm_value(x) for x in v]
     return v
 
 
@@ -1147,6 +1155,69 @@ def list_deep_queries(draw) -> QuerySpec:
     pat = pattern_scan_person()
     n = draw(st.integers(2, 3))
     items = [draw(deep_list_item(pat.scope)) for _ in range(n)]
+    cy_items = ", ".join(f"{e.cy} AS x{i}" for i, e in enumerate(items))
+    sql_items = ", ".join(f"{e.sql} AS x{i}" for i, e in enumerate(items))
+    cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"
+    sql = f"SELECT {sql_items}, n.id AS k {pat.sql_from}"
+    return QuerySpec(cy, sql, ordered=False)
+
+
+# ------------------------------------------------------------------ #
+# map literals / map projection / nested access — §2.9 forms #63/#70,
+# previously unit-only.  Spark side compiles to structs; DuckDB structs
+# are the oracle; norm_value folds Row/dict to key-sorted dicts.
+@st.composite
+def map_item(draw, scope: Scope) -> Item:
+    shape = draw(st.sampled_from(
+        ["proj", "proj_missing", "literal", "nested", "star"]
+    ))
+    if shape == "proj":
+        e = draw(int_expr(scope))
+        return Item(
+            f"n{{.name, .age, ex: {e.cy}}}",
+            f"{{'name': n.name, 'age': n.age, 'ex': {e.sql}}}",
+            "map",
+        )
+    if shape == "proj_missing":
+        # a property absent from every node projects as null
+        return Item(
+            "n{.name, .nosuch}",
+            "{'name': n.name, 'nosuch': NULL}",
+            "map",
+        )
+    if shape == "literal":
+        a = draw(st.integers(-9, 99))
+        s = draw(st.sampled_from(STR_CONSTS))
+        xs = draw(st.lists(st.integers(-9, 99), min_size=0, max_size=4))
+        body = ", ".join(str(x) for x in xs)
+        return Item(
+            f"{{a: {a}, b: '{s}', c: [{body}]}}",
+            f"{{'a': {a}, 'b': '{s}', 'c': [{body}]}}",
+            "map",
+        )
+    if shape == "nested":
+        e = draw(int_expr(scope))
+        return Item(
+            f"{{a: {{b: {e.cy}}}}}.a.b",
+            f"({{'a': {{'b': {e.sql}}}}}).a.b",
+            "int",
+        )
+    # star: all node properties (id excluded) plus a computed key
+    k = draw(st.integers(-9, 99))
+    return Item(
+        f"n{{.*, extra: {k}}}",
+        "{'name': n.name, 'age': n.age, 'dept': n.dept, "
+        f"'salary': n.salary, 'extra': {k}}}",
+        "map",
+    )
+
+
+@st.composite
+def map_proj_queries(draw) -> QuerySpec:
+    """1-2 map-shaped items per Person row, keyed by n.id."""
+    pat = pattern_scan_person()
+    n = draw(st.integers(1, 2))
+    items = [draw(map_item(pat.scope)) for _ in range(n)]
     cy_items = ", ".join(f"{e.cy} AS x{i}" for i, e in enumerate(items))
     sql_items = ", ".join(f"{e.sql} AS x{i}" for i, e in enumerate(items))
     cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"

@@ -208,3 +208,11 @@ def test_list_deep_queries(rig, spec):
     # with map, REDUCE (incl. empty collections and type promotion),
     # reverse/concat/contains, row-coupled lambda predicates
     _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.map_proj_queries())
+def test_map_proj_queries(rig, spec):
+    # map literals, map projection (.prop / computed / missing-prop /
+    # .* star form), nested struct access — vs DuckDB structs
+    _check(rig, spec)
