@@ -1,0 +1,148 @@
+"""Scaling bench for the LLM-data-pipeline operators (llmops/ + export).
+
+Runs each op at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and,
+when present, at the genuine-10x dataset produced by tools/gen_sf.py
+(/tmp/spark_graft_gen_sf10x — `python tools/bench_scaling.py gen10`
+builds it).  Reports per-op wall time at both scales and the scaling
+exponent log(t10/t1)/log(10): < 1 sublinear, > 1 superlinear (a shape
+that would degrade at 100 TB and needs attention).
+
+Usage: python tools/bench_llmops.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, d):
+    return spark.read.parquet(f"{d}/documents.parquet")
+
+
+def _embs(spark, d):
+    return spark.read.parquet(f"{d}/embeddings.parquet")
+
+
+def _ops():
+    from pycypher_nmetl_spark.llmops import (
+        add_fingerprint, add_lang_id, add_quality, add_token_count,
+        brute_force_topk, exact_dedup, global_shuffle, minhash_lsh_pairs,
+        near_dup_pairs, pack_sequences, simhash_buckets, split,
+    )
+
+    def exact(spark, d):
+        return exact_dedup(_docs(spark, d), ["text"]).count()
+
+    def minhash(spark, d):
+        return minhash_lsh_pairs(
+            _docs(spark, d), "doc_id", "text", threshold=0.7
+        ).count()
+
+    def simhash_op(spark, d):
+        return simhash_buckets(_docs(spark, d), "doc_id", "text").count()
+
+    def textstats(spark, d):
+        df = _docs(spark, d)
+        df = add_token_count(df, "text")
+        df = add_quality(df, "text")
+        df = add_lang_id(df, "text")
+        df = add_fingerprint(df, "text")
+        # force every derived column to materialize
+        return df.agg(
+            F.sum("n_tokens"), F.countDistinct("lang_pred"),
+            F.countDistinct("fingerprint"),
+        ).collect()[0][0]
+
+    def embed_topk(spark, d):
+        q = _embs(spark, d).limit(1).collect()[0]["embedding"]
+        return len(
+            brute_force_topk(
+                _embs(spark, d), "embedding", [float(x) for x in q],
+                k=10, id_col="vec_id",
+            ).collect()
+        )
+
+    def embed_neardup(spark, d):
+        return near_dup_pairs(
+            _embs(spark, d), "embedding", threshold=0.95, id_col="vec_id"
+        ).count()
+
+    def export_pipeline(spark, d):
+        df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
+        train = df.where(F.col("split") == "train")
+        sh = global_shuffle(train, key="doc_id", num_partitions=32)
+        return pack_sequences(sh, "doc_id", "n_chars", max_tokens=8000).count()
+
+    return [
+        ("exact_dedup", exact),
+        ("minhash_lsh_pairs", minhash),
+        ("simhash_buckets", simhash_op),
+        ("textstats_scan", textstats),
+        ("embed_topk", embed_topk),
+        ("embed_neardup_lsh", embed_neardup),
+        ("export_split_shuffle_pack", export_pipeline),
+    ]
+
+
+def _time(fn, spark, d, reps=3, budget_s=60.0):
+    """Median of `reps` warm runs; ops slower than budget_s get one
+    timed run (their runtime dwarfs scheduler jitter anyway)."""
+    t0 = time.perf_counter()
+    fn(spark, d)  # warm (plan compile, file listing, code paths)
+    warm = time.perf_counter() - t0
+    if warm > budget_s:
+        t0 = time.perf_counter()
+        out = fn(spark, d)
+        return time.perf_counter() - t0, out
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(spark, d)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], out
+
+
+def main():
+    from pycypher_nmetl_spark import get_spark
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    gen10 = "/tmp/spark_graft_gen_sf10x"
+    only = set(sys.argv[2:])  # optional op-name filter
+    spark = get_spark(app_name="bench_llmops")
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    rows = []
+    for name, fn in _ops():
+        if only and name not in only:
+            continue
+        t1, out1 = _time(fn, spark, base)
+        rec = {"op": name, "sf0.1_s": round(t1, 4), "result": out1}
+        print(json.dumps(rec), flush=True)
+        if os.path.isdir(gen10):
+            t10, out10 = _time(fn, spark, gen10)
+            rec["gen10x_s"] = round(t10, 4)
+            rec["result10"] = out10
+            rec["exp10"] = round(math.log(t10 / t1) / math.log(10), 3)
+            print(json.dumps(rec), flush=True)
+        rows.append(rec)
+        # checkpoint after every op so a killed run keeps its results
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(
+                    {"metric": "llmops_scaling", "rows": rows, "base": base},
+                    f, indent=1,
+                )
+    print(json.dumps({"total_ops": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()
