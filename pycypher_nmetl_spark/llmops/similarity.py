@@ -188,10 +188,25 @@ def near_dup_pairs(
             F.col("b._v").alias("_v2"),
         )
     )
+    # verify with an Arrow-batched numpy cosine, not cosine_col: the
+    # zip_with/aggregate fold runs interpreted (HOFs disable codegen),
+    # and on a correlated corpus the candidate count — not the banding —
+    # dominates (dense clusters collide below threshold too), so the
+    # per-candidate cost is the scale lever.  Measured at gen10x
+    # (20k clustered vectors, t=0.95): 119 s expression verify -> see
+    # SCALING.md for the batched numbers.
+    @pandas_udf("double")
+    def _pair_cosine(v1s, v2s):
+        m1 = np.stack([np.asarray(x, dtype=np.float64) for x in v1s])
+        m2 = np.stack([np.asarray(x, dtype=np.float64) for x in v2s])
+        num = (m1 * m2).sum(axis=1)
+        den = np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0, 0.0, num / den)
+        return pd.Series(out)
+
     return (
-        cand.select(
-            "id1", "id2", cosine_col(F.col("_v1"), F.col("_v2")).alias("cosine")
-        )
+        cand.select("id1", "id2", _pair_cosine("_v1", "_v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
