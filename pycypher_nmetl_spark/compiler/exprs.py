@@ -475,20 +475,23 @@ class ExprCompiler:
         if e.op == "*":
             return l * r
         if e.op == "%":
-            return l % r
+            # x % 0 -> null, truncating remainder with the dividend's
+            # sign (reference: arithmetic_evaluator.py:96-138). try_mod
+            # nulls the zero-divisor rows instead of raising under
+            # Spark's ANSI mode, and stays safe under constant folding
+            # (a WHEN-guard would still fold-and-raise on `RETURN 1 % 0`).
+            return F.try_mod(l, r)
         if e.op == "^":
             return F.pow(l, r)
         if e.op == "/":
             lk, rk = self._static_kind(e.left), self._static_kind(e.right)
             if lk == rk == "int":
-                return ((l - (l % r)) / r).cast("long")
+                return self._int_div(l, r)
             if "float" in (lk, rk):
                 return self._float_div(l, r)
             lt, rt = self._numeric_kinds(l, r)
             if isinstance(lt, _INT_TYPES) and isinstance(rt, _INT_TYPES):
-                # Cypher integer division truncates toward zero
-                # (reference: arithmetic_evaluator.py:50-103)
-                return ((l - (l % r)) / r).cast("long")
+                return self._int_div(l, r)
             return self._float_div(l, r)
         raise NotImplementedError(f"operator {e.op}")
 
@@ -506,6 +509,13 @@ class ExprCompiler:
         ):
             return res.cast("date")
         return res
+
+    @staticmethod
+    def _int_div(l: Column, r: Column) -> Column:
+        """Integer division: truncation toward zero, x / 0 -> null
+        (reference: arithmetic_evaluator.py:50-103). try_mod/try_divide
+        null the zero-divisor rows instead of raising under ANSI mode."""
+        return F.try_divide(l - F.try_mod(l, r), r).cast("long")
 
     @staticmethod
     def _float_div(l: Column, r: Column) -> Column:

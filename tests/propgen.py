@@ -719,16 +719,15 @@ def int_expr(draw, scope: Scope, depth: int = 0) -> Item:
         return Item(f"({a.cy} {op} {b.cy})", f"({a.sql} {op} {b.sql})", "int")
     if c == "div":
         a = draw(int_expr(scope, depth + 1))
-        b = draw(st.sampled_from([2, 3, 7, -4]))  # nonzero literal divisor
-        return Item(
-            f"({a.cy} / {b})",
-            f"CAST(trunc(({a.sql}) / CAST({b} AS DOUBLE)) AS BIGINT)",
-            "int",
-        )
+        # zero divisors included: Cypher x/0 is null (never an error),
+        # and DuckDB's `//` matches exactly — truncation toward zero
+        # (-7//2 = -3) and NULL on zero divisors
+        b = draw(st.sampled_from([2, 3, 7, -4, 0]))
+        return Item(f"({a.cy} / {b})", f"(({a.sql}) // ({b}))", "int")
     if c == "mod":
         a = draw(int_expr(scope, depth + 1))
-        b = draw(st.sampled_from([2, 3, 7]))
-        return Item(f"({a.cy} % {b})", f"(({a.sql}) % {b})", "int")
+        b = draw(st.sampled_from([2, 3, 7, -3, 0]))
+        return Item(f"({a.cy} % {b})", f"(({a.sql}) % ({b}))", "int")
     if c == "abs":
         a = draw(int_expr(scope, depth + 1))
         return Item(f"abs({a.cy})", f"abs({a.sql})", "int")

@@ -131,6 +131,20 @@ def test_reduce_accumulator_type_unification(golden):
     assert one(golden, "reduce(acc = 7, x IN range(3, 2) | acc + x)") == 7
 
 
+def test_division_and_modulo_by_zero_null(golden):
+    """Integer x/0 and x%0 are null, never an error (reference:
+    arithmetic_evaluator.py:50-138, test_division_by_zero_fix.py);
+    Spark's ANSI mode raises without the try_divide/try_mod forms."""
+    assert one(golden, "1 / 0") is None
+    assert one(golden, "0 / 0") is None
+    assert one(golden, "-5 / 0") is None
+    assert one(golden, "5 % 0") is None
+    # truncating semantics unchanged on the non-zero path
+    assert one(golden, "-7 / 2") == -3
+    assert one(golden, "-5 % 3") == -2
+    assert one(golden, "5 % -3") == 2
+
+
 def test_range_empty_when_step_points_away(golden):
     """range(3, 2) is [] in Cypher; Spark's sequence() throws on such
     boundaries (found by list_deep_queries fuzzer, round 6)."""
