@@ -1038,7 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _cypher(q, _PARAMS.get(name))
     out.update(_LLMOPS_QUERIES)
     out.update(_EXTRA_QUERIES)
-    assert len(out) <= 50, f"driver records only 50 gates; got {len(out)}"
+    if len(out) > 50:  # not assert: -O would strip it silently
+        raise RuntimeError(f"driver records only 50 gates; got {len(out)}")
     return _ordered(out)
 
 

@@ -513,9 +513,14 @@ class ExprCompiler:
     @staticmethod
     def _int_div(l: Column, r: Column) -> Column:
         """Integer division: truncation toward zero, x / 0 -> null
-        (reference: arithmetic_evaluator.py:50-103). try_mod/try_divide
-        null the zero-divisor rows instead of raising under ANSI mode."""
-        return F.try_divide(l - F.try_mod(l, r), r).cast("long")
+        (reference: arithmetic_evaluator.py:50-103). IntegralDivide
+        (`div`) stays in 64-bit long arithmetic — a double round-trip
+        (try_divide then cast) would lose precision for |q| > 2^53.
+        The when() guard keeps zero divisors from reaching div under
+        ANSI mode (CaseWhen branches evaluate lazily)."""
+        return F.when(r == 0, F.lit(None).cast("long")).otherwise(
+            F.call_function("div", l, r)
+        )
 
     @staticmethod
     def _float_div(l: Column, r: Column) -> Column:

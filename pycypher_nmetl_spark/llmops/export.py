@@ -115,7 +115,13 @@ def global_shuffle(
 
     One shuffle total. Reading the output partition files in order
     yields a reproducible permutation of the corpus — what a training
-    job needs for i.i.d. batches without a driver-side permutation."""
+    job needs for i.i.d. batches without a driver-side permutation.
+
+    `key` must be unique per row for the permutation to be fully
+    deterministic: duplicate key values hash to identical ranks, and
+    the relative order WITHIN such a tie is partition-layout dependent.
+    (No deterministic tiebreak exists without reading every column;
+    pipelines should pass their document id.)"""
     rank = F.xxhash64(F.col(key).cast("string"), F.lit(seed)).alias("_shuffle_rank")
     out = df.withColumn("_shuffle_rank", rank)
     out = (
@@ -153,9 +159,22 @@ def pack_sequences(
     # partition size
     window = 64
 
+    # flush threshold for closed bins: memory is bounded by
+    # window + flush_at bins regardless of partition size (a
+    # partition-lifetime `closed` list would grow with the partition)
+    flush_at = 4096
+
     def _pack(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         open_bins: list[list] = []  # [ids, used]
         closed: list[list] = []
+
+        def _flush() -> pd.DataFrame:
+            out = pd.DataFrame(
+                {out_ids: [b[0] for b in closed], out_len: [b[1] for b in closed]}
+            )
+            closed.clear()
+            return out
+
         for pdf in batches:
             for doc_id, n in zip(pdf[id_col], pdf[len_col]):
                 n = int(n)
@@ -168,9 +187,9 @@ def pack_sequences(
                     open_bins.append([[str(doc_id)], n])
                     if len(open_bins) > window:
                         closed.append(open_bins.pop(0))
+                        if len(closed) >= flush_at:
+                            yield _flush()
         closed.extend(open_bins)
-        yield pd.DataFrame(
-            {out_ids: [b[0] for b in closed], out_len: [b[1] for b in closed]}
-        )
+        yield _flush()
 
     return df.select(id_col, len_col).mapInPandas(_pack, schema=schema)

@@ -98,6 +98,10 @@ def near_dup_pairs(
 
     if band_bits is None:
         p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        # clamp p into (0, 1): threshold=1.0 gives p=1.0 (log 0 division)
+        # and threshold<=-1 gives p=0.0 (log domain error); the clamp
+        # degrades both extremes to the band_bits bounds below
+        p = min(max(p, 1e-9), 1.0 - 1e-9)
         band_bits = max(4, min(20, int(math.log(0.25) / math.log(p))))
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

@@ -430,3 +430,70 @@ def test_bench_scaling_arg_default():
     assert parse_args(["SCALING2.json"]) == ([10], [], "SCALING2.json")
     assert parse_args(["10", "30", "gen10"]) == ([10, 30], [10], "SCALING.json")
     assert parse_args(["gen10", "OUT.json"]) == ([], [10], "OUT.json")
+
+
+# --------------------------------------------------------------------- #
+# round-6 ADVICE regressions
+# --------------------------------------------------------------------- #
+def test_int_div_exact_beyond_double_mantissa(golden, run):
+    """9007199254740993 = 2^53 + 1 is not representable as a double; the
+    old try_divide round-trip returned 2^53. Integer division must stay
+    in 64-bit arithmetic (round-6 ADVICE, compiler/exprs.py _int_div)."""
+    assert run("RETURN 9007199254740993 / 1 AS x") == [(9007199254740993,)]
+    assert run("RETURN 9007199254740994 / 2 AS x") == [(4503599627370497,)]
+    assert run("RETURN -9007199254740993 / 1 AS x") == [(-9007199254740993,)]
+    # zero divisor and truncation semantics unchanged
+    assert run("RETURN 9007199254740993 / 0 AS x") == [(None,)]
+    assert run("RETURN -9007199254740995 / 2 AS x") == [(-4503599627370497,)]
+
+
+def test_near_dup_band_bits_extreme_thresholds(spark):
+    """threshold=1.0 made the band-bits auto-tune divide by log(1.0)=0;
+    threshold<=-1 hit log(0). Both must degrade to the clamp bounds
+    (round-6 ADVICE, llmops/similarity.py)."""
+    from pycypher_nmetl_spark.llmops.similarity import near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "id long, embedding array<double>",
+    )
+    out = near_dup_pairs(df, "embedding", threshold=1.0)
+    assert {(r.id1, r.id2) for r in out.collect()} == {(1, 2)}
+    low = near_dup_pairs(df, "embedding", threshold=-1.0)
+    assert len(low.collect()) == 3  # every pair passes cosine >= -1
+
+
+def test_pack_sequences_flushes_incrementally(spark):
+    """pack_sequences must not buffer every closed bin until the end of
+    the partition (round-6 ADVICE, llmops/export.py). Verified by
+    packing one partition large enough to cross the flush threshold and
+    checking the result is still a correct, complete packing."""
+    from pycypher_nmetl_spark.llmops.export import pack_sequences
+
+    n = 9000  # > flush_at=4096 closed bins with max_tokens == doc len
+    df = spark.range(n).select(
+        F_col("id").cast("string").alias("doc_id"),
+        F_lit(10).alias("n_tok"),
+    ).coalesce(1)
+    packed = pack_sequences(df, "doc_id", "n_tok", max_tokens=10).collect()
+    assert len(packed) == n  # every doc is a singleton bin
+    assert sorted(int(r["doc_ids"][0]) for r in packed) == list(range(n))
+
+
+def test_queries_gate_cap_is_runtime_error():
+    """The 50-gate cap must survive python -O (round-6 ADVICE:
+    bare assert is stripped under optimization)."""
+    import ast, pathlib
+
+    src = pathlib.Path("__spark_entry__.py").read_text()
+    tree = ast.parse(src)
+    fn = next(
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    has_raise = any(isinstance(n, ast.Raise) for n in ast.walk(fn))
+    has_assert = any(isinstance(n, ast.Assert) for n in ast.walk(fn))
+    assert has_raise and not has_assert
+
+
+from pyspark.sql.functions import col as F_col, lit as F_lit  # noqa: E402
