@@ -70,6 +70,10 @@ def near_dup_pairs(
     band_bits: int | None = None,
     seed: int = 42,
     exact: bool = False,
+    prefilter_bits: int = 1024,
+    prefilter_z: float = 4.0,
+    bucket_cap: int | None = 4096,
+    return_cap_stats: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine >= threshold.
 
@@ -86,16 +90,48 @@ def near_dup_pairs(
     p^bits >= 0.25 (recall >= 0.9999 at 32 bands), clamped to [4, 20].
     A fixed low bit-width makes buckets catastrophically hot at high
     thresholds — bits=4 means 16 buckets/band, so on 20k vectors nearly
-    every pair became a candidate and the exact-cosine verify dominated
-    (measured 131 s at 2k vectors / 0 output pairs before auto-tuning;
-    t=0.95 now picks bits=13, ~500x fewer random-pair collisions).
+    every pair became a candidate and the exact-cosine verify dominated.
+
+    Dense-cluster defenses (the two ways correlated corpora go
+    superlinear, and what bounds each):
+
+    1. `prefilter_bits` (default 1024): every vector also gets a wide
+       SimHash-style signature, stored as prefilter_bits/64 long
+       columns. Candidate pairs are rejected INSIDE the join by a pure
+       whole-stage-codegen predicate — sum of bit_count(xor) over the
+       signature words vs a cutoff at the threshold angle plus
+       `prefilter_z` standard deviations. Clusters that are correlated
+       but below threshold (the case banding cannot prune, because
+       they genuinely collide) die JVM-side at ~ns/pair instead of
+       riding an Arrow batch into the Python verify. Recall loss is
+       quantified: a pair AT the threshold survives with
+       P ~ Phi(prefilter_z) (z=4 -> ~3e-5 loss); pairs above threshold
+       lose exponentially less. prefilter_bits=0 disables.
+    2. `bucket_cap` (default 4096): at most this many members per
+       (band, bucket), kept by deterministic per-band hash rank. This
+       caps join fan-out at sum(min(s, cap)^2) <= cap * n * bands —
+       LINEAR in n — so a flood of near-identical vectors (which pass
+       any similarity prefilter, and whose pair output is inherently
+       quadratic) cannot melt the join. Dropped pairs are final for a
+       bucket (the first-agreeing-band rule still applies); the loss
+       is *accounted*: an audit event records the cap config, and
+       `return_cap_stats=True` returns (pairs, stats) where stats is a
+       lazy DataFrame of (band, bucket, size, dropped) for every
+       over-cap bucket. For corpus dedup, pair transitive closure
+       (near_dup_components) recovers cluster membership from the
+       surviving pairs. bucket_cap=None disables.
+
+    The bucket join carries only (id, band-signature array, prefilter
+    words) — vectors are re-fetched for the surviving candidates by two
+    id joins against the input (broadcast at small scale, shuffle at
+    large; survivors are output-bound so either is cheap). The cap
+    window partitions by (band, bucket) — the same keys the self-join
+    hashes on — so capping rides the join's own exchange.
 
     exact=True is the O(n^2/2) all-pairs self-join baseline for tests
     and small inputs. Never the default: at 100 TB an all-pairs join is
     a cartesian-class scale killer.
     """
-    import random
-
     if band_bits is None:
         p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
         # clamp p into (0, 1): threshold=1.0 gives p=1.0 (log 0 division)
@@ -117,52 +153,105 @@ def near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
 
-    rng = random.Random(seed)
-    # null vectors can never pass the cosine verify; drop them up front so
-    # the dimension probe below can't land on a null row (TypeError)
+    # null vectors can never pass the cosine verify; drop them up front
     base = base.filter(F.col("_v").isNotNull())
-    first = base.select("_v").first()
-    if first is None or first[0] is None:
-        return (
-            base.select(
-                F.col("_id").alias("id1"),
-                F.col("_id").alias("id2"),
-                F.lit(0.0).alias("cosine"),
-            ).limit(0)
-        )
-    dim = len(first[0])
-    # hyperplane tensor (bands, band_bits, dim), deterministic in seed.
+    n_words = max(0, int(prefilter_bits)) // 64
+    n_pre_bits = n_words * 64
+    n_band_bits = bands * band_bits
+
+    # hyperplane tensor, deterministic in (seed, dim): generated INSIDE
+    # the signature UDF from the first batch's dimensionality, so no
+    # driver-side .first() probe / extra job is needed (round-6 nit).
     # Signatures are computed by ONE Arrow-batched numpy matmul per
-    # partition: the earlier pure-expression form (nested higher-order
+    # batch: the earlier pure-expression form (nested higher-order
     # folds over a literal plane tensor) ran in Spark's interpreted
     # expression mode — HOF lambdas disable whole-stage codegen — at
     # bands*bits = 416 64-dim dots per vector it measured 30 s for 2k
-    # vectors; the (batch x dim) @ (dim x bands*bits) matmul is < 1 s.
+    # vectors; the (batch x dim) @ (dim x rows) matmul is < 1 s.
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes_np = np.array(
-        [rng.gauss(0, 1) for _ in range(bands * band_bits * dim)],
-        dtype=np.float64,
-    ).reshape(bands * band_bits, dim)
-    bit_weights = (1 << np.arange(band_bits, dtype=np.int64))
+    bit_weights = 1 << np.arange(band_bits, dtype=np.int64)
+    w64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    _plane_cache: dict[int, "np.ndarray"] = {}
+
+    def _planes(dim: int) -> "np.ndarray":
+        if dim not in _plane_cache:
+            rng = np.random.RandomState(seed)
+            _plane_cache[dim] = rng.standard_normal((n_band_bits + n_pre_bits, dim))
+        return _plane_cache[dim]
 
     # no type hints: `from __future__ import annotations` stringifies
     # them, which breaks pandas_udf's hint inference; the bare decorator
     # takes the SCALAR eval type, which is exactly what this is
-    @pandas_udf("array<long>")
+    @pandas_udf(f"struct<sigs: array<long>, sh: array<long>>")
     def _sigs_udf(vs):
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
-        signs = (mat @ planes_np.T) > 0            # (n, bands*bits)
-        signs = signs.reshape(len(vs), bands, band_bits)
-        sigs = (signs * bit_weights).sum(axis=2)   # (n, bands)
-        return pd.Series(list(sigs))
+        signs = (mat @ _planes(mat.shape[1]).T) > 0
+        bsigns = signs[:, :n_band_bits].reshape(len(vs), bands, band_bits)
+        sigs = (bsigns * bit_weights).sum(axis=2)  # (n, bands) int64
+        if n_words:
+            pre = signs[:, n_band_bits:].reshape(len(vs), n_words, 64)
+            sh = (pre.astype(np.uint64) * w64).sum(axis=2, dtype=np.uint64)
+            sh = sh.view(np.int64)
+        else:
+            sh = np.zeros((len(vs), 0), dtype=np.int64)
+        return pd.DataFrame({"sigs": list(sigs), "sh": list(sh)})
 
-    sig = base.withColumn("_sigs", _sigs_udf(F.col("_v").cast("array<double>"))).select(
-        "_id", "_v", "_sigs",
-        F.posexplode(F.col("_sigs")).alias("_band", "_bkt"),
+    sh_cols = [
+        F.element_at(F.col("_s.sh"), i + 1).alias(f"_sh{i}") for i in range(n_words)
+    ]
+    sig = (
+        base.withColumn("_s", _sigs_udf(F.col("_v").cast("array<double>")))
+        .select(
+            "_id",
+            F.col("_s.sigs").alias("_sigs"),
+            *sh_cols,
+            F.posexplode(F.col("_s.sigs")).alias("_band", "_bkt"),
+        )
     )
+
+    cap_stats = None
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        from .. import audit
+
+        if return_cap_stats:
+            cap_stats = (
+                sig.groupBy("_band", "_bkt")
+                .agg(F.count(F.lit(1)).alias("size"))
+                .filter(F.col("size") > bucket_cap)
+                .select(
+                    F.col("_band").alias("band"),
+                    F.col("_bkt").alias("bucket"),
+                    "size",
+                    (F.col("size") - bucket_cap).alias("dropped"),
+                )
+            )
+        audit.audit_event(
+            "near_dup_bucket_cap", "<near_dup_pairs>", status="cap_active",
+            elapsed_ms=0.0,
+            parameters={
+                f"bucket_cap_{int(bucket_cap)}": None,
+                f"bands_{int(bands)}": None,
+                f"band_bits_{int(band_bits)}": None,
+                f"prefilter_bits_{int(n_pre_bits)}": None,
+            },
+        )
+        # per-band survivor sets differ (hash is salted with _band) so a
+        # pair capped out of one band can still meet in another — unless
+        # that other band is not its first-agreeing band (documented).
+        w = Window.partitionBy("_band", "_bkt").orderBy(
+            F.xxhash64(F.col("_id").cast("string"), F.col("_band")), F.col("_id")
+        )
+        sig = (
+            sig.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+
     a, b = sig.alias("a"), sig.alias("b")
     # a duplicate-heavy corpus makes buckets hot: a tight cluster of m
     # near-identical vectors collides in ALL bands, so a post-join
@@ -177,28 +266,36 @@ def near_dup_pairs(
         )
         - 1
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col("a._id") < F.col("b._id"))
-            & (first_collision == F.col("a._band")),
-        )
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            F.col("a._v").alias("_v1"),
-            F.col("b._v").alias("_v2"),
-        )
+    cond = (
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("a._id") < F.col("b._id"))
     )
+    if n_words:
+        # codegen prefilter: Hamming distance over the wide signature vs
+        # the threshold angle + z-sigma cutoff (binomial model: each of
+        # the n_pre_bits hyperplanes splits a pair with prob theta/pi)
+        q = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        cutoff = int(
+            math.floor(n_pre_bits * q + prefilter_z * math.sqrt(n_pre_bits * q * (1 - q)))
+        )
+        hd = None
+        for i in range(n_words):
+            term = F.bit_count(F.col(f"a._sh{i}").bitwiseXOR(F.col(f"b._sh{i}")))
+            hd = term if hd is None else hd + term
+        cond = cond & (hd <= F.lit(cutoff))
+    # the first-collision test goes LAST: zip_with/array_position is an
+    # interpreted higher-order function (no codegen) — And short-circuits
+    # left-to-right per row, so it only runs on prefilter survivors
+    cond = cond & (first_collision == F.col("a._band"))
+    cand = a.join(b, cond).select(
+        F.col("a._id").alias("id1"), F.col("b._id").alias("id2")
+    )
+
     # verify with an Arrow-batched numpy cosine, not cosine_col: the
-    # zip_with/aggregate fold runs interpreted (HOFs disable codegen),
-    # and on a correlated corpus the candidate count — not the banding —
-    # dominates (dense clusters collide below threshold too), so the
-    # per-candidate cost is the scale lever.  Measured at gen10x
-    # (20k clustered vectors, t=0.95): 119 s expression verify -> see
-    # SCALING.md for the batched numbers.
+    # zip_with/aggregate fold runs interpreted (HOFs disable codegen).
+    # Vectors are re-fetched here by id — survivors of the prefilter are
+    # near-output-bound, so these joins are small however big the input.
     @pandas_udf("double")
     def _pair_cosine(v1s, v2s):
         m1 = np.stack([np.asarray(x, dtype=np.float64) for x in v1s])
@@ -209,10 +306,20 @@ def near_dup_pairs(
             out = np.where(den == 0, 0.0, num / den)
         return pd.Series(out)
 
-    return (
-        cand.select("id1", "id2", _pair_cosine("_v1", "_v2").alias("cosine"))
+    va = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
+    vb = base.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
+    pairs = (
+        cand.join(va, "id1")
+        .join(vb, "id2")
+        .select("id1", "id2", _pair_cosine("_v1", "_v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    if return_cap_stats:
+        empty_schema = "band int, bucket long, size long, dropped long"
+        if cap_stats is None:
+            cap_stats = df.sparkSession.createDataFrame([], empty_schema)
+        return pairs, cap_stats
+    return pairs
 
 
 # --------------------------------------------------------------------- #
@@ -300,3 +407,31 @@ def ivf_topk(
     order = (((C - q) ** 2).sum(1)).argsort()[:nprobe].tolist()
     probed = assigned.filter(F.col("_cluster").isin(order))
     return brute_force_topk(probed, vec_col, query, k, id_col)
+
+def near_dup_components(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate clusters: (id, component) where component is the
+    minimum member id, via transitive closure over near_dup_pairs.
+
+    This is the corpus-dedup surface: emitting every pair of an m-member
+    duplicate cluster is inherently O(m^2), but the component labeling is
+    O(edges) — and under `bucket_cap` the closure also recovers cluster
+    membership from the surviving (capped) pairs, so downstream "keep one
+    representative per component" dedup loses nothing as long as each
+    cluster stays connected. Singleton vectors (no near-dup) keep their
+    own id as component. kwargs pass through to near_dup_pairs."""
+    from ..algorithms import connected_components
+
+    pairs = near_dup_pairs(df, vec_col, threshold, id_col, **kwargs)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    comp = connected_components(edges)
+    ids = df.select(F.col(id_col).alias("id")).dropDuplicates()
+    return (
+        ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )

@@ -338,3 +338,124 @@ def test_ngram_jaccard_auto_cut_viral_shingle(spark):
     got_exact = {(r["id1"], r["id2"]) for r in exact.collect()}
     assert (0, 2000) in got_auto
     assert got_auto == got_exact  # recall unchanged by the auto cut
+
+
+# ------------------------------------------------------------------ #
+# round-7: dense-cluster defenses in near_dup_pairs
+# ------------------------------------------------------------------ #
+def _clustered_vectors(spark, n_per=60, n_clusters=4, dim=16, spread=0.45, seed=7):
+    """Clusters whose internal cosine hovers BELOW a high threshold —
+    the correlated-corpus shape that made the verify stage superlinear
+    (gen10x exponent 1.44 before the codegen prefilter)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = [2.0 if d % n_clusters == c else 0.0 for d in range(dim)]
+        for i in range(n_per):
+            rows.append(
+                (
+                    c * n_per + i,
+                    [x + rnd.gauss(0, spread) for x in center],
+                )
+            )
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_near_dup_prefilter_recall_pinned_on_clustered(spark):
+    # below-threshold cluster pairs are rejected by the codegen Hamming
+    # prefilter; every pair the exact baseline finds must survive it
+    df = _clustered_vectors(spark)
+    t = 0.95
+    exact = {
+        (r.id1, r.id2, round(r.cosine, 9))
+        for r in near_dup_pairs(df, "embedding", threshold=t, exact=True).collect()
+    }
+    got = {
+        (r.id1, r.id2, round(r.cosine, 9))
+        for r in near_dup_pairs(df, "embedding", threshold=t).collect()
+    }
+    assert got == exact
+
+
+def test_near_dup_prefilter_disabled_matches_too(spark):
+    df = _clustered_vectors(spark, n_per=30)
+    t = 0.9
+    base = {
+        (r.id1, r.id2)
+        for r in near_dup_pairs(df, "embedding", threshold=t, exact=True).collect()
+    }
+    no_pre = {
+        (r.id1, r.id2)
+        for r in near_dup_pairs(
+            df, "embedding", threshold=t, prefilter_bits=0
+        ).collect()
+    }
+    assert no_pre == base
+
+
+def test_near_dup_bucket_cap_accounting(spark):
+    # 300 identical vectors flood every band's bucket; with cap=50 the
+    # stats DataFrame must report every over-cap (band, bucket) and the
+    # dropped membership count, and surviving pairs stay transitively
+    # connected enough to recover the cluster via components
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(1000, [0.0, 1.0, 0.0, 0.0])]  # singleton far away
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    pairs, stats = near_dup_pairs(
+        df, "embedding", threshold=0.99, bucket_cap=50, return_cap_stats=True
+    )
+    st = stats.collect()
+    assert st, "over-cap buckets must be reported"
+    assert all(r["size"] == 300 and r["dropped"] == 250 for r in st)
+    # identical vectors share every band signature -> one bucket per band
+    assert len(st) == 32
+    got = pairs.collect()
+    # capped: at most C(50,2) pairs from the one surviving bucket set
+    assert 0 < len(got) <= 50 * 49 // 2
+    assert all(r.cosine == pytest.approx(1.0) for r in got)
+
+
+def test_near_dup_cap_stats_empty_when_under_cap(vectors):
+    pairs, stats = near_dup_pairs(
+        vectors, "embedding", threshold=0.95, return_cap_stats=True
+    )
+    assert stats.collect() == []
+    assert len(pairs.collect()) > 0
+
+
+def test_near_dup_components_recovers_clusters(spark):
+    from pycypher_nmetl_spark.llmops import near_dup_components
+
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(10)]       # cluster A
+    rows += [(100 + i, [0.0, 1.0, 0.001 * i]) for i in range(10)]  # cluster B
+    rows += [(500, [0.0, 0.0, 1.0])]                               # singleton
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    comp = {r.id: r.component for r in
+            near_dup_components(df, "embedding", threshold=0.999).collect()}
+    assert {comp[i] for i in range(10)} == {0}
+    assert {comp[100 + i] for i in range(10)} == {100}
+    assert comp[500] == 500
+
+
+def test_near_dup_audit_event_on_cap(spark):
+    import logging
+
+    from pycypher_nmetl_spark import audit
+
+    records = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    audit.enable_audit_log(_H())
+    try:
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "id long, embedding array<double>"
+        )
+        near_dup_pairs(df, "embedding", threshold=0.9)
+    finally:
+        audit.disable_audit_log()
+    assert any("near_dup_bucket_cap" in r for r in records)
