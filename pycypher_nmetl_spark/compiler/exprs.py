@@ -39,11 +39,18 @@ from pycypher_nmetl_spark.cypher.ast_nodes import (
 )
 from pycypher_nmetl_spark.functions.scalar import AGGREGATE_FUNCTIONS, SCALAR_FUNCTIONS
 
+#: extract() units for temporal component access; dayofweek is handled
+#: separately (reference binding_evaluator.py:258 / collection_evaluator
+#: .py:97: ISO convention, Monday=1..Sunday=7 — Spark's 'dayofweek'
+#: extract unit is Sunday=1, so it compiles to weekday()+1 instead).
+#: dayofyear/ordinalday per reference "dayOfYear"; milliseconds and
+#: microseconds are within-second components as in the reference.
 _TEMPORAL_FIELDS = {
     "year": "year", "month": "month", "day": "day", "hour": "hour",
     "minute": "minute", "second": "second", "week": "week",
-    "quarter": "quarter", "dayofweek": "dayofweek", "ordinalday": "doy",
-    "epochmillis": None, "epochseconds": None,
+    "quarter": "quarter", "ordinalday": "doy", "dayofyear": "doy",
+    "epochmillis": None, "epochseconds": None, "dayofweek": None,
+    "millisecond": None, "microsecond": None,
 }
 
 _INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -273,6 +280,19 @@ class ExprCompiler:
                 return (target.cast("timestamp").cast("double") * 1000).cast("long")
             if fld == "epochseconds":
                 return target.cast("timestamp").cast("double").cast("long")
+            if fld == "dayofweek":
+                # ISO convention (Monday=1..Sunday=7) per the reference;
+                # Spark's extract('dayofweek') would be Sunday=1
+                return (F.weekday(target) + 1).cast("long")
+            if fld in ("millisecond", "microsecond"):
+                # integer microseconds via round (the raw double product
+                # sits one ulp under the integer, e.g. 123455.99...);
+                # millisecond = microsecond // 1000 per the reference
+                us = F.round(
+                    F.extract(F.lit("second"), target.cast("timestamp"))
+                    .cast("double") % 1 * 1000000
+                ).cast("long")
+                return us if fld == "microsecond" else F.floor(us / 1000).cast("long")
             if fld in _TEMPORAL_FIELDS:
                 unit = _TEMPORAL_FIELDS[fld]
                 return F.extract(F.lit(unit), target).cast("long")
@@ -468,9 +488,15 @@ class ExprCompiler:
                 return F.concat(l, F.array(r))
             if isinstance(rt, T.ArrayType):
                 return F.concat(F.array(l), r)
+            if self._null_with_interval(lt, rt):
+                return F.lit(None).cast("timestamp")
+            l, r = self._widen_date_for_interval(l, r, lt, rt)
             return self._temporal_result(l + r, lt, rt)
         if e.op == "-":
             lt, rt = self._numeric_kinds(l, r)
+            if self._null_with_interval(lt, rt):
+                return F.lit(None).cast("timestamp")
+            l, r = self._widen_date_for_interval(l, r, lt, rt)
             return self._temporal_result(l - r, lt, rt)
         if e.op == "*":
             return l * r
@@ -494,6 +520,36 @@ class ExprCompiler:
                 return self._int_div(l, r)
             return self._float_div(l, r)
         raise NotImplementedError(f"operator {e.op}")
+
+    @staticmethod
+    def _widen_date_for_interval(l: Column, r: Column, lt, rt):
+        """date +- duration computes at timestamp resolution (Spark
+        raises on date + interval with a sub-day part), then
+        _temporal_result casts back to date — matching the reference's
+        date-resolution semantics (sub-day components applied, result
+        truncated to the date)."""
+        interval = (
+            T.DayTimeIntervalType, T.YearMonthIntervalType,
+            T.CalendarIntervalType,
+        )
+        if isinstance(lt, T.DateType) and isinstance(rt, interval):
+            return l.cast("timestamp"), r
+        if isinstance(rt, T.DateType) and isinstance(lt, interval):
+            return l, r.cast("timestamp")
+        return l, r
+
+    @staticmethod
+    def _null_with_interval(lt, rt) -> bool:
+        """null +- duration is null (reference: arithmetic null
+        propagation); Spark rejects VOID + interval at analysis time, so
+        the typed-null short-circuit happens here."""
+        interval = (
+            T.DayTimeIntervalType, T.YearMonthIntervalType,
+            T.CalendarIntervalType,
+        )
+        return (isinstance(lt, T.NullType) and isinstance(rt, interval)) or (
+            isinstance(rt, T.NullType) and isinstance(lt, interval)
+        )
 
     @staticmethod
     def _temporal_result(res: Column, lt, rt) -> Column:

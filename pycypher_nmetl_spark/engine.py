@@ -119,6 +119,33 @@ class CypherEngine:
     # validation & cancellation (reference: semantic_validator.py,
     # timeout_handler.py / star.py cancel rails)
     # ------------------------------------------------------------------ #
+    def _semantic_check(self, ast) -> None:
+        """Pre-execution semantic validation (reference
+        semantic_validator.py): deterministic error taxonomy raised
+        before any Spark plan is built. ERROR findings raise
+        SemanticValidationError; WARNINGs are kept on
+        self.last_validation_warnings for callers/REPL to surface."""
+        from pycypher_nmetl_spark.semantic import (
+            ErrorSeverity, SemanticValidationError, SemanticValidator,
+        )
+
+        findings = SemanticValidator(
+            extra_functions=self.functions.keys()
+        ).validate(ast)
+        self.last_validation_warnings = [
+            f for f in findings if f.severity is not ErrorSeverity.ERROR
+        ]
+        errors = [f for f in findings if f.severity is ErrorSeverity.ERROR]
+        if errors:
+            raise SemanticValidationError(errors)
+
+    def semantic_validate(self, cypher: str):
+        """Parse + semantic-validate without executing; returns the full
+        list of ValidationError findings (empty = clean)."""
+        from pycypher_nmetl_spark.semantic import validate_query
+
+        return validate_query(cypher, extra_functions=self.functions.keys())
+
     def validate(self, cypher: str, parameters: dict[str, Any] | None = None) -> list[str]:
         """Static validation: parse + full compile (driver-side Catalyst
         analysis, no job). Mutations compile against a shadow that is
@@ -262,6 +289,7 @@ class CypherEngine:
         t0 = _time.perf_counter()
         try:
             ast = parse(cypher)
+            self._semantic_check(ast)
             if self.max_complexity is not None:
                 from pycypher_nmetl_spark.guards import check_complexity
 

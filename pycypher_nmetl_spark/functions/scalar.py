@@ -381,28 +381,62 @@ def _timestamp(cc, args):
     return (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
 
 
+_DATE_TRUNC_UNITS = {
+    "millennium", "century", "decade", "year", "quarter", "month", "week", "day",
+}
+_DATETIME_TRUNC_UNITS = _DATE_TRUNC_UNITS | {"hour", "minute", "second"}
+
+
+def _epoch_start_date(unit: str, d):
+    """Start-of-era date for the multi-year units (reference
+    temporal_functions.py:472-482: Neo4j's millennium containing 2024
+    starts at 2001, the century at 2001, the decade at 2020)."""
+    y = F.extract(F.lit("year"), d).cast("long")
+    if unit == "decade":
+        start = y - (y % 10)
+    elif unit == "century":
+        start = F.floor((y - 1) / 100).cast("long") * 100 + 1
+    else:  # millennium
+        start = F.floor((y - 1) / 1000).cast("long") * 1000 + 1
+    return F.make_date(start.cast("int"), F.lit(1), F.lit(1))
+
+
 @register("date.truncate")
 def _date_truncate(cc, args):
     from pycypher_nmetl_spark.cypher.ast_nodes import Literal
 
-    unit = args[0].value if isinstance(args[0], Literal) else "day"
-    return F.trunc(cc.col(args[1]).cast("date"), _trunc_unit(unit))
+    unit = (args[0].value if isinstance(args[0], Literal) else "day").lower()
+    if unit not in _DATE_TRUNC_UNITS:
+        raise ValueError(
+            f"Unknown truncation unit for date.truncate: {unit!r}. "
+            f"Valid units: {sorted(_DATE_TRUNC_UNITS)}"
+        )
+    d = cc.col(args[1]).cast("date")
+    if unit in ("millennium", "century", "decade"):
+        return F.when(d.isNull(), F.lit(None).cast("date")).otherwise(
+            _epoch_start_date(unit, d)
+        )
+    if unit == "day":
+        return d  # no-op for plain dates (Spark's trunc lacks 'day')
+    return F.trunc(d, unit)
 
 
 @register("datetime.truncate")
 def _datetime_truncate(cc, args):
     from pycypher_nmetl_spark.cypher.ast_nodes import Literal
 
-    unit = args[0].value if isinstance(args[0], Literal) else "day"
-    return F.date_trunc(_trunc_unit(unit), F.to_timestamp(cc.col(args[1])))
-
-
-def _trunc_unit(unit: str) -> str:
-    u = unit.lower()
-    return {
-        "millennium": "year", "century": "year", "decade": "year",
-        "weekyear": "week",
-    }.get(u, u)
+    unit = (args[0].value if isinstance(args[0], Literal) else "day").lower()
+    if unit not in _DATETIME_TRUNC_UNITS:
+        raise ValueError(
+            f"Unknown truncation unit for datetime.truncate: {unit!r}. "
+            f"Valid units: {sorted(_DATETIME_TRUNC_UNITS)}"
+        )
+    ts = F.to_timestamp(cc.col(args[1]))
+    if unit in ("millennium", "century", "decade"):
+        return F.when(ts.isNull(), F.lit(None).cast("timestamp")).otherwise(
+            _epoch_start_date(unit, ts).cast("timestamp")
+        )
+    return F.date_trunc(unit, ts)
 
 
 @register("duration")

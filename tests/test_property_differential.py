@@ -216,3 +216,14 @@ def test_map_proj_queries(rig, spec):
     # map literals, map projection (.prop / computed / missing-prop /
     # .* star form), nested struct access — vs DuckDB structs
     _check(rig, spec)
+
+
+@settings(**SETTINGS)
+@given(spec=G.temporal_queries())
+def test_temporal_queries(rig, spec):
+    # round-7: truncate across every unit (incl. decade/century/
+    # millennium start-of-era), duration literals P..T.. and component
+    # maps, duration +- date/datetime at date resolution, component
+    # extraction (ISO dayofweek, within-second ms/us, epoch),
+    # duration.between components, temporal comparisons
+    _check(rig, spec)
