@@ -374,23 +374,67 @@ class CypherEngine:
         return "\n".join(lines)
 
     def execute_many(
-        self, cyphers: list[str], parameters: dict[str, Any] | None = None
+        self,
+        cyphers: list[str],
+        parameters: dict[str, Any] | None = None,
+        transactional: bool = False,
     ) -> list[DataFrame]:
         """Multi-query composition (reference: multi_query_executor.py:1-269):
         queries are dependency-ordered by produces/consumes analysis and
         executed sequentially; results return in the *input* order.
 
-        The reference rewrites N queries into one AST (query_combiner.py);
-        chained DataFrame transformations are already fused here, so only
-        the dependency sort carries over.
+        The reference rewrites N queries into one AST (query_combiner.py)
+        and guarantees combined == sequential semantics; chained DataFrame
+        transformations are already fused here, so only the dependency
+        sort carries over. With ``transactional=True`` the whole script
+        runs in ONE catalog transaction (the closest analogue of the
+        reference's combined execution): every query sees the uncommitted
+        mutations of the queries before it, and either all mutations
+        commit atomically at the end or none do. Equivalence of the two
+        modes (results + final graph state) is pinned by
+        tests/test_execute_many_equivalence.py.
         """
         from pycypher_nmetl_spark.pipeline.config import QuerySpec
         from pycypher_nmetl_spark.pipeline.runner import order_queries
 
         specs = [QuerySpec(id=str(i), cypher=c) for i, c in enumerate(cyphers)]
+        params = parameters or {}
         results: dict[str, DataFrame] = {}
-        for spec in order_queries(specs):
-            results[spec.id] = self.execute(spec.cypher, parameters)
+        if not transactional:
+            for spec in order_queries(specs):
+                results[spec.id] = self.execute(spec.cypher, parameters)
+            return [results[str(i)] for i in range(len(cyphers))]
+
+        asts = {}
+        for spec in specs:
+            ast = parse(spec.cypher)
+            self._semantic_check(ast)
+            asts[spec.id] = ast
+        with self.catalog._write_lock:
+            self.catalog.begin()
+            try:
+                for spec in order_queries(specs):
+                    ast = asts[spec.id]
+                    if isinstance(ast, UnionQuery):
+                        results[spec.id] = self._union_result(ast, params)
+                    else:
+                        results[spec.id] = self._run_clauses(ast.clauses, params)
+                self.catalog.commit(durable_path=self.durable_path)
+            except Exception:
+                self.catalog.rollback()
+                raise
+        if any(
+            isinstance(c, MUTATION_CLAUSES)
+            for ast in asts.values()
+            for c in (
+                [cl for b in ast.branches for cl in b.clauses]
+                if isinstance(ast, UnionQuery)
+                else ast.clauses
+            )
+        ):
+            self.metrics.inc("mutations_committed")
+            if self.cache is not None:
+                self.cache.clear()
         return [results[str(i)] for i in range(len(cyphers))]
 
     # ------------------------------------------------------------------ #
@@ -404,16 +448,20 @@ class CypherEngine:
         )
         if not has_mutation:
             with self._read_snapshot():
-                dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
-        else:
-            with self.catalog._write_lock:
-                self.catalog.begin()
-                try:
-                    dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
-                    self.catalog.commit(durable_path=self.durable_path)
-                except Exception:
-                    self.catalog.rollback()
-                    raise
+                return self._union_result(ast, params)
+        with self.catalog._write_lock:
+            self.catalog.begin()
+            try:
+                out = self._union_result(ast, params)
+                self.catalog.commit(durable_path=self.durable_path)
+                return out
+            except Exception:
+                self.catalog.rollback()
+                raise
+
+    def _union_result(self, ast: UnionQuery, params: dict) -> DataFrame:
+        """Run all branches in the CURRENT transaction context and union."""
+        dfs = [self._run_clauses(b.clauses, params) for b in ast.branches]
         cols0 = dfs[0].columns
         for df in dfs[1:]:
             if df.columns != cols0:
