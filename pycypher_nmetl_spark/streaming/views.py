@@ -124,16 +124,73 @@ class DistributedIncrementalView:
     nothing is collected to the driver unless the caller does so.
     """
 
-    def __init__(self, key_cols: list[str], agg_exprs: dict[str, Column]):
+    def __init__(
+        self,
+        key_cols: list[str],
+        agg_exprs: dict[str, Column],
+        state_path: str | None = None,
+        spark=None,
+    ):
         self.key_cols = key_cols
         self.agg_exprs = agg_exprs
         self._snapshot: DataFrame | None = None
         self.subscribers: list[Callable[[DataFrame], None]] = []
+        #: when set, every applied batch persists the new snapshot with
+        #: the same write-then-atomic-pointer-flip protocol as
+        #: GraphCatalog.save_durable; pair it with a streaming
+        #: checkpointLocation and a restarted view resumes exactly where
+        #: the stream left off (processed batches are skipped by the
+        #: checkpoint, state comes back from _CURRENT)
+        self.state_path = state_path
+        if state_path is not None and spark is not None:
+            self._load_state(spark)
 
     def subscribe(self, fn: Callable[[DataFrame], None]) -> None:
         self.subscribers.append(fn)
 
+    # ---- durable state (restart-from-checkpoint recovery) ------------ #
+    def _load_state(self, spark) -> None:
+        import os
+
+        if self.state_path is None:
+            return
+        cur = os.path.join(self.state_path, "_CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                version = f.read().strip()
+            self._snapshot = spark.read.parquet(
+                os.path.join(self.state_path, version)
+            )
+
+    def _persist_state(self) -> None:
+        import os
+
+        if self.state_path is None or self._snapshot is None:
+            return
+        os.makedirs(self.state_path, exist_ok=True)
+        existing = sorted(
+            int(d[1:])
+            for d in os.listdir(self.state_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        version = f"v{(existing[-1] + 1) if existing else 0}"
+        self._snapshot.write.mode("overwrite").parquet(
+            os.path.join(self.state_path, version)
+        )
+        tmp = os.path.join(self.state_path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.state_path, "_CURRENT"))
+        for old in existing[:-1]:  # keep previous + current
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.state_path, f"v{old}"), ignore_errors=True
+            )
+
     def attach(self, stream_df: DataFrame, checkpoint: str | None = None):
+        if self.state_path is not None and self._snapshot is None:
+            self._load_state(stream_df.sparkSession)
         agged = stream_df.groupBy(*self.key_cols).agg(
             *[c.alias(n) for n, c in self.agg_exprs.items()]
         )
@@ -177,8 +234,45 @@ class DistributedIncrementalView:
                 batch.select(*self.key_cols), on=self.key_cols, how="left_anti"
             )
             self._snapshot = untouched.unionByName(batch).localCheckpoint()
+        self._persist_state()
         for fn in self.subscribers:
             fn(changes)
+
+    def delete(self, keys: "list[tuple] | DataFrame") -> DataFrame:
+        """Remove keys from the view; emits (and returns) the DELETE
+        changelog DataFrame (op='DELETE', value columns from the removed
+        rows in `old`, current value columns null) — the same shape a
+        Delta MERGE ... WHEN MATCHED DELETE would put on the change feed.
+        Keys absent from the view emit nothing (reference
+        streaming/views.py delete: no-op when the key is missing)."""
+        from pyspark.sql import functions as F
+
+        if self._snapshot is None:
+            raise ValueError("view has no data yet (stream not started?)")
+        snap = self._snapshot
+        if not isinstance(keys, DataFrame):
+            key_df = snap.sparkSession.createDataFrame(
+                [tuple(k) for k in keys],
+                snap.select(*self.key_cols).schema,
+            )
+        else:
+            key_df = keys.select(*self.key_cols)
+        key_df = key_df.dropDuplicates()
+        val_cols = [c for c in snap.columns if c not in self.key_cols]
+        removed = snap.join(key_df, on=self.key_cols, how="left_semi")
+        changes = removed.select(
+            *self.key_cols,
+            *[F.lit(None).cast(dict(snap.dtypes)[c]).alias(c) for c in val_cols],
+            F.lit("DELETE").alias("op"),
+            F.struct(*val_cols).alias("old"),
+        ).localCheckpoint()
+        self._snapshot = snap.join(
+            key_df, on=self.key_cols, how="left_anti"
+        ).localCheckpoint()
+        self._persist_state()
+        for fn in self.subscribers:
+            fn(changes)
+        return changes
 
     def snapshot(self) -> DataFrame:
         """The current view as a DataFrame (filter/limit with Spark ops)."""

@@ -1,0 +1,207 @@
+"""Changelog-semantics fuzzer for DistributedIncrementalView (round-7).
+
+Random keyed upsert/delete batch sequences run against the distributed
+view AND a plain-Python model of the reference's IncrementalView
+semantics (reference streaming/views.py:21-185):
+
+- first sight of a key  -> INSERT
+- changed value         -> UPDATE (old value carried)
+- unchanged value       -> no change emitted
+- delete existing key   -> DELETE (old value carried); missing -> no-op
+
+After every sequence the full snapshot must equal the model dict, and
+the cumulative changelog (op, key, value, old-value) must match exactly.
+A restart event in the middle of a sequence rebuilds the view from its
+durable state path and must not lose or duplicate state or changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EXAMPLES = int(os.environ.get("VIEW_EXAMPLES", "25"))
+
+SETTINGS = dict(
+    max_examples=EXAMPLES,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+    print_blob=True,
+)
+
+KEYS = ["a", "b", "c", "d"]
+
+
+@st.composite
+def batch_sequences(draw):
+    """[(kind, payload)]: 'upsert' -> {key: value}, 'delete' -> [keys],
+    'restart' -> None."""
+    n = draw(st.integers(1, 6))
+    events = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["upsert", "upsert", "upsert", "delete", "restart"]))
+        if kind == "upsert":
+            ks = draw(st.lists(st.sampled_from(KEYS), min_size=1, max_size=3,
+                               unique=True))
+            events.append(("upsert", {k: draw(st.integers(0, 3)) for k in ks}))
+        elif kind == "delete":
+            events.append(("delete", draw(
+                st.lists(st.sampled_from(KEYS), min_size=1, max_size=2,
+                         unique=True))))
+        else:
+            events.append(("restart", None))
+    return events
+
+
+class Model:
+    """Reference IncrementalView semantics, driver-side."""
+
+    def __init__(self):
+        self.state: dict[str, int] = {}
+        self.log: list[tuple] = []
+
+    def upsert(self, batch: dict[str, int]) -> None:
+        for k in sorted(batch):
+            v = batch[k]
+            old = self.state.get(k)
+            if old == v:
+                continue
+            op = "INSERT" if k not in self.state else "UPDATE"
+            self.log.append((op, k, v, old))
+            self.state[k] = v
+
+    def delete(self, keys: list[str]) -> None:
+        for k in sorted(keys):
+            if k in self.state:
+                self.log.append(("DELETE", k, None, self.state.pop(k)))
+
+
+def _collect_changes(dfs) -> list[tuple]:
+    out = []
+    for df in dfs:
+        for r in df.collect():
+            out.append((r["op"], r["k"], r["v"], r["old"]["v"] if r["old"] else None))
+    return sorted(out)
+
+
+def _apply_events(spark, events, state_dir):
+    """Drive the distributed view through the events; return
+    (snapshot_rows, changes)."""
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.streaming import DistributedIncrementalView
+
+    changes: list = []
+    view = DistributedIncrementalView(
+        ["k"], {"v": F.sum("v")}, state_path=state_dir, spark=spark
+    )
+    view.subscribe(changes.append)
+    batch_id = 0
+    model = Model()
+    for kind, payload in events:
+        if kind == "restart":
+            # a fresh process: new view object, state re-read from disk
+            view = DistributedIncrementalView(
+                ["k"], {"v": F.sum("v")}, state_path=state_dir, spark=spark
+            )
+            view.subscribe(changes.append)
+            continue
+        if kind == "upsert":
+            batch = spark.createDataFrame(
+                sorted(payload.items()), "k string, v long"
+            )
+            view._apply(batch, batch_id)
+            batch_id += 1
+            model.upsert(payload)
+        else:
+            if view._snapshot is None:
+                model.delete(payload)  # both sides no-op
+                continue
+            view.delete([(k,) for k in sorted(payload)])
+            model.delete(payload)
+    snap = (
+        sorted((r["k"], r["v"]) for r in view.snapshot().collect())
+        if view._snapshot is not None
+        else []
+    )
+    return snap, _collect_changes(changes), model
+
+
+@settings(**SETTINGS)
+@given(events=batch_sequences())
+def test_view_changelog_matches_model(spark, events, tmp_path_factory):
+    import shutil
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="view_fuzz_")
+    try:
+        snap, changes, model = _apply_events(spark, events, state_dir)
+        assert snap == sorted(model.state.items()), (
+            f"snapshot diverged: {snap} != {sorted(model.state.items())}\n"
+            f"events: {events}"
+        )
+        want = sorted(model.log)
+        assert changes == want, (
+            f"changelog diverged\n got: {changes}\nwant: {want}\n"
+            f"events: {events}"
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_restart_recovers_state_end_to_end(spark, tmp_path):
+    """Full streaming restart: file-source stream + checkpoint + durable
+    state; a new view over the same checkpoint skips processed data and
+    serves the recovered snapshot."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pycypher_nmetl_spark.streaming import DistributedIncrementalView
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps(x) for x in [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    )
+    view = DistributedIncrementalView(
+        ["k"], {"v": F.sum("v")}, state_path=state, spark=spark
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    view.attach(stream, checkpoint=ckpt).awaitTermination(60)
+    assert sorted((r["k"], r["v"]) for r in view.snapshot().collect()) == [
+        ("a", 1), ("b", 2),
+    ]
+
+    # new data lands, then the "process" restarts: fresh view object
+    (src / "b1.json").write_text(json.dumps({"k": "a", "v": 5}))
+    view2 = DistributedIncrementalView(
+        ["k"], {"v": F.sum("v")}, state_path=state, spark=spark
+    )
+    got: list = []
+    view2.subscribe(got.append)
+    view2.attach(
+        spark.readStream.schema(schema).json(str(src)), checkpoint=ckpt
+    ).awaitTermination(60)
+    # recovered state + only the new batch applied on top
+    assert sorted((r["k"], r["v"]) for r in view2.snapshot().collect()) == [
+        ("a", 6), ("b", 2),
+    ]
+    ops = [
+        (r["op"], r["k"], r["v"]) for df in got for r in df.collect()
+    ]
+    assert ops == [("UPDATE", "a", 6)], f"restart must replay only new data: {ops}"
