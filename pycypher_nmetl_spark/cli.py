@@ -190,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
 
 def _repl(config_path: str | None) -> int:
     """Interactive loop (reference: repl.py). Commands: :quit, :labels,
-    :types, :explain <query>."""
+    :types, :explain <query>, :profile <query>."""
     from pycypher_nmetl_spark.engine import CypherEngine
     from pycypher_nmetl_spark.session import get_spark
 
@@ -226,6 +226,8 @@ def _repl(config_path: str | None) -> int:
         try:
             if line.startswith(":explain "):
                 print(engine.explain(line[len(":explain "):]))
+            elif line.startswith(":profile "):
+                print(engine.profile(line[len(":profile "):]))
             else:
                 engine.execute(line).show(50, truncate=False)
         except Exception as e:  # noqa: BLE001

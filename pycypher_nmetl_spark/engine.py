@@ -323,6 +323,18 @@ class CypherEngine:
             self.cache.put(key, result, self.catalog.data_epoch)
         return result
 
+    def profile(self, cypher: str, parameters: dict[str, Any] | None = None):
+        """Execute the query under the profiler; returns a ProfileReport
+        with per-clause compile wall time, fused execute time, result
+        row count, Catalyst row/size estimates and the physical plan
+        (reference: query_profiler.py QueryProfiler.profile; surfaced in
+        the REPL as :profile <query>)."""
+        from pycypher_nmetl_spark.profiler import QueryProfiler
+
+        if not hasattr(self, "_profiler"):
+            self._profiler = QueryProfiler(self)
+        return self._profiler.profile(cypher, parameters=parameters)
+
     def explain(self, cypher: str, parameters: dict[str, Any] | None = None) -> str:
         """Two-level EXPLAIN (reference: query_explainer.py): the clause
         plan our compiler produced, then Catalyst's formatted physical
