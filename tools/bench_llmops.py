@@ -116,6 +116,7 @@ def main():
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     gen10 = "/tmp/spark_graft_gen_sf10x"
+    gen100 = "/tmp/spark_graft_gen_sf100x"
     only = set(sys.argv[2:])  # optional op-name filter
     spark = get_spark(app_name="bench_llmops")
 
@@ -132,6 +133,12 @@ def main():
             rec["gen10x_s"] = round(t10, 4)
             rec["result10"] = out10
             rec["exp10"] = round(math.log(t10 / t1) / math.log(10), 3)
+            print(json.dumps(rec), flush=True)
+        if os.path.isdir(gen100):
+            t100, out100 = _time(fn, spark, gen100, reps=1)
+            rec["gen100x_s"] = round(t100, 4)
+            rec["result100"] = out100
+            rec["exp100"] = round(math.log(t100 / t1) / math.log(100), 3)
             print(json.dumps(rec), flush=True)
         rows.append(rec)
         # checkpoint after every op so a killed run keeps its results
