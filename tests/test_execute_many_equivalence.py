@@ -276,3 +276,34 @@ def test_random_scripts_equivalent(erig, script, reads):
     txn = [_rows(df) for df in eng.execute_many(queries, transactional=True)]
     assert plain == txn
     assert _state(eng) == plain_state
+
+
+def test_transactional_scripts_serialize_across_threads(erig):
+    """Two concurrent transactional scripts must serialize on the
+    catalog write lock: the final state equals SOME serial order, and
+    no script observes the other's partial writes."""
+    import threading
+
+    eng = erig()
+    errs = []
+
+    def run(tag):
+        try:
+            eng.execute_many([
+                f"CREATE (:Audit {{tag: '{tag}', n: 1}})",
+                f"CREATE (:Audit {{tag: '{tag}', n: 2}})",
+                # reads its own uncommitted writes: must see exactly 2
+                f"MATCH (a:Audit {{tag: '{tag}'}}) RETURN count(*) AS c",
+            ], transactional=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("t1", "t2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    rows = _rows(eng.execute(
+        "MATCH (a:Audit) RETURN a.tag AS tag, count(*) AS c"))
+    assert rows == [("t1", 2), ("t2", 2)]
