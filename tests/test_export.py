@@ -202,3 +202,22 @@ def test_pipeline_composes(docs):
     n_docs = sampled.count()
     rows = packed.collect()
     assert sum(len(r["doc_ids"]) for r in rows) == n_docs
+
+
+def test_curation_example_end_to_end(spark, tmp_path):
+    """The examples/curation pipeline runs at sf0.001 and produces a
+    monotonically shrinking corpus plus packed train sequences."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_example", "examples/curation/curate.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.curate(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert stats["input"] >= stats["after_quality"] >= stats["after_exact_dedup"]
+    assert stats["after_exact_dedup"] >= stats["after_near_dedup"] > 0
+    assert stats["train_sequences"] > 0
+    out = spark.read.parquet(str(tmp_path / "train_sequences.parquet"))
+    assert set(out.columns) == {"doc_ids", "seq_len"}
+    assert out.agg({"seq_len": "max"}).collect()[0][0] <= 2048
