@@ -234,6 +234,12 @@ class DistributedIncrementalView:
                 batch.select(*self.key_cols), on=self.key_cols, how="left_anti"
             )
             self._snapshot = untouched.unionByName(batch).localCheckpoint()
+        # checkpoint the changelog too: a subscriber may hold the frame
+        # past this batch, and with state_path set its lineage can reach
+        # a persisted snapshot version that a LATER batch prunes
+        # (fuzzer-found: upsert -> restart -> upsert -> upsert read a
+        # deleted v0 parquet)
+        changes = changes.localCheckpoint()
         self._persist_state()
         for fn in self.subscribers:
             fn(changes)
