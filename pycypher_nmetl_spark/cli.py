@@ -10,6 +10,9 @@ parse/schema/functions/health/security-check surface, Spark-backed).
     python -m pycypher_nmetl_spark health pipeline.yaml
     python -m pycypher_nmetl_spark parse "MATCH (n) RETURN n"
     python -m pycypher_nmetl_spark functions
+    python -m pycypher_nmetl_spark config [--json]
+    python -m pycypher_nmetl_spark metrics pipeline.yaml [--json]
+    python -m pycypher_nmetl_spark health-server pipeline.yaml [--port N]
 """
 
 from __future__ import annotations
@@ -54,6 +57,18 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("repl")
     s.add_argument("config", nargs="?")
 
+    s = sub.add_parser("config")
+    s.add_argument("--json", action="store_true", dest="as_json")
+
+    s = sub.add_parser("metrics")
+    s.add_argument("config")
+    s.add_argument("--json", action="store_true", dest="as_json")
+
+    s = sub.add_parser("health-server")
+    s.add_argument("config")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     if args.cmd == "parse":
@@ -79,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
             "aggregate": sorted(AGGREGATE_FUNCTIONS),
         }, indent=2))
         return 0
+
+    if args.cmd == "config":
+        return _show_config(as_json=args.as_json)
 
     if args.cmd == "repl":
         return _repl(args.config)
@@ -185,7 +203,104 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "metrics":
+        # same payload the HealthServer /metrics endpoint serves, as a
+        # one-shot (reference: cli/system.py metrics_impl)
+        from pycypher_nmetl_spark.engine import CypherEngine
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog
+
+        engine = CypherEngine(build_catalog(spark, config))
+        counters = {
+            "catalog_labels": len(engine.catalog.labels()),
+            "catalog_rel_types": len(engine.catalog.rel_types()),
+            "catalog_data_epoch": engine.catalog.data_epoch,
+            **engine.metrics.counters,
+        }
+        if engine.cache is not None:
+            counters["result_cache_hits"] = engine.cache.hits
+            counters["result_cache_misses"] = engine.cache.misses
+        if args.as_json:
+            print(json.dumps(counters, indent=2, sort_keys=True))
+        else:
+            for k in sorted(counters):
+                print(f"{k} {counters[k]}")
+        return 0
+
+    if args.cmd == "health-server":
+        from pycypher_nmetl_spark.engine import CypherEngine
+        from pycypher_nmetl_spark.health import HealthServer
+        from pycypher_nmetl_spark.pipeline.runner import build_catalog
+
+        engine = CypherEngine(build_catalog(spark, config))
+        srv = HealthServer(engine, host=args.host, port=args.port).start()
+        print(f"health server on http://{args.host}:{srv.port} "
+              f"(GET /health, /metrics) — Ctrl-C to stop")
+        try:
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            return 0
+
     return 2
+
+
+def _show_config(as_json: bool) -> int:
+    """Show every configuration knob this engine honors: environment
+    variables with their live values, and CypherEngine constructor
+    defaults introspected from the signature so the listing can't drift
+    from the code (reference: cli/system.py CONFIG_REGISTRY/config_impl)."""
+    import inspect
+    import os
+
+    env_registry = [
+        ("SPARK_GRAFT_CPUS", "local[N] core count for get_spark()",
+         str(os.cpu_count() or 8)),
+        ("SPARK_DRIVER_MEMORY", "Spark driver memory", "8g"),
+        ("SPARK_GRAFT_AUDIT_LOG", "structured audit log (1/true/yes)",
+         "disabled"),
+        ("SPARK_GRAFT_SF_DIR", "bench.py data directory",
+         "/root/testdata/sf0.1"),
+        ("SPARK_GRAFT_BENCH_REPS", "bench.py repetitions", "3"),
+    ]
+    env_entries = [
+        {
+            "variable": name,
+            "value": os.environ.get(name, default),
+            "source": "env" if name in os.environ else "default",
+            "description": desc,
+        }
+        for name, desc, default in env_registry
+    ]
+
+    from pycypher_nmetl_spark.compiler import paths
+    from pycypher_nmetl_spark.engine import CypherEngine
+
+    sig = inspect.signature(CypherEngine.__init__)
+    engine_defaults = {
+        name: repr(param.default)
+        for name, param in sig.parameters.items()
+        if param.default is not inspect.Parameter.empty
+    }
+    engine_defaults["paths.MAX_HOPS"] = repr(paths.MAX_HOPS)
+    engine_defaults["paths.LAZY_MAX_LEVELS"] = repr(paths.LAZY_MAX_LEVELS)
+
+    if as_json:
+        print(json.dumps(
+            {"environment": env_entries, "engine_defaults": engine_defaults},
+            indent=2,
+        ))
+        return 0
+    print("\nEnvironment variables\n")
+    for e in env_entries:
+        marker = "*" if e["source"] == "env" else " "
+        print(f"  {marker} {e['variable']:<26} {e['value']:<22} {e['description']}")
+    print("\nCypherEngine defaults (constructor keywords)\n")
+    for k in sorted(engine_defaults):
+        print(f"    {k:<34} {engine_defaults[k]}")
+    print("\n  * = set via environment variable\n")
+    return 0
 
 
 def _repl(config_path: str | None) -> int:

@@ -338,3 +338,30 @@ def test_jdbc_source_schema_hints_apply(spark):
         security_policy=False,
     )
     assert dict(df.dtypes)["id"] == "string"
+
+
+def test_cli_config_and_metrics(project, capsys, monkeypatch):
+    from pycypher_nmetl_spark.cli import main
+
+    # config: no Spark session needed, lists env + engine knobs
+    assert main(["config"]) == 0
+    out = capsys.readouterr().out
+    assert "SPARK_GRAFT_AUDIT_LOG" in out
+    assert "max_cross_join_product_bytes" in out
+    assert "paths.MAX_HOPS" in out
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "7")
+    import json as _json
+
+    assert main(["config", "--json"]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    reps = {e["variable"]: e for e in doc["environment"]}["SPARK_GRAFT_BENCH_REPS"]
+    assert reps["value"] == "7" and reps["source"] == "env"
+    assert "query_timeout_s" in doc["engine_defaults"]
+
+    # metrics: one-shot snapshot of the /metrics payload
+    assert main(["metrics", str(project / "pipeline.yaml"), "--json"]) == 0
+    counters = _json.loads(capsys.readouterr().out)
+    assert counters["catalog_labels"] == 2
+    assert counters["queries_compiled"] == 0
+    assert "result_cache_hits" in counters
