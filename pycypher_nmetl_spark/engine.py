@@ -417,25 +417,16 @@ class CypherEngine:
                 results[spec.id] = self.execute(spec.cypher, parameters)
             return [results[str(i)] for i in range(len(cyphers))]
 
+        import time as _time
+
+        from pycypher_nmetl_spark.audit import audit_event
+
         asts = {}
         for spec in specs:
             ast = parse(spec.cypher)
             self._semantic_check(ast)
             asts[spec.id] = ast
-        with self.catalog._write_lock:
-            self.catalog.begin()
-            try:
-                for spec in order_queries(specs):
-                    ast = asts[spec.id]
-                    if isinstance(ast, UnionQuery):
-                        results[spec.id] = self._union_result(ast, params)
-                    else:
-                        results[spec.id] = self._run_clauses(ast.clauses, params)
-                self.catalog.commit(durable_path=self.durable_path)
-            except Exception:
-                self.catalog.rollback()
-                raise
-        if any(
+        has_mutation = any(
             isinstance(c, MUTATION_CLAUSES)
             for ast in asts.values()
             for c in (
@@ -443,7 +434,50 @@ class CypherEngine:
                 if isinstance(ast, UnionQuery)
                 else ast.clauses
             )
-        ):
+        )
+        with self.catalog._write_lock:
+            self.catalog.begin()
+            try:
+                for spec in order_queries(specs):
+                    ast = asts[spec.id]
+                    # the same guard rails execute() applies per query —
+                    # the batch path must not void them
+                    if self.rate_limiter is not None:
+                        self.rate_limiter.acquire()
+                    t0 = _time.perf_counter()
+                    try:
+                        if self.max_complexity is not None:
+                            from pycypher_nmetl_spark.guards import check_complexity
+
+                            check_complexity(self.catalog, ast, self.max_complexity)
+                        if isinstance(ast, UnionQuery):
+                            results[spec.id] = self._union_result(ast, params)
+                        else:
+                            results[spec.id] = self._run_clauses(ast.clauses, params)
+                    except Exception as e:
+                        self.metrics.inc("queries_failed")
+                        audit_event(
+                            "compile", spec.cypher, status="error",
+                            elapsed_ms=(_time.perf_counter() - t0) * 1000,
+                            error=e, parameters=params,
+                        )
+                        raise
+                    self.metrics.inc("queries_compiled")
+                    audit_event(
+                        "compile", spec.cypher, status="ok",
+                        elapsed_ms=(_time.perf_counter() - t0) * 1000,
+                        parameters=params,
+                    )
+                # a read-only script must not rewrite the durable
+                # snapshot: versioned parquet save is pure I/O churn
+                # when no shadow write happened
+                self.catalog.commit(
+                    durable_path=self.durable_path if has_mutation else None
+                )
+            except Exception:
+                self.catalog.rollback()
+                raise
+        if has_mutation:
             self.metrics.inc("mutations_committed")
             if self.cache is not None:
                 self.cache.clear()

@@ -143,7 +143,7 @@ def near_dup_pairs(
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if exact:
         a, b = base.alias("a"), base.alias("b")
-        return (
+        pairs = (
             a.join(b, F.col("a._id") < F.col("b._id"))
             .select(
                 F.col("a._id").alias("id1"),
@@ -152,6 +152,10 @@ def near_dup_pairs(
             )
             .filter(F.col("cosine") >= threshold)
         )
+        if return_cap_stats:  # same (pairs, stats) shape as the LSH path
+            empty_schema = "band int, bucket long, size long, dropped long"
+            return pairs, df.sparkSession.createDataFrame([], empty_schema)
+        return pairs
 
     # null vectors can never pass the cosine verify; drop them up front
     base = base.filter(F.col("_v").isNotNull())
@@ -428,6 +432,8 @@ def near_dup_components(
     from ..algorithms import connected_components
 
     pairs = near_dup_pairs(df, vec_col, threshold, id_col, **kwargs)
+    if isinstance(pairs, tuple):  # return_cap_stats=True passed through
+        pairs = pairs[0]
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     comp = connected_components(edges)
     ids = df.select(F.col(id_col).alias("id")).dropDuplicates()

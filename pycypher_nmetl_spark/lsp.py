@@ -155,6 +155,8 @@ class LspServer:
         if line >= len(lines):
             return None
         row = lines[line]
+        # clamp: the LSP spec lets clients send positions past line end
+        character = max(0, min(character, len(row)))
         start = character
         while start > 0 and (row[start - 1].isalnum() or row[start - 1] in "._"):
             start -= 1
@@ -185,15 +187,14 @@ class LspServer:
             formatted = format_query(parse(text))
         except Exception:  # noqa: BLE001 — unformattable text: no edits
             return []
-        lines = text.splitlines()
+        # end the range one line past the last so a trailing newline (and
+        # anything after it) is replaced too — splitlines() drops it, so
+        # ending at len(lines[-1]) would leave stray text appended
         return [
             {
                 "range": {
                     "start": {"line": 0, "character": 0},
-                    "end": {
-                        "line": max(0, len(lines) - 1),
-                        "character": len(lines[-1]) if lines else 0,
-                    },
+                    "end": {"line": len(text.splitlines()) + 1, "character": 0},
                 },
                 "newText": formatted,
             }
@@ -265,7 +266,18 @@ def main() -> int:
         msg = read_message()
         if msg is None:
             break
-        server.handle_message(msg)
+        try:
+            server.handle_message(msg)
+        except Exception as e:  # noqa: BLE001 — one bad request must not
+            # kill the server (the editor would lose diagnostics for good)
+            if msg.get("id") is not None:
+                write_message(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": msg["id"],
+                        "error": {"code": -32603, "message": f"{type(e).__name__}: {e}"},
+                    }
+                )
     return 0
 
 

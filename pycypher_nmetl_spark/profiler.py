@@ -101,6 +101,9 @@ class QueryProfiler:
         parse(query)  # measured separately; execute() re-parses (cached cheap)
         parse_ms = (time.perf_counter() - t0) * 1000.0
 
+        # reset first: a result-cache hit skips _run_clauses entirely, and
+        # a stale report from the previous query would be misattributed
+        self.engine.last_compile_report = []
         t1 = time.perf_counter()
         df = self.engine.execute(query, parameters)
         compile_ms = (time.perf_counter() - t1) * 1000.0

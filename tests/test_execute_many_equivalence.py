@@ -307,3 +307,57 @@ def test_transactional_scripts_serialize_across_threads(erig):
     rows = _rows(eng.execute(
         "MATCH (a:Audit) RETURN a.tag AS tag, count(*) AS c"))
     assert rows == [("t1", 2), ("t2", 2)]
+
+
+def test_transactional_applies_complexity_guard(spark):
+    """The batch path must apply the same pre-execution guard rails as
+    execute(): a query that check_complexity rejects in execute() must
+    also be rejected (and rolled back) inside a transactional script."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.guards import QueryComplexityError
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P",
+        spark.createDataFrame([(i, i) for i in range(50)], "id long, v long"),
+    )
+    eng = CypherEngine(cat, cache_results=False, max_complexity=1.0)
+    blocked = "MATCH (a:P), (b:P), (c:P) RETURN count(*) AS c"
+    with pytest.raises(QueryComplexityError):
+        eng.execute(blocked)
+    with pytest.raises(QueryComplexityError):
+        eng.execute_many(
+            ["CREATE (:Tag {id: 9000})", blocked], transactional=True
+        )
+    # the CREATE before the rejected query must have rolled back: the
+    # Tag label never became visible in the committed catalog
+    assert "Tag" not in cat.labels()
+
+
+def test_transactional_readonly_script_skips_durable_snapshot(spark, tmp_path):
+    """A read-only transactional script must not rewrite the versioned
+    durable snapshot (pure I/O churn with no state change)."""
+    import os as _os
+
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P", spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    durable = str(tmp_path / "snap")
+    eng = CypherEngine(cat, cache_results=False, durable_path=durable)
+    eng.execute("CREATE (:P {id: 2, v: 20})")  # seeds version 1
+
+    def current():
+        with open(_os.path.join(durable, "_CURRENT")) as f:
+            return f.read().strip()
+
+    v1 = current()
+    eng.execute_many(
+        ["MATCH (p:P) RETURN count(*) AS c", "MATCH (p:P) RETURN p.v AS v"],
+        transactional=True,
+    )
+    assert current() == v1  # no new snapshot version for reads
+    eng.execute_many(["CREATE (:P {id: 3, v: 30})"], transactional=True)
+    assert current() != v1  # mutations still persist

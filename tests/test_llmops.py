@@ -459,3 +459,28 @@ def test_near_dup_audit_event_on_cap(spark):
     finally:
         audit.disable_audit_log()
     assert any("near_dup_bucket_cap" in r for r in records)
+
+
+def test_near_dup_exact_honors_return_cap_stats(vectors):
+    # exact=True must return the same (pairs, stats) shape as the LSH
+    # path when return_cap_stats=True (stats empty: no buckets exist)
+    pairs, stats = near_dup_pairs(
+        vectors, "embedding", threshold=0.95, exact=True, return_cap_stats=True
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert stats.columns == ["band", "bucket", "size", "dropped"]
+    assert stats.count() == 0
+
+
+def test_near_dup_components_tolerates_cap_stats_kwarg(vectors):
+    from pycypher_nmetl_spark.llmops.similarity import near_dup_components
+
+    comp = {
+        r["id"]: r["component"]
+        for r in near_dup_components(
+            vectors, "embedding", threshold=0.95, return_cap_stats=True
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[5]
+    assert comp[3] == 3 and comp[4] == 4

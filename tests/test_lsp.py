@@ -156,3 +156,61 @@ def test_framing_roundtrip():
     msg = read_message(buf)
     assert msg == {"jsonrpc": "2.0", "id": 1, "method": "initialize"}
     assert read_message(buf) is None  # EOF
+
+
+def test_hover_position_past_line_end_is_clamped(server):
+    # LSP clients may send character > len(line); spec says clamp
+    srv, sent = server
+    _open(srv, "file:///q.cypher", "MATCH (n) RETURN n")
+    srv.handle_message(
+        {
+            "jsonrpc": "2.0", "id": 20, "method": "textDocument/hover",
+            "params": {
+                "textDocument": {"uri": "file:///q.cypher"},
+                "position": {"line": 0, "character": 9999},
+            },
+        }
+    )
+    # clamps to end-of-line -> word under cursor is the trailing "n"
+    assert "error" not in sent[-1]
+
+
+def test_formatting_range_covers_trailing_newline(server):
+    srv, sent = server
+    _open(srv, "file:///q.cypher", "match (n) return n\n")
+    srv.handle_message(
+        {
+            "jsonrpc": "2.0", "id": 21, "method": "textDocument/formatting",
+            "params": {"textDocument": {"uri": "file:///q.cypher"}},
+        }
+    )
+    edit = sent[-1]["result"][0]
+    # the edit must replace the WHOLE document including the trailing
+    # newline, else each format pass appends stray text after newText
+    assert edit["range"]["start"] == {"line": 0, "character": 0}
+    assert edit["range"]["end"]["line"] >= 2
+    assert edit["range"]["end"]["character"] == 0
+
+
+def test_main_loop_survives_handler_exception(monkeypatch, capsys):
+    # a request with a broken payload must produce a JSON-RPC error
+    # response, not kill the server process
+    import io as _io
+
+    from pycypher_nmetl_spark import lsp as lsp_mod
+
+    buf = _io.BytesIO()
+    msgs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "textDocument/hover",
+         "params": {"textDocument": {}}},  # missing uri/position -> KeyError
+        None,  # EOF
+    ]
+    monkeypatch.setattr(lsp_mod, "read_message", lambda stream=None: msgs.pop(0))
+    sent = []
+    orig_write = lsp_mod.write_message
+    monkeypatch.setattr(
+        lsp_mod, "write_message",
+        lambda msg, stream=None: sent.append(msg),
+    )
+    assert lsp_mod.main() == 0
+    assert sent and sent[-1]["error"]["code"] == -32603

@@ -85,3 +85,25 @@ def test_repl_profile_command(monkeypatch, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "Query Profile:" in out
     assert "Clause compile breakdown:" in out
+
+
+def test_profile_cache_hit_does_not_report_stale_clauses(spark):
+    """A result-cache hit skips the clause loop; the profile must not
+    attribute the PREVIOUS query's clause timings to this query."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.profiler import QueryProfiler
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P", spark.createDataFrame([(1, 5)], "id long, v long")
+    )
+    eng = CypherEngine(cat)  # cache on
+    prof = QueryProfiler(eng)
+    q = "MATCH (p:P) RETURN p.v AS v"
+    first = prof.profile(q)
+    assert first.clause_timings  # cold run has a clause breakdown
+    eng.execute("MATCH (p:P) RETURN count(*) AS c")  # different report
+    hit = prof.profile(q)  # cache hit: no clause loop ran
+    assert hit.clause_timings == {}
+    assert hit.hotspot is None
+    assert hit.row_count == 1
