@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("config")
     s.add_argument("--json", action="store_true", dest="as_json")
 
+    s = sub.add_parser("compat-check")
+    s.add_argument("--snapshot", help="save API surface snapshot to JSON file")
+    s.add_argument("--diff", help="compare current API against a saved snapshot")
+    s.add_argument("--neo4j", help="look up one Neo4j feature's support status")
+    s.add_argument("--neo4j-all", action="store_true", help="list all dialect notes")
+
     s = sub.add_parser("metrics")
     s.add_argument("config")
     s.add_argument("--json", action="store_true", dest="as_json")
@@ -97,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "config":
         return _show_config(as_json=args.as_json)
+
+    if args.cmd == "compat-check":
+        return _compat_check(args)
 
     if args.cmd == "repl":
         return _repl(args.config)
@@ -246,6 +255,61 @@ def main(argv: list[str] | None = None) -> int:
     return 2
 
 
+def _compat_check(args) -> int:
+    """API snapshot/diff + Neo4j dialect notes (reference: cli/utility.py
+    compat_check_impl). Exit 1 on breaking diff or unknown feature."""
+    from pycypher_nmetl_spark.compat import (
+        NEO4J_COMPAT_NOTES, ApiSurface, check_neo4j_compat, diff_surfaces,
+        snapshot_api_surface,
+    )
+
+    if args.snapshot:
+        surface = snapshot_api_surface()
+        with open(args.snapshot, "w") as f:
+            f.write(surface.to_json())
+        print(f"Saved API snapshot: {len(surface.symbols)} symbols "
+              f"(v{surface.version}) -> {args.snapshot}")
+        return 0
+    if args.diff:
+        with open(args.diff) as f:
+            old = ApiSurface.from_json(f.read())
+        report = diff_surfaces(old, snapshot_api_surface())
+        print(report.summary())
+        return 1 if report.has_breaking_changes else 0
+    if args.neo4j:
+        result = check_neo4j_compat(args.neo4j)
+        if result is None:
+            print(f"No compatibility notes found for '{args.neo4j}'.")
+            return 1
+        status = "SUPPORTED" if result["supported"] else "NOT SUPPORTED"
+        print(f"{result['feature']}: {status}")
+        print(f"  {result['notes']}")
+        if "workaround" in result:
+            print(f"  Workaround: {result['workaround']}")
+        return 0
+    if args.neo4j_all:
+        for feature, info in NEO4J_COMPAT_NOTES.items():
+            status = "+" if info["supported"] else "-"
+            print(f"  [{status}] {feature}")
+            print(f"      {info['notes']}")
+            if "workaround" in info:
+                print(f"      Workaround: {info['workaround']}")
+        return 0
+    surface = snapshot_api_surface()
+    print(f"pycypher-nmetl-spark v{surface.version} — "
+          f"{len(surface.symbols)} public symbols")
+    by_kind: dict[str, list[str]] = {}
+    for sym in surface.symbols.values():
+        by_kind.setdefault(sym.kind, []).append(sym.name)
+    for kind in sorted(by_kind):
+        names = sorted(by_kind[kind])
+        plural = "classes" if kind == "class" else f"{kind}s"
+        print(f"\n  {plural} ({len(names)}):")
+        for name in names:
+            print(f"    {name}")
+    return 0
+
+
 def _show_config(as_json: bool) -> int:
     """Show every configuration knob this engine honors: environment
     variables with their live values, and CypherEngine constructor
@@ -350,4 +414,7 @@ def _repl(config_path: str | None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. `... | head` closed the pipe
+        sys.exit(0)
