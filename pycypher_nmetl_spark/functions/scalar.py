@@ -381,6 +381,13 @@ def _timestamp(cc, args):
     return (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
 
 
+@register("now")
+def _now(cc, args):
+    """now() — epoch-ms alias for timestamp()
+    (reference: scalar_functions/__init__.py:252-260)."""
+    return _timestamp(cc, args)
+
+
 _DATE_TRUNC_UNITS = {
     "millennium", "century", "decade", "year", "quarter", "month", "week", "day",
 }
@@ -437,6 +444,14 @@ def _datetime_truncate(cc, args):
             _epoch_start_date(unit, ts).cast("timestamp")
         )
     return F.date_trunc(unit, ts)
+
+
+@register("localdatetime.truncate")
+def _localdatetime_truncate(cc, args):
+    """Same truncation semantics as datetime.truncate — timestamps here
+    are zone-naive (reference temporal_functions.py registers an
+    identical _truncate_datetime for both names)."""
+    return _datetime_truncate(cc, args)
 
 
 @register("duration")

@@ -208,6 +208,19 @@ def test_temporal(golden):
     assert one(golden, "datetime('2024-03-05T10:30:00').minute") == 30
 
 
+def test_now_and_localdatetime_truncate(golden):
+    # now() is the epoch-ms alias for timestamp()
+    # (reference scalar_functions/__init__.py:252-260)
+    assert one(golden, "now() >= timestamp() - 60000")
+    import datetime
+
+    # localdatetime.truncate registers the same truncation as
+    # datetime.truncate (reference temporal_functions.py:612-618)
+    assert one(
+        golden, "localdatetime.truncate('quarter', '2024-05-20T10:30:45')"
+    ) == datetime.datetime(2024, 4, 1, 0, 0)
+
+
 def test_date_duration_arithmetic_stays_date(golden):
     import datetime
 
