@@ -78,3 +78,76 @@ def test_health_server(golden):
         assert "result_cache_hits" in text and "catalog_labels 2" in text
     finally:
         srv.stop()
+
+
+def test_query_http_endpoint(golden):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from pycypher_nmetl_spark.health import HealthServer
+
+    srv = HealthServer(golden).start()
+
+    def post(payload, expect_error=False):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, doc = post({
+            "cypher": "MATCH (p:Person) RETURN p.name AS name ORDER BY name",
+        })
+        assert code == 200
+        assert doc["columns"] == ["name"]
+        assert [r[0] for r in doc["rows"]] == ["Alice", "Bob", "Carol", "Dave"]
+
+        code, doc = post({
+            "cypher": "MATCH (p:Person) RETURN p.name AS n ORDER BY n",
+            "limit": 2,
+        })
+        assert code == 200 and len(doc["rows"]) == 2
+
+        # mutations rejected by default on the HTTP surface
+        code, doc = post({"cypher": "CREATE (:Person {id: 99})"})
+        assert code == 403 and "disabled" in doc["error"]
+
+        # errors come back as JSON, not a dead connection
+        code, doc = post({"cypher": "MATCH (x RETURN"})
+        assert code == 400 and "error" in doc
+        code, doc = post({"nope": 1})
+        assert code == 400
+    finally:
+        srv.stop()
+
+
+def test_query_http_endpoint_mutations_opt_in(golden):
+    import json as _json
+    import urllib.request
+
+    from pycypher_nmetl_spark.health import HealthServer
+
+    srv = HealthServer(golden, allow_mutations=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=_json.dumps({"cypher": "CREATE (:Person {id: 99, name: 'Zed'})"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        assert (
+            golden.execute(
+                "MATCH (p:Person {name: 'Zed'}) RETURN count(*) AS c"
+            ).collect()[0]["c"] == 1
+        )
+    finally:
+        srv.stop()
