@@ -435,6 +435,12 @@ class CypherEngine:
                 else ast.clauses
             )
         )
+        # rate permits for the whole script are taken BEFORE the catalog
+        # write lock: sleeping on the limiter while holding the lock
+        # would stall every other writer for the rate delay
+        if self.rate_limiter is not None:
+            for _ in specs:
+                self.rate_limiter.acquire()
         with self.catalog._write_lock:
             self.catalog.begin()
             try:
@@ -442,8 +448,6 @@ class CypherEngine:
                     ast = asts[spec.id]
                     # the same guard rails execute() applies per query —
                     # the batch path must not void them
-                    if self.rate_limiter is not None:
-                        self.rate_limiter.acquire()
                     t0 = _time.perf_counter()
                     try:
                         if self.max_complexity is not None:

@@ -361,3 +361,36 @@ def test_transactional_readonly_script_skips_durable_snapshot(spark, tmp_path):
     assert current() == v1  # no new snapshot version for reads
     eng.execute_many(["CREATE (:P {id: 3, v: 30})"], transactional=True)
     assert current() != v1  # mutations still persist
+
+
+def test_transactional_rate_permits_taken_before_lock(spark):
+    """Rate limiting applies per query in the batch path, and the
+    limiter is consulted BEFORE the catalog write lock is taken (a
+    rate sleep must not extend write-lock tenure)."""
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes("P", spark.createDataFrame([(1, 1)], "id long, v long"))
+    eng = CypherEngine(cat, cache_results=False, rate_limit_qps=10_000.0)
+
+    events = []
+    orig_acquire = eng.rate_limiter.acquire
+    orig_begin = cat.begin
+
+    def tracking_acquire():
+        events.append("acquire")
+        return orig_acquire()
+
+    def tracking_begin():
+        events.append("begin")
+        return orig_begin()
+
+    eng.rate_limiter.acquire = tracking_acquire
+    cat.begin = tracking_begin
+    eng.execute_many(
+        ["MATCH (p:P) RETURN count(*) AS c", "MATCH (p:P) RETURN p.v AS v"],
+        transactional=True,
+    )
+    # one permit per query, all taken before the transaction opens
+    # (begin() happens inside the write lock)
+    assert events == ["acquire", "acquire", "begin"]
