@@ -126,11 +126,11 @@ _CYPHER_QUERIES: dict[str, str] = {
         "WHERE a.linenumber = 1 AND b.linenumber = 4 "
         "RETURN length(p) AS hops, count(*) AS cnt"
     ),
-    # events table: scan + aggregate
-    "events_by_type": (
-        "MATCH (e:Event) RETURN e.event_type AS etype, count(*) AS cnt, "
-        "round(sum(e.value), 2) AS total"
-    ),
+    # (events_by_type retired under the 50-gate cap in favor of
+    # llm_decontaminate: its surface — implicit groupBy + count +
+    # round(sum()) — is covered by agg_pricing_summary, with_having and
+    # the aggregation fuzzer; batch Event-entity reads stay covered by
+    # the streaming gates' static sides.)
     # §2.5 percentiles & stddev
     # §2.5 stdev + percentileCont/Disc + string min/max per segment
     # (merged stats_fns + disc_and_string_minmax under the 50-gate cap)
@@ -327,10 +327,6 @@ _ORACLE: dict[str, str] = {
         "    WHERE l_linenumber BETWEEN 1 AND 4"
         "  ) GROUP BY l_orderkey HAVING count(*) = 4"
         ") HAVING count(*) > 0"
-    ),
-    "events_by_type": (
-        "SELECT event_type AS etype, count(*) AS cnt, round(sum(value), 2) AS total "
-        "FROM events GROUP BY event_type"
     ),
     "stats_percentiles": (
         "SELECT c_mktsegment AS seg, round(stddev_samp(c_acctbal), 3) AS sd, "
@@ -839,8 +835,27 @@ def _mm_oracle_sql() -> str:
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination_pairs(train, eval_df, n=3, min_contamination=0.02)
+    return out.select(
+        "train_id",
+        "eval_id",
+        "shared",
+        "eval_ngrams",
+        F.round("contamination", 4).alias("contamination"),
+    )
+
+
 _LLMOPS_QUERIES = {
     "llm_dedup_exact": _q_dedup_exact,
+    "llm_decontaminate": _q_decontaminate,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
     "llm_minhash_lsh_pairs": _q_minhash_lsh,
     "llm_token_count": _q_token_count,
@@ -874,6 +889,23 @@ _LLMOPS_ORACLE = {
     ),
     "llm_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "llm_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,  # verified LSH = exact set
+    "llm_decontaminate": (
+        "WITH ev0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0), "
+        "tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0), "
+        "evt AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
+        "FOR i IN range(1, len(t) - 1)]) AS s FROM "
+        "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM ev0)), "
+        "trt AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
+        "FOR i IN range(1, len(t) - 1)]) AS s FROM "
+        "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM tr0)), "
+        "evx AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM evt), "
+        "trx AS (SELECT doc_id, unnest(s) AS g FROM trt) "
+        "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS shared, "
+        "any_value(e.n) AS eval_ngrams, "
+        "round(count(*) / any_value(e.n), 4) AS contamination "
+        "FROM trx t JOIN evx e ON t.g = e.g GROUP BY t.doc_id, e.doc_id "
+        "HAVING count(*) / any_value(e.n) >= 0.02"
+    ),
     "llm_token_count": (
         "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est FROM documents"

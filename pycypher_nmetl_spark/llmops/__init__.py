@@ -2,13 +2,17 @@
 
 Beyond-reference operators a 100 TB training-data pipeline needs:
 deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
-embedding near-dup), similarity search (brute-force + IVF), text
+embedding near-dup), eval-set decontamination (directional n-gram
+overlap), similarity search (brute-force + IVF), text
 analysis (tokens, quality, language, fingerprints), and multimodal
 column plumbing. All hot paths are JVM-side DataFrame expressions —
 no Python row loops; the only Arrow crossings are the (stubbed)
 multimodal decoders.
 """
 
+from pycypher_nmetl_spark.llmops.decontam import (
+    contamination_pairs, decontaminate,
+)
 from pycypher_nmetl_spark.llmops.dedup import (
     exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingles,
     simhash, simhash_buckets,
@@ -25,6 +29,7 @@ from pycypher_nmetl_spark.llmops.export import (
 )
 
 __all__ = [
+    "contamination_pairs", "decontaminate",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
     "simhash", "simhash_buckets",
     "brute_force_topk", "cosine_col", "ivf_build", "ivf_topk",

@@ -484,3 +484,84 @@ def test_near_dup_components_tolerates_cap_stats_kwarg(vectors):
     }
     assert comp[1] == comp[2] == comp[5]
     assert comp[3] == 3 and comp[4] == 4
+
+
+# ------------------------------------------------------------------ #
+# Eval-set decontamination
+
+@pytest.fixture()
+def contam(spark):
+    from pycypher_nmetl_spark.llmops import contamination_pairs  # noqa: F401
+
+    train = spark.createDataFrame(
+        [
+            # contains all 3 eval trigrams -> contamination 1.0
+            (1, "intro text alpha beta gamma delta epsilon closing remarks"),
+            # shares exactly one eval trigram -> 1/3
+            (2, "xx alpha beta gamma yy"),
+            (3, "totally unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),  # 3 distinct trigrams
+            (101, "one two"),  # shorter than n -> no n-grams, no pairs
+        ],
+        "doc_id long, text string",
+    )
+    return train, eval_df
+
+
+def test_contamination_fraction_directional(contam):
+    from pycypher_nmetl_spark.llmops import contamination_pairs
+
+    train, eval_df = contam
+    out = {
+        (r["train_id"], r["eval_id"]): r
+    for r in contamination_pairs(train, eval_df, n=3).collect()}
+    assert set(out) == {(1, 100), (2, 100)}
+    assert out[(1, 100)]["shared"] == 3
+    assert out[(1, 100)]["eval_ngrams"] == 3
+    assert out[(1, 100)]["contamination"] == pytest.approx(1.0)
+    assert out[(2, 100)]["contamination"] == pytest.approx(1 / 3)
+
+
+def test_contamination_min_filter_and_shuffle_fallback(contam):
+    from pycypher_nmetl_spark.llmops import contamination_pairs
+
+    train, eval_df = contam
+    out = contamination_pairs(
+        train, eval_df, n=3, min_contamination=0.5, broadcast_eval=False
+    ).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in out] == [(1, 100)]
+
+
+def test_decontaminate_drops_contaminated(contam):
+    from pycypher_nmetl_spark.llmops import decontaminate
+
+    train, eval_df = contam
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, eval_df, n=3, threshold=0.5).collect()
+    )
+    assert kept == [2, 3]
+    # threshold above every pair's contamination keeps everything
+    all_kept = decontaminate(train, eval_df, n=3, threshold=1.01).count()
+    assert all_kept == 3
+
+
+def test_contamination_plan_broadcasts_eval_one_shuffle(contam):
+    """The 100 TB design constraint: the train side is never shuffled for
+    the join (eval side broadcast); the only Exchange is the final
+    (train_id, eval_id) aggregation."""
+    import re
+
+    from pycypher_nmetl_spark.llmops import contamination_pairs
+
+    train, eval_df = contam
+    df = contamination_pairs(train, eval_df, n=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1

@@ -34,8 +34,9 @@ def _embs(spark, d):
 def _ops():
     from pycypher_nmetl_spark.llmops import (
         add_fingerprint, add_lang_id, add_quality, add_token_count,
-        brute_force_topk, exact_dedup, global_shuffle, minhash_lsh_pairs,
-        near_dup_pairs, pack_sequences, simhash_buckets, split,
+        brute_force_topk, contamination_pairs, exact_dedup, global_shuffle,
+        minhash_lsh_pairs, near_dup_pairs, pack_sequences, simhash_buckets,
+        split,
     )
 
     def exact(spark, d):
@@ -75,6 +76,15 @@ def _ops():
             _embs(spark, d), "embedding", threshold=0.95, id_col="vec_id"
         ).count()
 
+    def decontam(spark, d):
+        docs = _docs(spark, d)
+        return contamination_pairs(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=3,
+            min_contamination=0.02,
+        ).count()
+
     def export_pipeline(spark, d):
         df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
         train = df.where(F.col("split") == "train")
@@ -88,6 +98,7 @@ def _ops():
         ("textstats_scan", textstats),
         ("embed_topk", embed_topk),
         ("embed_neardup_lsh", embed_neardup),
+        ("decontaminate", decontam),
         ("export_split_shuffle_pack", export_pipeline),
     ]
 
