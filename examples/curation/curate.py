@@ -2,7 +2,8 @@
 
 documents.parquet -> language ID -> quality score -> exact dedup ->
 MinHash-LSH near-dedup (representative per duplicate component) ->
-embedding near-dup collapse -> leak-free split -> global shuffle ->
+embedding near-dup collapse -> leak-free split -> eval-set
+decontamination of train vs the held-out splits -> global shuffle ->
 sequence packing. Every stage is a lazy DataFrame transformation; the
 only actions are the final writes.
 
@@ -25,8 +26,9 @@ from pyspark.sql import functions as F
 
 def curate(spark, sf_dir: str, out_dir: str) -> dict:
     from pycypher_nmetl_spark.llmops import (
-        add_lang_id, add_quality, add_token_count, exact_dedup,
-        global_shuffle, minhash_lsh_pairs, pack_sequences, split,
+        add_lang_id, add_quality, add_token_count, decontaminate,
+        exact_dedup, global_shuffle, minhash_lsh_pairs, pack_sequences,
+        split,
     )
     from pycypher_nmetl_spark.algorithms import connected_components
 
@@ -63,8 +65,15 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     #    and corpus growth (val/test never bleed into train)
     docs = split(docs, {"train": 0.98, "val": 0.01, "test": 0.01}, key="doc_id")
 
-    # 6. reproducible global shuffle (one repartition) + greedy packing
+    # 6. decontaminate train against the held-out splits: any train doc
+    #    sharing >=50% of a held-out doc's word 5-grams is dropped (the
+    #    eval side is broadcast — the train side is never shuffled)
     train = docs.where(F.col("split") == "train")
+    heldout = docs.where(F.col("split") != "train")
+    train = decontaminate(train, heldout, n=5, threshold=0.5)
+    stats["after_decontamination"] = train.count()
+
+    # 7. reproducible global shuffle (one repartition) + greedy packing
     shuffled = global_shuffle(train, key="doc_id", num_partitions=8)
     packed = pack_sequences(shuffled, "doc_id", "n_tokens", max_tokens=2048)
     stats["train_sequences"] = packed.count()
