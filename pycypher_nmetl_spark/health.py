@@ -64,7 +64,12 @@ class HealthServer:
                     self._json(400, {"error": f"bad request: {e!s}"})
                     return
                 params = doc.get("parameters") or {}
-                limit = min(int(doc.get("limit", _DEFAULT_ROW_LIMIT)), 100_000)
+                try:
+                    limit = int(doc.get("limit", _DEFAULT_ROW_LIMIT))
+                except (TypeError, ValueError):
+                    self._json(400, {"error": "bad request: limit must be an int"})
+                    return
+                limit = max(0, min(limit, 100_000))
                 if not outer.allow_mutations and outer._mutates(cypher):
                     self._json(
                         403,
