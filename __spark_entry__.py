@@ -301,9 +301,9 @@ _ORACLE: dict[str, str] = {
         "GROUP BY c_name HAVING round(sum(o_totalprice), 2) > 1500000.0"
     ),
     "call_db_labels": (
-        "SELECT * FROM (VALUES ('Customer'), ('Document'), ('Event'), "
-        "('Lineitem'), ('Nation'), ('Order'), ('Part'), ('Region'), "
-        "('Supplier')) AS t(label) ORDER BY label"
+        "SELECT * FROM (VALUES ('Customer'), ('Document'), ('Embedding'), "
+        "('Event'), ('Lineitem'), ('Nation'), ('Order'), ('Part'), "
+        "('Region'), ('Supplier')) AS t(label) ORDER BY label"
     ),
     "math_fns": (
         "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "

@@ -532,6 +532,10 @@ class GraphCatalog:
                 "linenumber",
             ),
         )
+        embeddings = rd("embeddings")
+        cat.register_nodes(
+            "Embedding", embeddings.withColumnRenamed("vec_id", ID)
+        )
         events = _nanos_to_ts(rd("events"), "ts")
         cat.register_nodes(
             "Event",

@@ -1,0 +1,166 @@
+"""``CALL llm.*`` procedures: the llmops operators exposed to Cypher
+(SURVEY §7.2 M8: each operator is "registered as a procedure and as a
+Python API").
+
+A procedure is ``fn(engine, args) -> DataFrame`` (see
+``pycypher_nmetl_spark/procedures.py``); CALL cross-joins its rows into
+the bindings, so each of these returns the same DataFrame the Python
+API would, with the node label's ``id`` column as the document key.
+Args arrive as plain Python values for literals and ``$params``.
+
+    CALL llm.jaccardPairs('Document', 'text', 3, 0.7)
+         YIELD id1, id2, jaccard RETURN count(*) AS dups
+
+All execution stays in the same JVM-side plans as the Python API —
+these are thin arg-validating adapters, not reimplementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _nodes(engine, label) -> DataFrame:
+    if not isinstance(label, str):
+        raise TypeError(f"llm.* procedures take a node label string, got {label!r}")
+    return engine.catalog.nodes(label)
+
+
+def _str_arg(args, i, name) -> str:
+    if len(args) <= i or not isinstance(args[i], str):
+        raise TypeError(f"llm procedure argument {i} ({name}) must be a string")
+    return args[i]
+
+
+def _num_arg(args, i, default):
+    if len(args) <= i or args[i] is None:
+        return default
+    v = args[i]
+    if not isinstance(v, (int, float)) or isinstance(v, bool):
+        raise TypeError(f"llm procedure argument {i} must be a number")
+    return v
+
+
+def _exact_duplicates(engine, args) -> DataFrame:
+    """llm.exactDuplicates(label, prop) -> (keep_id, dup_id)."""
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    prop = _str_arg(args, 1, "prop")
+    hashed = df.select(F.col("id"), F.xxhash64(F.col(prop)).alias("_h"))
+    keep = hashed.groupBy("_h").agg(F.min("id").alias("keep_id"))
+    return (
+        hashed.join(keep, "_h")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("keep_id", F.col("id").alias("dup_id"))
+    )
+
+
+def _jaccard_pairs(engine, args) -> DataFrame:
+    """llm.jaccardPairs(label, prop, k=3, threshold=0.7) -> (id1, id2, jaccard)."""
+    from pycypher_nmetl_spark.llmops.dedup import ngram_jaccard_pairs
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    return ngram_jaccard_pairs(
+        df,
+        "id",
+        _str_arg(args, 1, "prop"),
+        k=int(_num_arg(args, 2, 3)),
+        threshold=float(_num_arg(args, 3, 0.7)),
+    )
+
+
+def _minhash_pairs(engine, args) -> DataFrame:
+    """llm.minhashPairs(label, prop, threshold=0.7) -> (id1, id2, jaccard)."""
+    from pycypher_nmetl_spark.llmops.dedup import minhash_lsh_pairs
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    return minhash_lsh_pairs(
+        df, "id", _str_arg(args, 1, "prop"), threshold=float(_num_arg(args, 2, 0.7))
+    )
+
+
+def _simhash(engine, args) -> DataFrame:
+    """llm.simhash(label, prop) -> (id, simhash, bucket)."""
+    from pycypher_nmetl_spark.llmops.dedup import simhash_buckets
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    return simhash_buckets(df, "id", _str_arg(args, 1, "prop"))
+
+
+def _textstats(engine, args) -> DataFrame:
+    """llm.textStats(label, prop) ->
+    (id, n_tokens, quality_score, lang_pred, fingerprint)."""
+    from pycypher_nmetl_spark.llmops.textstats import (
+        add_fingerprint, add_lang_id, add_quality, add_token_count,
+    )
+
+    prop = _str_arg(args, 1, "prop")
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    df = add_token_count(df, prop)
+    df = add_quality(df, prop)
+    df = add_lang_id(df, prop)
+    df = add_fingerprint(df, prop)
+    return df.select("id", "n_tokens", "quality_score", "lang_pred", "fingerprint")
+
+
+def _contamination(engine, args) -> DataFrame:
+    """llm.contamination(trainLabel, evalLabel, prop, n=8, minContamination=0.0)
+    -> (train_id, eval_id, shared, eval_ngrams, contamination)."""
+    from pycypher_nmetl_spark.llmops.decontam import contamination_pairs
+
+    train = _nodes(engine, _str_arg(args, 0, "trainLabel"))
+    eval_df = _nodes(engine, _str_arg(args, 1, "evalLabel"))
+    return contamination_pairs(
+        train,
+        eval_df,
+        id_col="id",
+        text_col=_str_arg(args, 2, "prop"),
+        n=int(_num_arg(args, 3, 8)),
+        min_contamination=float(_num_arg(args, 4, 0.0)),
+    )
+
+
+def _neardup_components(engine, args) -> DataFrame:
+    """llm.nearDupComponents(label, embeddingProp, threshold=0.95)
+    -> (id, component)."""
+    from pycypher_nmetl_spark.llmops.similarity import near_dup_components
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    return near_dup_components(
+        df,
+        _str_arg(args, 1, "embeddingProp"),
+        threshold=float(_num_arg(args, 2, 0.95)),
+        id_col="id",
+    )
+
+
+def _topk(engine, args) -> DataFrame:
+    """llm.topK(label, embeddingProp, queryVector, k=10) -> (id, cosine).
+
+    queryVector is a list parameter (``$q``) or list literal."""
+    from pycypher_nmetl_spark.llmops.similarity import brute_force_topk
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    if len(args) <= 2 or not isinstance(args[2], (list, tuple)):
+        raise TypeError("llm.topK argument 2 (queryVector) must be a list")
+    q = [float(x) for x in args[2]]
+    return brute_force_topk(
+        df,
+        _str_arg(args, 1, "embeddingProp"),
+        q,
+        k=int(_num_arg(args, 3, 10)),
+        id_col="id",
+    )
+
+
+# keys are lowercase: the engine lowercases procedure names on lookup
+LLM_PROCEDURES = {
+    "llm.exactduplicates": _exact_duplicates,
+    "llm.jaccardpairs": _jaccard_pairs,
+    "llm.minhashpairs": _minhash_pairs,
+    "llm.simhash": _simhash,
+    "llm.textstats": _textstats,
+    "llm.contamination": _contamination,
+    "llm.neardupcomponents": _neardup_components,
+    "llm.topk": _topk,
+}

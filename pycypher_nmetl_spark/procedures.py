@@ -50,6 +50,12 @@ def _graph_triangles(engine, args) -> DataFrame:
     return proc_triangle_count(engine, args)
 
 
+def _llm_procedures():
+    from pycypher_nmetl_spark.llmops.procs import LLM_PROCEDURES
+
+    return LLM_PROCEDURES
+
+
 BUILTIN_PROCEDURES = {
     "db.labels": _db_labels,
     "db.relationshiptypes": _db_relationship_types,
@@ -57,4 +63,5 @@ BUILTIN_PROCEDURES = {
     "graph.pagerank": _graph_pagerank,
     "graph.connectedcomponents": _graph_components,
     "graph.trianglecount": _graph_triangles,
+    **_llm_procedures(),
 }

@@ -1,0 +1,118 @@
+"""CALL llm.* procedures: the llmops operators exposed to Cypher
+(SURVEY §7.2 M8 'registered as a procedure and as a Python API')."""
+
+import pytest
+
+from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+
+@pytest.fixture(scope="module")
+def tpch_engine(spark):
+    return CypherEngine(GraphCatalog.from_tpch(spark, "/root/testdata/sf0.001"))
+
+
+def test_embedding_label_registered(tpch_engine):
+    rows = tpch_engine.run("CALL db.labels() YIELD label RETURN label")
+    assert ("Embedding",) in [tuple(r) for r in rows]
+
+
+def test_llm_jaccard_pairs_matches_python_api(tpch_engine):
+    from pycypher_nmetl_spark.llmops import ngram_jaccard_pairs
+
+    rows = tpch_engine.run(
+        "CALL llm.jaccardPairs('Document', 'text', 3, 0.7) "
+        "YIELD id1, id2, jaccard RETURN id1, id2"
+    )
+    api = ngram_jaccard_pairs(
+        tpch_engine.catalog.nodes("Document"), "id", "text", k=3, threshold=0.7
+    )
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, api.select("id1", "id2").collect())
+    )
+
+
+def test_llm_minhash_pairs_runs(tpch_engine):
+    rows = tpch_engine.run(
+        "CALL llm.minhashPairs('Document', 'text', 0.7) "
+        "YIELD id1, id2, jaccard RETURN count(*) AS c"
+    )
+    assert rows[0][0] >= 0
+
+
+def test_llm_exact_duplicates(tpch_engine):
+    # keep_id is the minimum id of each duplicate group, dup_id != keep_id
+    rows = tpch_engine.run(
+        "CALL llm.exactDuplicates('Document', 'text') "
+        "YIELD keep_id, dup_id RETURN keep_id, dup_id"
+    )
+    for keep, dup in rows:
+        assert keep < dup
+
+
+def test_llm_simhash_yield_projection(tpch_engine):
+    rows = tpch_engine.run(
+        "CALL llm.simhash('Document', 'text') YIELD id, bucket "
+        "RETURN count(DISTINCT bucket) AS buckets"
+    )
+    assert rows[0][0] >= 1
+
+
+def test_llm_textstats(tpch_engine):
+    rows = tpch_engine.run(
+        "CALL llm.textStats('Document', 'text') "
+        "YIELD id, n_tokens, quality_score, lang_pred, fingerprint "
+        "WHERE n_tokens >= 5 RETURN count(*) AS c"
+    )
+    assert rows[0][0] > 0
+
+
+def test_llm_contamination_against_python_api(tpch_engine):
+    from pycypher_nmetl_spark.llmops import contamination_pairs
+    from pyspark.sql import functions as F
+
+    rows = tpch_engine.run(
+        "CALL llm.contamination('Document', 'Document', 'text', 3, 0.5) "
+        "YIELD train_id, eval_id, contamination "
+        "WHERE train_id <> eval_id RETURN count(*) AS c"
+    )
+    docs = tpch_engine.catalog.nodes("Document")
+    api = (
+        contamination_pairs(docs, docs, id_col="id", text_col="text", n=3,
+                            min_contamination=0.5)
+        .filter(F.col("train_id") != F.col("eval_id"))
+        .count()
+    )
+    assert rows[0][0] == api
+
+
+def test_llm_topk_with_param_vector(tpch_engine):
+    emb = tpch_engine.catalog.nodes("Embedding").limit(1).collect()[0]
+    q = [float(x) for x in emb["embedding"]]
+    rows = tpch_engine.run(
+        "CALL llm.topK('Embedding', 'embedding', $q, 3) "
+        "YIELD id, cosine RETURN id, cosine ORDER BY cosine DESC",
+        {"q": q},
+    )
+    assert len(rows) == 3
+    # the query vector itself is its own nearest neighbor
+    assert rows[0][0] == emb["id"]
+    assert rows[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_llm_neardup_components(tpch_engine):
+    rows = tpch_engine.run(
+        "CALL llm.nearDupComponents('Embedding', 'embedding', 0.99) "
+        "YIELD id, component RETURN count(*) AS c"
+    )
+    assert rows[0][0] >= 0
+
+
+def test_llm_proc_bad_args_raise(tpch_engine):
+    with pytest.raises(Exception, match="label|string"):
+        tpch_engine.run(
+            "CALL llm.simhash(42, 'text') YIELD id RETURN count(*) AS c"
+        )
+    with pytest.raises(Exception, match="unknown node label"):
+        tpch_engine.run(
+            "CALL llm.simhash('Nope', 'text') YIELD id RETURN count(*) AS c"
+        )
