@@ -938,9 +938,10 @@ def union_queries(draw) -> QuerySpec:
     )
     branches_cy, branches_sql = [], []
     for _ in range(2):
-        pat = draw(
+        pat_fn = draw(
             st.sampled_from([pattern_scan_person, pattern_scan_company])
-        )()
+        )
+        pat = pat_fn()
         where = draw(st.none() | predicates(pat.scope))
         items = [
             draw(int_expr(pat.scope) if fam == "int" else str_expr(pat.scope))
@@ -959,6 +960,21 @@ def union_queries(draw) -> QuerySpec:
             + ", ".join(f"{it.sql} AS x{i}" for i, it in enumerate(items))
             + f" {pat.sql_from}{sqlw}"
         )
+        # branch-local ORDER BY <unique id> [DESC] SKIP/LIMIT: a UNION
+        # branch is a full single query in openCypher, so its top-k
+        # executes before the concat/dedup; ordering on the unique node
+        # id keeps the selected row-set deterministic under LIMIT
+        if draw(st.booleans()):
+            var = "n" if pat_fn is pattern_scan_person else "c"
+            desc = " DESC" if draw(st.booleans()) else ""
+            skip = draw(st.none() | st.integers(min_value=0, max_value=3))
+            k = draw(st.integers(min_value=0, max_value=7))
+            cy += f" ORDER BY {var}.id{desc}"
+            sql += f" ORDER BY {var}.id{desc}"
+            if skip is not None:
+                cy += f" SKIP {skip}"
+            cy += f" LIMIT {k}"
+            sql += f" LIMIT {k}" + (f" OFFSET {skip}" if skip is not None else "")
         branches_cy.append(cy)
         branches_sql.append(sql)
     kw = " UNION ALL " if all_kw else " UNION "
