@@ -83,6 +83,9 @@ class CypherEngine:
         # (F.approx_percentile, bounded memory). None = always exact.
         self.percentile_exact_max_rows = percentile_exact_max_rows
         self.query_timeout_s = query_timeout_s
+        # persisted shared MATCH-prefix frames from execute_many(
+        # share_scans=True); release_shared_scans() unpersists them
+        self._shared_scans: list[DataFrame] = []
         self.rate_limiter = None
         if rate_limit_qps is not None:
             from pycypher_nmetl_spark.guards import RateLimiter
@@ -252,11 +255,22 @@ class CypherEngine:
         return rows
 
     # ------------------------------------------------------------------ #
-    def execute(self, cypher: str, parameters: dict[str, Any] | None = None) -> DataFrame:
+    def execute(
+        self,
+        cypher: str,
+        parameters: dict[str, Any] | None = None,
+        *,
+        _prefix: "tuple[int, Bindings] | None" = None,
+    ) -> DataFrame:
         """Compile and return the result DataFrame (lazy; caller acts).
 
         Mutation-only queries execute their catalog updates eagerly and
         return an empty DataFrame.
+
+        ``_prefix`` is internal (execute_many share_scans): a
+        (clauses_to_skip, seed_bindings) pair whose Bindings is the
+        already-compiled — and persisted — leading MATCH run of this
+        query; the clause loop resumes after it.
         """
         import time as _time
 
@@ -300,7 +314,7 @@ class CypherEngine:
                     isinstance(c, MUTATION_CLAUSES) for b in ast.branches for c in b.clauses
                 )
             else:
-                result = self._execute_query(ast, params)
+                result = self._execute_query(ast, params, prefix=_prefix)
                 mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
         except Exception as e:
             self.metrics.inc("queries_failed")
@@ -390,6 +404,7 @@ class CypherEngine:
         cyphers: list[str],
         parameters: dict[str, Any] | None = None,
         transactional: bool = False,
+        share_scans: bool = False,
     ) -> list[DataFrame]:
         """Multi-query composition (reference: multi_query_executor.py:1-269):
         queries are dependency-ordered by produces/consumes analysis and
@@ -405,6 +420,13 @@ class CypherEngine:
         commit atomically at the end or none do. Equivalence of the two
         modes (results + final graph state) is pinned by
         tests/test_execute_many_equivalence.py.
+
+        ``share_scans=True`` (read-only batches only) compiles each
+        group of queries with an identical leading MATCH run against ONE
+        persisted prefix DataFrame — the scan/join work of the shared
+        pattern runs once per group instead of once per query (see
+        :meth:`_plan_shared_scans`); call :meth:`release_shared_scans`
+        when the results have been consumed.
         """
         from pycypher_nmetl_spark.pipeline.config import QuerySpec
         from pycypher_nmetl_spark.pipeline.runner import order_queries
@@ -413,8 +435,13 @@ class CypherEngine:
         params = parameters or {}
         results: dict[str, DataFrame] = {}
         if not transactional:
+            shared: dict[str, tuple[int, Bindings]] = {}
+            if share_scans:
+                shared = self._plan_shared_scans(specs, params)
             for spec in order_queries(specs):
-                results[spec.id] = self.execute(spec.cypher, parameters)
+                results[spec.id] = self.execute(
+                    spec.cypher, parameters, _prefix=shared.get(spec.id)
+                )
             return [results[str(i)] for i in range(len(cyphers))]
 
         import time as _time
@@ -487,6 +514,84 @@ class CypherEngine:
                 self.cache.clear()
         return [results[str(i)] for i in range(len(cyphers))]
 
+    def _plan_shared_scans(
+        self, specs, params: dict
+    ) -> "dict[str, tuple[int, Bindings]]":
+        """Group a read-only batch by identical leading MATCH run and
+        compile+persist each shared prefix once (the Spark-first answer
+        to the reference's query_combiner.py AST fusion: instead of
+        rewriting N queries into one AST, the shared pattern becomes ONE
+        persisted DataFrame every member query's plan reads, so the
+        underlying table is scanned and joined once per group, not once
+        per query).
+
+        Returns {spec.id: (clauses_to_skip, seed_bindings)} for every
+        query in a >=2-member group. Batches containing any mutation or
+        UNION query share nothing: sequential per-query visibility would
+        otherwise change. Grouping keys are structural (AST repr), so
+        whitespace/case differences still share; params are batch-wide,
+        so two queries with the same prefix text see the same values.
+
+        At 100 TB the persisted prefix is the *filtered, joined* pattern
+        — usually orders of magnitude smaller than its inputs —
+        MEMORY_AND_DISK spills when it is not. Call
+        :meth:`release_shared_scans` after the batch's results are
+        consumed.
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        asts: dict[str, Query] = {}
+        for spec in specs:
+            ast = parse(spec.cypher)
+            if isinstance(ast, UnionQuery) or any(
+                isinstance(c, MUTATION_CLAUSES) for c in ast.clauses
+            ):
+                return {}
+            asts[spec.id] = ast
+
+        groups: dict[str, list[str]] = {}
+        run_len: dict[str, int] = {}
+        for sid, ast in asts.items():
+            n = 0
+            while n < len(ast.clauses) and isinstance(ast.clauses[n], Match):
+                n += 1
+            if n == 0 or n >= len(ast.clauses):
+                continue
+            key = "||".join(repr(c) for c in ast.clauses[:n])
+            run_len[sid] = n
+            groups.setdefault(key, []).append(sid)
+
+        out: dict[str, tuple[int, Bindings]] = {}
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            sid0 = members[0]
+            n = run_len[sid0]
+            with self._read_snapshot():
+                b = Bindings.unit(self.spark)
+                for clause in asts[sid0].clauses[:n]:
+                    b = compile_match(self, b, clause, params)
+            df = b.df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._shared_scans.append(df)
+            seed = Bindings(df, b.vars)
+            for sid in members:
+                out[sid] = (n, seed)
+        return out
+
+    def release_shared_scans(self) -> int:
+        """Unpersist every shared MATCH-prefix frame created by
+        execute_many(share_scans=True). Returns how many were released.
+        Already-compiled result plans stay valid — they just stop
+        reading from cache."""
+        n = len(self._shared_scans)
+        for df in self._shared_scans:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
+        self._shared_scans.clear()
+        return n
+
     # ------------------------------------------------------------------ #
     def _execute_union(self, ast: UnionQuery, params: dict) -> DataFrame:
         # openCypher forbids mixing UNION and UNION ALL; dedupe iff UNION.
@@ -549,10 +654,17 @@ class CypherEngine:
 
         return _cm()
 
-    def _execute_query(self, ast: Query, params: dict) -> DataFrame:
+    def _execute_query(
+        self, ast: Query, params: dict, prefix: "tuple[int, Bindings] | None" = None
+    ) -> DataFrame:
         has_mutation = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
         if not has_mutation:
             with self._read_snapshot():
+                if prefix is not None:
+                    n_skip, seed = prefix
+                    return self._run_clauses(
+                        ast.clauses[n_skip:], params, initial=seed
+                    )
                 return self._run_clauses(ast.clauses, params)
         # mutation transaction: shadow -> atomic swap (or discard on
         # error); writers serialize on the catalog write lock so a
@@ -567,7 +679,12 @@ class CypherEngine:
                 self.catalog.rollback()
                 raise
 
-    def _run_clauses(self, clauses: list[Clause], params: dict) -> DataFrame:
+    def _run_clauses(
+        self,
+        clauses: list[Clause],
+        params: dict,
+        initial: "Bindings | None" = None,
+    ) -> DataFrame:
         import time
 
         from pycypher_nmetl_spark.compiler import mutations
@@ -576,7 +693,7 @@ class CypherEngine:
         # clause metrics; here "execution" is lazy so this measures the
         # driver-side compile + any eager mutation actions)
         self.last_compile_report: list[tuple[str, float]] = []
-        bindings = Bindings.unit(self.spark)
+        bindings = initial if initial is not None else Bindings.unit(self.spark)
         for clause in clauses:
             t0 = time.perf_counter()
             bindings, result = self._run_clause(clause, bindings, params, mutations)

@@ -88,6 +88,9 @@ class PipelineConfig:
     outputs: list[OutputSpec]
     description: str | None = None
     on_error: str = "fail"  # fail | skip
+    # reuse one persisted frame for queries sharing a leading MATCH run
+    # (read-only batches only; see CypherEngine.execute_many share_scans)
+    share_scans: bool = False
 
     def validate(self) -> list[str]:
         """Static validation (reference: config.py check_* validators)."""
@@ -194,4 +197,5 @@ def load_config(path: str | Path) -> PipelineConfig:
         queries=queries,
         outputs=outputs,
         on_error=(raw.get("error_handling", {}) or {}).get("on_error", "fail"),
+        share_scans=bool(project.get("share_scans", False)),
     )

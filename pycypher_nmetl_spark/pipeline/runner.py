@@ -158,17 +158,27 @@ def run_pipeline(
 
     outputs = {o.query_id: o for o in config.outputs}
     result = PipelineResult()
-    for q in order_queries(config.queries):
-        result.order.append(q.id)
-        try:
-            df = engine.execute(q.cypher, parameters)
-            result.results[q.id] = df
-            out = outputs.get(q.id)
-            if out is not None:
-                write_output(df, out.uri, out.format, out.mode, out.options)
-                result.written[q.id] = out.uri
-        except Exception as e:  # noqa: BLE001
-            if config.on_error == "fail":
-                raise
-            result.errors[q.id] = e
+    shared = {}
+    if config.share_scans:
+        # writes happen inside the loop, so a shared persisted prefix
+        # pays off immediately: the first member's write warms it, the
+        # rest read it (no-op for batches with mutations)
+        shared = engine._plan_shared_scans(config.queries, parameters or {})
+    try:
+        for q in order_queries(config.queries):
+            result.order.append(q.id)
+            try:
+                df = engine.execute(q.cypher, parameters, _prefix=shared.get(q.id))
+                result.results[q.id] = df
+                out = outputs.get(q.id)
+                if out is not None:
+                    write_output(df, out.uri, out.format, out.mode, out.options)
+                    result.written[q.id] = out.uri
+            except Exception as e:  # noqa: BLE001
+                if config.on_error == "fail":
+                    raise
+                result.errors[q.id] = e
+    finally:
+        if config.share_scans:
+            engine.release_shared_scans()
     return result

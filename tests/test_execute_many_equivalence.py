@@ -394,3 +394,74 @@ def test_transactional_rate_permits_taken_before_lock(spark):
     # one permit per query, all taken before the transaction opens
     # (begin() happens inside the write lock)
     assert events == ["acquire", "acquire", "begin"]
+
+
+# ------------------------------------------------------------------ #
+# share_scans: shared-MATCH-prefix reuse (the Spark-first analogue of
+# the reference's query_combiner.py — one persisted prefix frame per
+# group instead of one AST)
+
+READ_BATCH = [
+    "MATCH (n:Person) WHERE n.age > 25 RETURN n.name AS name ORDER BY name",
+    "MATCH (n:Person) WHERE n.age > 25 RETURN count(*) AS c",
+    "MATCH (n:Person) WHERE n.age > 25 RETURN avg(n.salary) AS avg_sal",
+    "MATCH (c:Company) RETURN count(*) AS companies",  # different prefix
+]
+
+
+class TestShareScans:
+    def _rows(self, dfs):
+        return [sorted(map(tuple, df.collect())) for df in dfs]
+
+    def test_results_identical_to_plain(self, erig):
+        eng = erig()
+        plain = self._rows(eng.execute_many(READ_BATCH))
+        eng2 = erig()
+        shared = self._rows(eng2.execute_many(READ_BATCH, share_scans=True))
+        assert shared == plain
+        assert eng2.release_shared_scans() == 1  # one >=2-member group
+
+    def test_shared_queries_read_persisted_prefix(self, erig):
+        eng = erig()
+        dfs = eng.execute_many(READ_BATCH, share_scans=True)
+        try:
+            for df in dfs[:3]:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "InMemoryTableScan" in plan
+            solo = dfs[3]._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" not in solo
+        finally:
+            eng.release_shared_scans()
+
+    def test_mutation_in_batch_disables_sharing(self, erig):
+        eng = erig()
+        batch = READ_BATCH[:2] + ["CREATE (:Person {id: 999, name: 'Zed'})"]
+        dfs = eng.execute_many(batch, share_scans=True)
+        assert eng.release_shared_scans() == 0
+        plan = dfs[0]._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+        # the mutation still ran
+        assert eng.run("MATCH (n:Person {id: 999}) RETURN n.name")[0][0] == "Zed"
+
+    def test_multi_match_prefix_and_trailing_clauses(self, erig):
+        eng = erig()
+        batch = [
+            "MATCH (n:Person)-[:WORKS_AT]->(c:Company) MATCH (m:Person) "
+            "WHERE m.id = n.id RETURN c.name AS cn, m.name AS mn ORDER BY cn, mn",
+            "MATCH (n:Person)-[:WORKS_AT]->(c:Company) MATCH (m:Person) "
+            "WHERE m.id = n.id RETURN count(*) AS c",
+        ]
+        plain = self._rows(eng.execute_many(batch))
+        eng2 = erig()
+        shared = self._rows(eng2.execute_many(batch, share_scans=True))
+        assert shared == plain
+        eng2.release_shared_scans()
+
+    def test_whitespace_differences_still_share(self, erig):
+        eng = erig()
+        batch = [
+            "MATCH (n:Person)   RETURN count(*) AS c",
+            "MATCH (n:Person) RETURN sum(n.age) AS s",
+        ]
+        eng.execute_many(batch, share_scans=True)
+        assert eng.release_shared_scans() == 1

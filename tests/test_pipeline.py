@@ -365,3 +365,38 @@ def test_cli_config_and_metrics(project, capsys, monkeypatch):
     assert counters["catalog_labels"] == 2
     assert counters["queries_compiled"] == 0
     assert "result_cache_hits" in counters
+
+
+def test_run_pipeline_share_scans(spark, project):
+    """share_scans: read-only pipelines reuse one persisted frame per
+    shared MATCH prefix; results identical and the mutation batch above
+    (tag_seniors) would have disabled it, so use a read-only config."""
+    import dataclasses
+
+    config = load_config(project / "pipeline.yaml")
+    ro_queries = [
+        q for q in config.queries if q.id in ("team_sizes",)
+    ] + [
+        dataclasses.replace(
+            config.queries[1],
+            id="team_max",
+            cypher=(
+                "MATCH (p:Person)-[:MEMBER_OF]->(t:Team) "
+                "RETURN t.team_name AS team, max(p.age) AS oldest"
+            ),
+        )
+    ]
+    config = dataclasses.replace(
+        config, queries=ro_queries, outputs=[], share_scans=True
+    )
+    result = run_pipeline(spark, config)
+    assert not result.errors
+    teams = {
+        (r["team"], r["members"]) for r in result.results["team_sizes"].collect()
+    }
+    assert teams == {("ALPHA", 2), ("BETA", 1)}
+    oldest = dict(
+        (r["team"], r["oldest"]) for r in result.results["team_max"].collect()
+    )
+    assert set(oldest) == {"ALPHA", "BETA"}
+    assert all(v is not None for v in oldest.values())
