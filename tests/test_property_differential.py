@@ -227,3 +227,42 @@ def test_temporal_queries(rig, spec):
     # extraction (ISO dayofweek, within-second ms/us, epoch),
     # duration.between components, temporal comparisons
     _check(rig, spec)
+
+
+# ------------------------------------------------------------------ #
+# share_scans: plain vs shared-prefix execution must be row-identical.
+# This is the safety net for _prefix_keep_columns — a wrong pruning
+# decision would surface as silent nulls (missing-property semantics),
+# not an error, so only a differential check can catch it.
+
+@st.composite
+def shared_prefix_batches(draw):
+    pat = draw(st.sampled_from(G.PATTERNS))()
+    where = draw(st.none() | G.predicates(pat.scope))
+    prefix = pat.cypher_match + (f" WHERE {where.cy}" if where is not None else "")
+    batch = []
+    for _ in range(draw(st.integers(min_value=2, max_value=4))):
+        items = draw(st.lists(G.projection_items(pat.scope), min_size=1, max_size=3))
+        distinct = "DISTINCT " if draw(st.booleans()) else ""
+        batch.append(
+            prefix + " RETURN " + distinct
+            + ", ".join(f"{it.cy} AS x{i}" for i, it in enumerate(items))
+        )
+    return batch
+
+
+@settings(**SETTINGS)
+@given(batch=shared_prefix_batches())
+def test_share_scans_differential(rig, batch):
+    eng, _ = rig
+    plain = [
+        sorted(map(tuple, df.collect()), key=G._sort_key)
+        for df in eng.execute_many(batch)
+    ]
+    shared_dfs = eng.execute_many(batch, share_scans=True)
+    shared = [
+        sorted(map(tuple, df.collect()), key=G._sort_key) for df in shared_dfs
+    ]
+    released = eng.release_shared_scans()
+    assert shared == plain
+    assert released == 1  # every batch shares one prefix group
