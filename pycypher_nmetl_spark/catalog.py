@@ -108,6 +108,15 @@ class GraphCatalog:
             df = df.withColumnRenamed(id_col, ID)
         if ID not in df.columns:
             raise ValueError(f"nodes for label {label!r} need an {ID!r} column")
+        if "label" in df.columns:
+            # the compiler materializes the node's label name as the
+            # structural <var>__label column; a property of the same
+            # name would silently collide inside every unlabeled scan
+            raise ValueError(
+                f"node table for {label!r} has a property column named "
+                "'label', which is reserved for the node's label — rename "
+                "it (df.withColumnRenamed('label', ...)) before registering"
+            )
         self._nodes[label] = df
         self._meta[("n", label)] = TableMeta(
             broadcastable=bool(broadcastable),
@@ -134,6 +143,14 @@ class GraphCatalog:
         missing = {SRC, DST} - set(df.columns)
         if missing:
             raise ValueError(f"edges for {rel_type!r} missing columns {missing}")
+        if "type" in df.columns:
+            # mirror of the node 'label' reservation: the compiler
+            # materializes the relationship type as <var>__type
+            raise ValueError(
+                f"edge table for {rel_type!r} has a property column named "
+                "'type', which is reserved for the relationship type — "
+                "rename it before registering"
+            )
         if ID not in df.columns:
             # deterministic distributed edge id: hash of endpoints
             df = df.withColumn(ID, F.xxhash64(F.col(SRC), F.col(DST)))
@@ -534,7 +551,12 @@ class GraphCatalog:
         )
         embeddings = rd("embeddings")
         cat.register_nodes(
-            "Embedding", embeddings.withColumnRenamed("vec_id", ID)
+            "Embedding",
+            # the parquet's 'label' column is a cluster id; 'label' is
+            # reserved for the node label (see register_nodes)
+            embeddings.withColumnRenamed("vec_id", ID).withColumnRenamed(
+                "label", "cluster"
+            ),
         )
         events = _nanos_to_ts(rd("events"), "ts")
         cat.register_nodes(

@@ -116,3 +116,23 @@ def test_llm_proc_bad_args_raise(tpch_engine):
         tpch_engine.run(
             "CALL llm.simhash('Nope', 'text') YIELD id RETURN count(*) AS c"
         )
+
+
+def test_unlabeled_scan_spans_embedding_label(tpch_engine):
+    # regression: embeddings.parquet carries a 'label' column; unlabeled
+    # scans union every node table and collided on x__label until the
+    # property was renamed at registration (round-7)
+    rows = tpch_engine.run("MATCH (x) WHERE x.cluster IS NOT NULL RETURN count(*) AS c")
+    assert rows[0][0] > 0
+
+
+def test_reserved_property_names_raise(spark):
+    from pycypher_nmetl_spark import GraphCatalog
+
+    cat = GraphCatalog(spark)
+    bad_nodes = spark.createDataFrame([(1, "x")], "id long, label string")
+    with pytest.raises(ValueError, match="reserved"):
+        cat.register_nodes("Thing", bad_nodes)
+    bad_edges = spark.createDataFrame([(1, 2, "t")], "src long, dst long, type string")
+    with pytest.raises(ValueError, match="reserved"):
+        cat.register_edges("REL", bad_edges)
