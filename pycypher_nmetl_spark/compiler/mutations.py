@@ -154,8 +154,41 @@ def _create_nodes(
         _advance_id_base(cat, "n", label, df, base_max, var)
     else:
         # user-supplied ids: value unknown without evaluating — one tiny
-        # aggregate over the created rows only (rare, reference-style path)
-        cat.note_max_id("n", label, df.agg(F.max(var).alias("m")).collect()[0]["m"])
+        # aggregate over the created rows only (rare, reference-style
+        # path). The same action enforces the identity invariant: the id
+        # column IS the node identity here, so duplicating an existing
+        # id — or repeating one within the batch — would silently
+        # corrupt every downstream join/grouping; reject loudly instead.
+        # (Deliberate divergence: the reference's property-store model
+        # tolerates duplicate id properties as distinct nodes —
+        # mutation_engine.py keys nodes internally, not by the id prop.)
+        new_ids = df.select(F.col(var).alias("_new_id"))
+        if known:
+            ex = cat.nodes(label).select(F.col(ID).alias("_ex_id"))
+            new_ids = new_ids.join(
+                ex, F.col("_new_id") == F.col("_ex_id"), "left"
+            )
+        else:
+            new_ids = new_ids.withColumn("_ex_id", F.lit(None))
+        row = new_ids.agg(
+            F.max("_new_id").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_new_id").alias("nd"),
+            F.count("_ex_id").alias("clash"),
+        ).collect()[0]
+        if row["clash"]:
+            raise ValueError(
+                f"CREATE/MERGE would duplicate {row['clash']} existing "
+                f"{label} id(s): the id property is the entity identity "
+                "and must be unique per label"
+            )
+        if row["n"] != row["nd"]:
+            raise ValueError(
+                f"CREATE/MERGE would assign the same {label} id to "
+                f"multiple new rows ({row['n']} rows, {row['nd']} "
+                "distinct ids)"
+            )
+        cat.note_max_id("n", label, row["m"])
 
     new_rows = df.select(
         F.col(var).alias(ID),

@@ -345,6 +345,12 @@ def op_merge_node(draw, fresh):
         if hits:
             for p in hits:
                 p["flag"] = on_m
+        elif any(p["id"] == nid for p in m.person):
+            # a preceding op renamed this person, so the merge key no
+            # longer matches and the create path would mint a SECOND
+            # node with an existing identity — the engine rejects that
+            # (id-uniqueness invariant; fuzzer-found round-7)
+            raise _ExpectedError()
         else:
             m.person.append({"id": nid, "name": nm, "age": on_c})
 

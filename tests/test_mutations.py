@@ -275,3 +275,47 @@ def test_create_ids_distinct_across_statements_without_agg(golden):
     out = golden.execute("MATCH (p:Probe2) RETURN id(p) AS i").collect()
     ids = [r["i"] for r in out]
     assert len(ids) == 9 and len(set(ids)) == 9
+
+
+# ------------------------------------------------------------------ #
+# id-uniqueness invariant (fuzzer-found round-7): the id property IS
+# the node identity — a second node with an existing id would silently
+# corrupt every downstream join/grouping, so creation rejects it.
+
+def test_create_duplicate_explicit_id_raises(golden):
+    import pytest
+
+    golden.execute("CREATE (:Person {id: 900, name: 'Zoe'})")
+    with pytest.raises(Exception, match="identity|unique"):
+        golden.execute("CREATE (:Person {id: 900, name: 'Other'})")
+    # the failed CREATE must not have committed anything
+    out = golden.execute(
+        "MATCH (n:Person {id: 900}) RETURN n.name AS n"
+    ).collect()
+    assert [r["n"] for r in out] == ["Zoe"]
+
+
+def test_merge_create_path_duplicate_id_raises(golden):
+    import pytest
+
+    golden.execute("MATCH (n:Person {name: 'Alice'}) SET n.name = 'Renamed'")
+    alice_id = golden.execute(
+        "MATCH (n:Person {name: 'Renamed'}) RETURN id(n) AS i"
+    ).collect()[0]["i"]
+    # merge key no longer matches (renamed) -> create path -> would mint
+    # a second node with Alice's identity
+    with pytest.raises(Exception, match="identity|unique"):
+        golden.execute(
+            f"MERGE (n:Person {{id: {alice_id}, name: 'Alice'}}) "
+            "ON CREATE SET n.age = 1"
+        )
+
+
+def test_create_same_id_fanout_raises(golden):
+    import pytest
+
+    # one literal id over a 3-row binding frame = 3 identical new ids
+    with pytest.raises(Exception, match="multiple new rows"):
+        golden.execute(
+            "UNWIND [1, 2, 3] AS i CREATE (:Gadget {id: 42, v: i})"
+        )
