@@ -489,13 +489,13 @@ class ExprCompiler:
             if isinstance(rt, T.ArrayType):
                 return F.concat(F.array(l), r)
             if self._null_with_interval(lt, rt):
-                return F.lit(None).cast("timestamp")
+                return F.lit(None).cast("timestamp_ntz")
             l, r = self._widen_date_for_interval(l, r, lt, rt)
             return self._temporal_result(l + r, lt, rt)
         if e.op == "-":
             lt, rt = self._numeric_kinds(l, r)
             if self._null_with_interval(lt, rt):
-                return F.lit(None).cast("timestamp")
+                return F.lit(None).cast("timestamp_ntz")
             l, r = self._widen_date_for_interval(l, r, lt, rt)
             return self._temporal_result(l - r, lt, rt)
         if e.op == "*":
@@ -533,9 +533,9 @@ class ExprCompiler:
             T.CalendarIntervalType,
         )
         if isinstance(lt, T.DateType) and isinstance(rt, interval):
-            return l.cast("timestamp"), r
+            return l.cast("timestamp_ntz"), r
         if isinstance(rt, T.DateType) and isinstance(lt, interval):
-            return l, r.cast("timestamp")
+            return l, r.cast("timestamp_ntz")
         return l, r
 
     @staticmethod

@@ -47,6 +47,19 @@ ID, SRC, DST = "id", "src", "dst"
 _MONO_BLOCK = 1 << 33
 
 
+def _explicit_id_clashes(existing: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Identity-clash probe for explicit-id CREATE/MERGE, shaped for
+    scale: broadcast the (tiny, already-checkpointed) new-id frame and
+    LEFT SEMI the label table against it — a map-side scan of
+    `existing` with zero shuffle of the full table. The previous shape
+    (new_ids left-outer existing) sort-merge-shuffled the whole label
+    table per explicit-id statement. Existing ids are unique per label,
+    so the semi count equals the number of clashing ids."""
+    return existing.select(ID).join(
+        F.broadcast(new_ids), F.col(ID) == F.col("_new_id"), "left_semi"
+    )
+
+
 def _advance_id_base(
     cat, kind: str, name: str, df: DataFrame, base_max: int, id_var: str
 ) -> None:
@@ -163,31 +176,27 @@ def _create_nodes(
         # tolerates duplicate id properties as distinct nodes —
         # mutation_engine.py keys nodes internally, not by the id prop.)
         new_ids = df.select(F.col(var).alias("_new_id"))
-        if known:
-            ex = cat.nodes(label).select(F.col(ID).alias("_ex_id"))
-            new_ids = new_ids.join(
-                ex, F.col("_new_id") == F.col("_ex_id"), "left"
-            )
-        else:
-            new_ids = new_ids.withColumn("_ex_id", F.lit(None))
         row = new_ids.agg(
             F.max("_new_id").alias("m"),
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("_new_id").alias("nd"),
-            F.count("_ex_id").alias("clash"),
         ).collect()[0]
-        if row["clash"]:
-            raise ValueError(
-                f"CREATE/MERGE would duplicate {row['clash']} existing "
-                f"{label} id(s): the id property is the entity identity "
-                "and must be unique per label"
-            )
         if row["n"] != row["nd"]:
             raise ValueError(
                 f"CREATE/MERGE would assign the same {label} id to "
                 f"multiple new rows ({row['n']} rows, {row['nd']} "
                 "distinct ids)"
             )
+        if known:
+            clash = _explicit_id_clashes(
+                cat.nodes(label), new_ids
+            ).count()
+            if clash:
+                raise ValueError(
+                    f"CREATE/MERGE would duplicate {clash} existing "
+                    f"{label} id(s): the id property is the entity "
+                    "identity and must be unique per label"
+                )
         cat.note_max_id("n", label, row["m"])
 
     new_rows = df.select(

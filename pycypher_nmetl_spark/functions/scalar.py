@@ -350,16 +350,23 @@ def _date(cc, args):
 
 @register("datetime")
 def _datetime(cc, args):
+    """datetime() compiles to TIMESTAMP_NTZ, not TIMESTAMP: NTZ's
+    fromInternal is epoch+timedelta arithmetic, so year-1 values (the
+    millennium/century truncate floor, reference x001 convention)
+    survive collect(); TimestampType's datetime.fromtimestamp raises
+    "year 0 is out of range" there. DuckDB's naive TIMESTAMP oracle
+    matches NTZ exactly, and the sessions pin timeZone=UTC so the
+    current-time no-arg forms agree across both types."""
     if not args:
-        return F.current_timestamp()
-    return F.to_timestamp(cc.col(args[0]))
+        return F.localtimestamp()
+    return F.to_timestamp_ntz(cc.col(args[0]))
 
 
 @register("localdatetime")
 def _localdatetime(cc, args):
     if not args:
         return F.localtimestamp()
-    return F.to_timestamp(cc.col(args[0]))
+    return F.to_timestamp_ntz(cc.col(args[0]))
 
 
 @register("localdate")
@@ -373,7 +380,7 @@ def _localdate(cc, args):
 def _localtime(cc, args):
     if not args:
         return F.date_format(F.localtimestamp(), "HH:mm:ss.SSS")
-    return F.date_format(F.to_timestamp(cc.col(args[0])), "HH:mm:ss.SSS")
+    return F.date_format(F.to_timestamp_ntz(cc.col(args[0])), "HH:mm:ss.SSS")
 
 
 @register("timestamp")
@@ -438,12 +445,16 @@ def _datetime_truncate(cc, args):
             f"Unknown truncation unit for datetime.truncate: {unit!r}. "
             f"Valid units: {sorted(_DATETIME_TRUNC_UNITS)}"
         )
-    ts = F.to_timestamp(cc.col(args[1]))
+    # TIMESTAMP_NTZ throughout (see _datetime): date_trunc silently
+    # returns zoned TIMESTAMP even for NTZ input, so cast the result
+    # back — identity under the pinned UTC session zone, and the only
+    # way start-of-era values (year 1) stay collectable.
+    ts = F.to_timestamp_ntz(cc.col(args[1]))
     if unit in ("millennium", "century", "decade"):
-        return F.when(ts.isNull(), F.lit(None).cast("timestamp")).otherwise(
-            _epoch_start_date(unit, ts).cast("timestamp")
+        return F.when(ts.isNull(), F.lit(None).cast("timestamp_ntz")).otherwise(
+            _epoch_start_date(unit, ts).cast("timestamp_ntz")
         )
-    return F.date_trunc(unit, ts)
+    return F.date_trunc(unit, ts).cast("timestamp_ntz")
 
 
 @register("localdatetime.truncate")
@@ -591,6 +602,7 @@ def _value_type(cc, args):
         T.StringType: "STRING", T.LongType: "INTEGER", T.IntegerType: "INTEGER",
         T.DoubleType: "FLOAT", T.FloatType: "FLOAT", T.BooleanType: "BOOLEAN",
         T.DateType: "DATE", T.TimestampType: "ZONED DATETIME",
+        T.TimestampNTZType: "LOCAL DATETIME",
     }.get(type(dt))
     if name is None:
         if isinstance(dt, T.ArrayType):

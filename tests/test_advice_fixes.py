@@ -497,3 +497,55 @@ def test_queries_gate_cap_is_runtime_error():
 
 
 from pyspark.sql.functions import col as F_col, lit as F_lit  # noqa: E402
+
+
+def test_year_boundary_truncate_collectable(run):
+    """Round-7 fuzzer-found red test (VERDICT r7 #1): millennium/century
+    truncation of years <= 1000 floors to year 1 (reference x001
+    convention, temporal_functions.py:472-482), and the result must
+    survive collect(). With TimestampType the internal value
+    -62135596800s crashed datetime.fromtimestamp ("year 0 is out of
+    range"); datetime()/localdatetime() now compile to TIMESTAMP_NTZ,
+    whose fromInternal is epoch+timedelta arithmetic."""
+    import datetime as _dt
+
+    out = run(
+        "RETURN datetime.truncate('millennium', datetime('0999-06-15T00:00:00')) AS a, "
+        "datetime.truncate('century', datetime('0099-12-31T23:59:59')) AS b, "
+        "localdatetime.truncate('millennium', localdatetime('1000-01-01T00:00:00')) AS c, "
+        "date.truncate('millennium', date('0999-06-15')) AS d"
+    )
+    y1 = _dt.datetime(1, 1, 1)
+    assert out == [(y1, y1, y1, _dt.date(1, 1, 1))]
+
+
+def test_datetime_compiles_to_ntz(golden):
+    """The physical type choice itself: datetime()/localdatetime()/
+    truncate results are TIMESTAMP_NTZ, so any year-1-adjacent value in
+    any query shape stays collectable and DuckDB's naive TIMESTAMP
+    oracle compares exactly."""
+    from pyspark.sql import types as T
+
+    df = golden.execute(
+        "RETURN datetime('2020-01-01T00:00:00') AS a, "
+        "datetime.truncate('hour', datetime('2020-01-01T05:30:00')) AS b, "
+        "localdatetime() AS c"
+    )
+    for f in df.schema.fields:
+        assert isinstance(f.dataType, T.TimestampNTZType), f
+
+
+def test_explicit_id_guard_is_broadcast_semi(golden):
+    """VERDICT r7 #2: the explicit-id uniqueness probe must not shuffle
+    the label table — it broadcasts the tiny new-id frame and left-semi
+    scans `existing` map-side. Assert the physical plan has the
+    broadcast semi join and no shuffle exchange / sort-merge join."""
+    from pycypher_nmetl_spark.compiler.mutations import _explicit_id_clashes
+
+    cat = golden.catalog
+    new_ids = golden.spark.createDataFrame([(999,)], "_new_id long")
+    plan = _explicit_id_clashes(cat.nodes("Person"), new_ids)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
