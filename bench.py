@@ -79,14 +79,19 @@ def main() -> None:
     # warm the JVM/readers so fixed startup cost isn't billed to query 1
     engine.execute("MATCH (r:Region) RETURN count(*) AS c").collect()
 
-    # n>=3 warm repeats per query, report the median: single-run timings
-    # at this scale carry ~±0.1s of JVM/GC/OS noise (the round-2 "uniform
-    # +0.08s/query regression" was exactly that — see VERDICT r2 item 1).
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Per-query protocol (VERDICT r7 #5 — rep spreads up to 10x made
+    # ±10% deltas unreadable): one UNTIMED warm-up execution first (pays
+    # compile + codegen + shuffle-file warm for that exact plan), then
+    # n>=5 timed reps; report the median (mean alongside). Single-run
+    # timings at this scale carry ~±0.1s of JVM/GC/OS noise (the
+    # round-2 "uniform +0.08s/query regression" was exactly that).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, q in BENCH_QUERIES:
+        engine.execute(q).toPandas()  # warm-up, untimed
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -96,6 +101,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
+        means[name] = round(sum(samples) / len(samples), 4)
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
         rows[name] = len(out)
 
@@ -108,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "mean": means,
                 "rows": rows,
                 "reps": reps,
                 "min_max": spread,

@@ -66,6 +66,13 @@ def tokenize(text: str) -> list[Token]:
                 tokens.append(Token("INT", str(int(text[i:j], 16)), i))
                 i = j
                 continue
+            if text.startswith("0o", i) or text.startswith("0O", i):
+                j = i + 2
+                while j < n and text[j] in "01234567":
+                    j += 1
+                tokens.append(Token("INT", str(int(text[i:j], 8)), i))
+                i = j
+                continue
             while j < n and text[j].isdigit():
                 j += 1
             if j < n and text[j] == "." and not text.startswith("..", j):
