@@ -163,10 +163,21 @@ class DistributedIncrementalView:
             )
 
     def _persist_state(self) -> None:
-        import os
-
+        """Write-then-atomic-pointer-flip, split into steps so a crash
+        between any two of them (version written but pointer not
+        flipped; pointer flipped but stale versions not pruned) leaves
+        a recoverable directory: _load_state only ever trusts _CURRENT,
+        orphan version dirs are inert and eventually reclaimed because
+        the next write picks max+1 and prunes behind the new pointer."""
         if self.state_path is None or self._snapshot is None:
             return
+        version, existing = self._write_version()
+        self._flip_pointer(version)
+        self._prune(existing)
+
+    def _write_version(self) -> tuple[str, list[int]]:
+        import os
+
         os.makedirs(self.state_path, exist_ok=True)
         existing = sorted(
             int(d[1:])
@@ -177,13 +188,21 @@ class DistributedIncrementalView:
         self._snapshot.write.mode("overwrite").parquet(
             os.path.join(self.state_path, version)
         )
+        return version, existing
+
+    def _flip_pointer(self, version: str) -> None:
+        import os
+
         tmp = os.path.join(self.state_path, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, os.path.join(self.state_path, "_CURRENT"))
-        for old in existing[:-1]:  # keep previous + current
-            import shutil
 
+    def _prune(self, existing: list[int]) -> None:
+        import os
+        import shutil
+
+        for old in existing[:-1]:  # keep previous + current
             shutil.rmtree(
                 os.path.join(self.state_path, f"v{old}"), ignore_errors=True
             )

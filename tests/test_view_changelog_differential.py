@@ -42,21 +42,35 @@ KEYS = ["a", "b", "c", "d"]
 @st.composite
 def batch_sequences(draw):
     """[(kind, payload)]: 'upsert' -> {key: value}, 'delete' -> [keys],
-    'restart' -> None."""
+    'restart' -> None, 'drain' -> None (collect every changelog frame a
+    subscriber still holds, mid-sequence — exercises frames held across
+    restarts and snapshot-version pruning), 'crash_upsert' -> {key:
+    value} (the persist dies between version write and pointer flip,
+    then the process restarts: the batch must be fully lost — no state,
+    no emitted changes — and the orphan version dir must be inert)."""
     n = draw(st.integers(1, 6))
     events = []
     for _ in range(n):
-        kind = draw(st.sampled_from(["upsert", "upsert", "upsert", "delete", "restart"]))
+        kind = draw(st.sampled_from(
+            ["upsert", "upsert", "upsert", "delete", "restart", "drain",
+             "crash_upsert"]
+        ))
         if kind == "upsert":
             ks = draw(st.lists(st.sampled_from(KEYS), min_size=1, max_size=3,
                                unique=True))
             events.append(("upsert", {k: draw(st.integers(0, 3)) for k in ks}))
+        elif kind == "crash_upsert":
+            ks = draw(st.lists(st.sampled_from(KEYS), min_size=1, max_size=2,
+                               unique=True))
+            events.append(
+                ("crash_upsert", {k: draw(st.integers(0, 3)) for k in ks})
+            )
         elif kind == "delete":
             events.append(("delete", draw(
                 st.lists(st.sampled_from(KEYS), min_size=1, max_size=2,
                          unique=True))))
         else:
-            events.append(("restart", None))
+            events.append((kind, None))
     return events
 
 
@@ -91,6 +105,10 @@ def _collect_changes(dfs) -> list[tuple]:
     return sorted(out)
 
 
+class _PersistCrash(RuntimeError):
+    """Injected crash between version write and pointer flip."""
+
+
 def _apply_events(spark, events, state_dir):
     """Drive the distributed view through the events; return
     (snapshot_rows, changes)."""
@@ -99,19 +117,51 @@ def _apply_events(spark, events, state_dir):
     from pycypher_nmetl_spark.streaming import DistributedIncrementalView
 
     changes: list = []
-    view = DistributedIncrementalView(
-        ["k"], {"v": F.sum("v")}, state_path=state_dir, spark=spark
-    )
-    view.subscribe(changes.append)
+    drained: list = []
+
+    def _fresh():
+        v = DistributedIncrementalView(
+            ["k"], {"v": F.sum("v")}, state_path=state_dir, spark=spark
+        )
+        v.subscribe(changes.append)
+        return v
+
+    view = _fresh()
     batch_id = 0
     model = Model()
     for kind, payload in events:
         if kind == "restart":
             # a fresh process: new view object, state re-read from disk
-            view = DistributedIncrementalView(
-                ["k"], {"v": F.sum("v")}, state_path=state_dir, spark=spark
+            view = _fresh()
+            continue
+        if kind == "drain":
+            # subscriber consumes everything it holds RIGHT NOW — frames
+            # may span restarts and pruned snapshot versions; they must
+            # still collect, and collect to the same rows at the end
+            drained.extend(_collect_changes(changes))
+            continue
+        if kind == "crash_upsert":
+            # persist dies after the version write, before the pointer
+            # flip; the process dies with it (subscribers in _apply are
+            # only notified after a successful persist, so no changes
+            # leak), then restarts from the last flipped pointer
+            view._flip_pointer_orig = view._flip_pointer
+
+            def _boom(version):
+                raise _PersistCrash(version)
+
+            view._flip_pointer = _boom
+            batch = spark.createDataFrame(
+                sorted(payload.items()), "k string, v long"
             )
-            view.subscribe(changes.append)
+            try:
+                view._apply(batch, batch_id)
+            except _PersistCrash:
+                pass
+            else:  # first-ever batch with no state yet still persists
+                raise AssertionError("injected crash did not fire")
+            batch_id += 1
+            view = _fresh()  # model deliberately NOT updated
             continue
         if kind == "upsert":
             batch = spark.createDataFrame(
@@ -131,7 +181,12 @@ def _apply_events(spark, events, state_dir):
         if view._snapshot is not None
         else []
     )
-    return snap, _collect_changes(changes), model
+    all_changes = _collect_changes(changes)
+    # every mid-sequence drain must be a prefix-multiset of the final
+    # collection: re-collecting a held frame later can't change its rows
+    for item in drained:
+        assert item in all_changes, f"drained change vanished: {item}"
+    return snap, all_changes, model
 
 
 @settings(**SETTINGS)
