@@ -569,6 +569,8 @@ class CypherEngine:
             run_len[sid] = n
             groups.setdefault(key, []).append(sid)
 
+        from pycypher_nmetl_spark.audit import audit_event
+
         out: dict[str, tuple[int, Bindings]] = {}
         for members in groups.values():
             if len(members) < 2:
@@ -588,12 +590,71 @@ class CypherEngine:
                 b, [asts[sid].clauses[run_len[sid]:] for sid in members]
             )
             pruned = b.df.select(*[c for c in b.df.columns if c in keep])
+            # advisory cost model (gen100x lesson: sharing approaches
+            # break-even when the persisted prefix is large relative to
+            # the member work — persist write + K persisted reads can
+            # cost what K pruned parquet scans cost): skip persisting
+            # when the Catalyst size estimates predict < 1.1x
+            speedup, p_bytes, i_bytes = self._shared_scan_benefit(
+                pruned, len(members)
+            )
+            if speedup < 1.1:
+                audit_event(
+                    "share_scans_skip", asts[sid0].clauses[0].__class__.__name__,
+                    status="below_benefit_threshold", elapsed_ms=0.0,
+                    parameters={
+                        f"members_{len(members)}": None,
+                        f"est_speedup_{speedup:.2f}": None,
+                        f"prefix_bytes_{p_bytes}": None,
+                        f"input_bytes_{i_bytes}": None,
+                    },
+                )
+                continue
             df = pruned.persist(getattr(StorageLevel, storage))
             self._shared_scans.append(df)
             seed = Bindings(df, b.vars)
             for sid in members:
                 out[sid] = (n, seed)
         return out
+
+    def _shared_scan_benefit(
+        self, prefix_df: DataFrame, members: int
+    ) -> tuple[float, int, int]:
+        """Predicted speedup of running `members` queries over a
+        persisted prefix vs recomputing it per query, from Catalyst's
+        logical-plan size statistics (no job runs).
+
+        Bytes as the cost proxy: plain does `members` passes over the
+        prefix's input scans (I); shared does one pass plus a persist
+        write and `members` persisted reads of the prefix output (P):
+
+            speedup ~ members * I / (I + (members + 1) * P)
+
+        P -> 0 (selective prefix) approaches `members`x; P ~ I (a
+        pass-through prefix) predicts < 1 — persisting a frame as large
+        as its input is pure overhead.
+
+        Scope: the byte model only applies to JOIN-FREE prefixes.
+        Without CBO table statistics Catalyst estimates a join's output
+        as the product of its children's sizes (measured: 4e20 "bytes"
+        for a 3-hop prefix over 1.4 MB of input), so join prefixes —
+        the case the feature targets, measured 1.78x at sf0.1 and
+        >= 1.05x at gen100x — always share. The measured near-break-even
+        regression came from pass-through single-table prefixes, where
+        the leaf/filter estimates ARE sane, and that is where the model
+        gates. Worst case is the plain sequential behavior
+        share_scans=False always had.
+        Returns (speedup, prefix_bytes, input_bytes)."""
+        plan = prefix_df._jdf.queryExecution().optimizedPlan()
+        if "Join" in plan.toString():
+            return float("inf"), 0, 0
+        p_bytes = int(plan.stats().sizeInBytes())
+        i_bytes = 0
+        it = plan.collectLeaves().iterator()
+        while it.hasNext():
+            i_bytes += int(it.next().stats().sizeInBytes())
+        speedup = (members * i_bytes) / max(i_bytes + (members + 1) * p_bytes, 1)
+        return speedup, p_bytes, i_bytes
 
     def _prefix_keep_columns(self, b: Bindings, remaining) -> set:
         """Columns of the shared prefix frame the member queries can

@@ -121,13 +121,13 @@ def near_dup_pairs(
        (near_dup_components) recovers cluster membership from the
        surviving pairs. bucket_cap=None disables.
 
-    The bucket join carries only (id, packed band-signature words at
-    three 21-bit signatures per long, prefilter words) — vectors are
-    re-fetched for the surviving candidates by two id joins against the
-    input (broadcast at small scale, shuffle at large; survivors are
-    output-bound so either is cheap). The cap window partitions by
-    (band, bucket) — the same keys the self-join hashes on — so capping
-    rides the join's own exchange.
+    The bucket join carries only (id, band-signature array<int> —
+    signatures are <= 20 bits, so int halves the payload of long,
+    prefilter words) — vectors are re-fetched for the surviving
+    candidates by two id joins against the input (broadcast at small
+    scale, shuffle at large; survivors are output-bound so either is
+    cheap). The cap window partitions by (band, bucket) — the same keys
+    the self-join hashes on — so capping rides the join's own exchange.
 
     exact=True is the O(n^2/2) all-pairs self-join baseline for tests
     and small inputs. Never the default: at 100 TB an all-pairs join is
@@ -181,17 +181,6 @@ def near_dup_pairs(
     w64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
     _plane_cache: dict[int, "np.ndarray"] = {}
 
-    # band signatures are <= 20 bits, so three pack into one 64-bit word
-    # at 21-bit stride. The join rows carry ONLY these packed words (plus
-    # the prefilter words): the earlier shape carried the raw
-    # `array<long>` of all band signatures on BOTH sides purely for the
-    # first-agreeing-band test, which at bands=32 is ~280 bytes/side of
-    # SMJ candidate-row materialization — the measured gen100x tail
-    # (VERDICT r7 #4). Flat long columns also keep the first-collision
-    # predicate inside whole-stage codegen (bit ops, no HOF).
-    _PACK_STRIDE = 21
-    n_pack = (bands + 2) // 3
-
     def _planes(dim: int) -> "np.ndarray":
         if dim not in _plane_cache:
             rng = np.random.RandomState(seed)
@@ -200,41 +189,38 @@ def near_dup_pairs(
 
     # no type hints: `from __future__ import annotations` stringifies
     # them, which breaks pandas_udf's hint inference; the bare decorator
-    # takes the SCALAR eval type, which is exactly what this is
-    @pandas_udf(f"struct<sigs: array<long>, packed: array<long>, sh: array<long>>")
+    # takes the SCALAR eval type, which is exactly what this is.
+    # Band signatures are <= 20 bits, so array<int> — HALF the SMJ
+    # candidate-row payload of the original array<long> (the measured
+    # gen100x tail, VERDICT r7 #4). Don't be cleverer: an attempt to
+    # carry flat packed-long columns and test first-agreement with a
+    # 32-term bitwise fold made the join condition all-codegen-able but
+    # too large — Janino fell back to full interpretation and gen10x
+    # went 4 s -> 74 s. The zip_with leaf below stays a CodegenFallback
+    # LEAF inside an otherwise compiled predicate, which is the fast
+    # shape.
+    @pandas_udf(f"struct<sigs: array<int>, sh: array<long>>")
     def _sigs_udf(vs):
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
         signs = (mat @ _planes(mat.shape[1]).T) > 0
         bsigns = signs[:, :n_band_bits].reshape(len(vs), bands, band_bits)
-        sigs = (bsigns * bit_weights).sum(axis=2)  # (n, bands) int64
-        padded = np.zeros((len(vs), n_pack * 3), dtype=np.int64)
-        padded[:, :bands] = sigs
-        packed = (
-            padded.reshape(len(vs), n_pack, 3)
-            << np.array([0, _PACK_STRIDE, 2 * _PACK_STRIDE], dtype=np.int64)
-        ).sum(axis=2)
+        sigs = (bsigns * bit_weights).sum(axis=2).astype(np.int32)
         if n_words:
             pre = signs[:, n_band_bits:].reshape(len(vs), n_words, 64)
             sh = (pre.astype(np.uint64) * w64).sum(axis=2, dtype=np.uint64)
             sh = sh.view(np.int64)
         else:
             sh = np.zeros((len(vs), 0), dtype=np.int64)
-        return pd.DataFrame(
-            {"sigs": list(sigs), "packed": list(packed), "sh": list(sh)}
-        )
+        return pd.DataFrame({"sigs": list(sigs), "sh": list(sh)})
 
     sh_cols = [
         F.element_at(F.col("_s.sh"), i + 1).alias(f"_sh{i}") for i in range(n_words)
-    ]
-    pack_cols = [
-        F.element_at(F.col("_s.packed"), i + 1).alias(f"_p{i}")
-        for i in range(n_pack)
     ]
     sig = (
         base.withColumn("_s", _sigs_udf(F.col("_v").cast("array<double>")))
         .select(
             "_id",
-            *pack_cols,
+            F.col("_s.sigs").alias("_sigs"),
             *sh_cols,
             F.posexplode(F.col("_s.sigs")).alias("_band", "_bkt"),
         )
@@ -286,21 +272,14 @@ def near_dup_pairs(
     # dropDuplicates must sort bands*m^2/2 rows (measured: task-memory
     # spill death at m~2.5k, bands=32). Standard LSH fix: emit a pair
     # only from its FIRST colliding band — an in-join filter, so each
-    # pair leaves the join exactly once and no dedup pass exists. The
-    # band values are unpacked from the 21-bit-stride words with pure
-    # bitwise expressions (codegen) and folded into a reversed when-
-    # chain yielding the minimal agreeing band.
-    _mask = F.lit((1 << _PACK_STRIDE) - 1)
-
-    def _band_val(side: str, i: int):
-        word = F.col(f"{side}._p{i // 3}")
-        return F.shiftright(word, _PACK_STRIDE * (i % 3)).bitwiseAND(_mask)
-
-    first_collision = F.lit(bands)  # sentinel: no agreeing band
-    for _i in reversed(range(bands)):
-        first_collision = F.when(
-            _band_val("a", _i) == _band_val("b", _i), F.lit(_i)
-        ).otherwise(first_collision)
+    # pair leaves the join exactly once and no dedup pass exists.
+    first_collision = (
+        F.array_position(
+            F.zip_with(F.col("a._sigs"), F.col("b._sigs"), lambda x, y: x == y),
+            F.lit(True),
+        )
+        - 1
+    )
     cond = (
         (F.col("a._band") == F.col("b._band"))
         & (F.col("a._bkt") == F.col("b._bkt"))
@@ -319,9 +298,10 @@ def near_dup_pairs(
             term = F.bit_count(F.col(f"a._sh{i}").bitwiseXOR(F.col(f"b._sh{i}")))
             hd = term if hd is None else hd + term
         cond = cond & (hd <= F.lit(cutoff))
-    # the first-collision test still goes LAST: cheapest-first ordering
-    # (band/bucket equality, then the Hamming prefilter, then the
-    # 32-branch when-chain) — And short-circuits left-to-right per row
+    # the first-collision test goes LAST: zip_with/array_position is an
+    # interpreted higher-order function (a CodegenFallback leaf) — And
+    # short-circuits left-to-right per row, so it only runs on
+    # prefilter survivors
     cond = cond & (first_collision == F.col("a._band"))
     cand = a.join(b, cond).select(
         F.col("a._id").alias("id1"), F.col("b._id").alias("id2")

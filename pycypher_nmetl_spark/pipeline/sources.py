@@ -70,9 +70,11 @@ def read_source(
         # postgresql://host/db?table=x -> spark.read.jdbc
         # (reference reads SQL DBs via DuckDB scanners,
         # ingestion/data_sources.py:687-749; here it is Spark's native
-        # partitioned JDBC reader. ENV-BLOCKED live: the sandbox ships no
-        # JDBC driver jar — the option plumbing below is stub-tested in
-        # tests/test_pipeline.py::test_jdbc_source_option_plumbing.)
+        # partitioned JDBC reader. Live round-trip is tested against
+        # Apache Derby's embedded driver — it ships in Spark's own jars —
+        # in tests/test_pipeline.py::test_jdbc_source_end_to_end_derby;
+        # option plumbing for network drivers (postgres/mysql, jars not
+        # in this sandbox) is covered by test_jdbc_source_option_plumbing.)
         table = opts.pop("table", None) or opts.pop("dbtable", None)
         if table is None:
             raise ValueError("jdbc source needs a 'table' option")
@@ -82,11 +84,16 @@ def read_source(
         df = spark.read.options(**opts).parquet(uri)
 
     if schema_hints:
+        # case-insensitive column match: JDBC sources report dialect-
+        # cased names (Derby/Oracle uppercase, Postgres lowercase) and a
+        # hint keyed the other way would silently not apply
+        by_lower = {c.lower(): c for c in df.columns}
         casts = {}
         for col, hint in schema_hints.items():
-            if col in df.columns:
+            actual = by_lower.get(col.lower())
+            if actual is not None:
                 target = _TYPE_MAP.get(hint.lower(), hint.lower())
-                casts[col] = F.col(col).cast(target)
+                casts[actual] = F.col(actual).cast(target)
         if casts:
             df = df.withColumns(casts)
 

@@ -401,10 +401,16 @@ def test_transactional_rate_permits_taken_before_lock(spark):
 # the reference's query_combiner.py — one persisted prefix frame per
 # group instead of one AST)
 
+# a JOIN-bearing shared prefix: the advisory cost model always shares
+# join prefixes (the feature's target); join-free scan prefixes may be
+# declined as below-benefit (see test_scan_only_prefix_not_persisted)
 READ_BATCH = [
-    "MATCH (n:Person) WHERE n.age > 25 RETURN n.name AS name ORDER BY name",
-    "MATCH (n:Person) WHERE n.age > 25 RETURN count(*) AS c",
-    "MATCH (n:Person) WHERE n.age > 25 RETURN avg(n.salary) AS avg_sal",
+    "MATCH (n:Person)-[:WORKS_AT]->(co:Company) WHERE n.age > 25 "
+    "RETURN n.name AS name ORDER BY name",
+    "MATCH (n:Person)-[:WORKS_AT]->(co:Company) WHERE n.age > 25 "
+    "RETURN count(*) AS c",
+    "MATCH (n:Person)-[:WORKS_AT]->(co:Company) WHERE n.age > 25 "
+    "RETURN avg(n.salary) AS avg_sal",
     "MATCH (c:Company) RETURN count(*) AS companies",  # different prefix
 ]
 
@@ -460,8 +466,23 @@ class TestShareScans:
     def test_whitespace_differences_still_share(self, erig):
         eng = erig()
         batch = [
-            "MATCH (n:Person)   RETURN count(*) AS c",
-            "MATCH (n:Person) RETURN sum(n.age) AS s",
+            "MATCH (n:Person)-[:WORKS_AT]->(c:Company)   RETURN count(*) AS c",
+            "MATCH (n:Person)-[:WORKS_AT]->(c:Company) RETURN count(*) AS n",
         ]
         eng.execute_many(batch, share_scans=True)
         assert eng.release_shared_scans() == 1
+
+    def test_scan_only_prefix_not_persisted(self, erig):
+        """The advisory cost model (VERDICT r7 #7): a join-free
+        pass-through prefix predicts < 1.1x from Catalyst's sane
+        leaf/filter size estimates and is NOT persisted — results stay
+        identical to plain, and an audit event records the skip."""
+        eng = erig()
+        batch = [
+            "MATCH (n:Person) RETURN count(*) AS c",
+            "MATCH (n:Person) RETURN sum(n.age) AS s",
+        ]
+        plain = self._rows(eng.execute_many(batch))
+        shared = self._rows(eng.execute_many(batch, share_scans=True))
+        assert shared == plain
+        assert eng.release_shared_scans() == 0

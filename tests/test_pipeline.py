@@ -340,6 +340,52 @@ def test_jdbc_source_schema_hints_apply(spark):
     assert dict(df.dtypes)["id"] == "string"
 
 
+def test_jdbc_source_end_to_end_derby(spark, tmp_path):
+    """Real JDBC round-trip (VERDICT r7 #6, upgrading operator #5 from
+    mock-verified): Apache Derby's embedded pure-Java driver ships in
+    Spark's own jars (derby-10.16.1.1.jar), so a genuine
+    spark.read.jdbc runs with no vendored driver — seed a Derby table
+    through py4j, read it back through read_source, check rows, schema
+    hints, and SQL transform on the JDBC path."""
+    import os
+
+    from pycypher_nmetl_spark.pipeline.sources import read_source
+
+    db = os.path.join(str(tmp_path), "derbydb")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true"
+    )
+    st = conn.createStatement()
+    st.execute("CREATE TABLE people (id INT, name VARCHAR(20), age INT)")
+    st.execute(
+        "INSERT INTO people VALUES (1, 'Alice', 30), (2, 'Bob', 25), "
+        "(3, 'Carol', 35)"
+    )
+    conn.close()
+
+    df = read_source(
+        spark, f"jdbc:derby:{db}", options={"table": "people"},
+        security_policy=False,
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, "Alice", 30), (2, "Bob", 25), (3, "Carol", 35),
+    ]
+
+    # schema hints and the SQL transform run on the JDBC frame too
+    df2 = read_source(
+        spark, f"jdbc:derby:{db}",
+        options={"dbtable": "people"},
+        schema_hints={"id": "string"},
+        sql_transform="SELECT id, age FROM source WHERE age > 26",
+        security_policy=False,
+    )
+    assert dict(df2.dtypes)["id"] == "string"
+    assert sorted(tuple(r) for r in df2.collect()) == [
+        ("1", 30), ("3", 35),
+    ]
+
+
 def test_cli_config_and_metrics(project, capsys, monkeypatch):
     from pycypher_nmetl_spark.cli import main
 

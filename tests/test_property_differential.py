@@ -265,4 +265,12 @@ def test_share_scans_differential(rig, batch):
     ]
     released = eng.release_shared_scans()
     assert shared == plain
-    assert released == 1  # every batch shares one prefix group
+    # one shared prefix group per batch — except join-free prefixes,
+    # which the advisory cost model may decline to persist (sharing a
+    # pass-through scan predicts < 1.1x); the model must be the ONLY
+    # reason nothing was persisted
+    if released == 0:
+        has_join = "-[" in batch[0].split(" RETURN ")[0]
+        assert not has_join, f"join prefix was not shared: {batch[0]}"
+    else:
+        assert released == 1
