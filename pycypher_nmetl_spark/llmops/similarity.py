@@ -73,6 +73,7 @@ def near_dup_pairs(
     prefilter_bits: int = 1024,
     prefilter_z: float = 4.0,
     bucket_cap: int | None = 4096,
+    candidate_budget: int | None = 64,
     return_cap_stats: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine >= threshold.
@@ -120,6 +121,22 @@ def near_dup_pairs(
        over-cap bucket. For corpus dedup, pair transitive closure
        (near_dup_components) recovers cluster membership from the
        surviving pairs. bucket_cap=None disables.
+    3. `candidate_budget` (default 64): skew-ADAPTIVE cap. The static
+       bucket_cap bounds the worst case but still admits cap^2/2
+       candidate rows per hot bucket — at gen100x that left ~1e9
+       (band,bucket)-matched SMJ rows to evaluate, the measured
+       superlinear tail (exponent 1.04 at cap=4096). Before capping, a
+       bucket-size histogram (one cheap aggregation, collected as
+       size->bucket-count) picks the LARGEST cap whose predicted
+       candidate-row count sum_buckets C(min(s,cap),2) stays within
+       candidate_budget * (rows in the exploded signature frame) —
+       join work is then linear in n BY MEASUREMENT, not just in the
+       worst case. The chosen cap never exceeds bucket_cap, never goes
+       below 64, and only binds on skewed corpora: uniform bucket
+       loads predict far under budget and keep cap = bucket_cap (the
+       recall-pinned suites run with the default budget and stay
+       exact). Drops remain accounted exactly as for bucket_cap.
+       candidate_budget=None disables the histogram pass.
 
     The bucket join carries only (id, band-signature array<int> —
     signatures are <= 20 bits, so int halves the payload of long,
@@ -226,8 +243,44 @@ def near_dup_pairs(
         )
     )
 
+    cap = bucket_cap
+    if candidate_budget is not None:
+        # skew-adaptive cap (defense 3): one histogram pass — bucket
+        # sizes, then size -> bucket-count collected to the driver
+        # (distinct sizes only; small however large the corpus) — then
+        # pick the largest cap whose predicted candidate-row count
+        # sum C(min(s, cap), 2) fits candidate_budget * sig rows
+        hist = (
+            sig.groupBy("_band", "_bkt")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .collect()
+        )
+        if hist:
+            n_sig_rows = sum(r["s"] * r["k"] for r in hist)
+            budget = candidate_budget * n_sig_rows
+
+            def _pred(c: int) -> int:
+                return sum(
+                    r["k"] * (min(r["s"], c) * (min(r["s"], c) - 1) // 2)
+                    for r in hist
+                )
+
+            ceil = bucket_cap if bucket_cap is not None else max(
+                r["s"] for r in hist
+            )
+            adaptive = 64
+            c = ceil
+            while c > 64:
+                if _pred(c) <= budget:
+                    adaptive = c
+                    break
+                c //= 2
+            cap = adaptive if bucket_cap is None else min(bucket_cap, adaptive)
+
     cap_stats = None
-    if bucket_cap is not None:
+    if cap is not None:
         from pyspark.sql import Window
 
         from .. import audit
@@ -236,19 +289,19 @@ def near_dup_pairs(
             cap_stats = (
                 sig.groupBy("_band", "_bkt")
                 .agg(F.count(F.lit(1)).alias("size"))
-                .filter(F.col("size") > bucket_cap)
+                .filter(F.col("size") > cap)
                 .select(
                     F.col("_band").alias("band"),
                     F.col("_bkt").alias("bucket"),
                     "size",
-                    (F.col("size") - bucket_cap).alias("dropped"),
+                    (F.col("size") - cap).alias("dropped"),
                 )
             )
         audit.audit_event(
             "near_dup_bucket_cap", "<near_dup_pairs>", status="cap_active",
             elapsed_ms=0.0,
             parameters={
-                f"bucket_cap_{int(bucket_cap)}": None,
+                f"bucket_cap_{int(cap)}": None,
                 f"bands_{int(bands)}": None,
                 f"band_bits_{int(band_bits)}": None,
                 f"prefilter_bits_{int(n_pre_bits)}": None,
@@ -262,7 +315,7 @@ def near_dup_pairs(
         )
         sig = (
             sig.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
+            .filter(F.col("_rn") <= cap)
             .drop("_rn")
         )
 
