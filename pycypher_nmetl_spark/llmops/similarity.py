@@ -73,7 +73,7 @@ def near_dup_pairs(
     prefilter_bits: int = 1024,
     prefilter_z: float = 4.0,
     bucket_cap: int | None = 4096,
-    candidate_budget: int | None = 64,
+    candidate_budget: int | None = 256,
     return_cap_stats: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine >= threshold.
@@ -267,9 +267,8 @@ def near_dup_pairs(
                     for r in hist
                 )
 
-            ceil = bucket_cap if bucket_cap is not None else max(
-                r["s"] for r in hist
-            )
+            max_size = max(r["s"] for r in hist)
+            ceil = bucket_cap if bucket_cap is not None else max_size
             adaptive = 64
             c = ceil
             while c > 64:
@@ -278,6 +277,10 @@ def near_dup_pairs(
                     break
                 c //= 2
             cap = adaptive if bucket_cap is None else min(bucket_cap, adaptive)
+            if cap >= max_size:
+                # nothing to cap: skip the two window exchanges (and the
+                # survival mask) entirely — the common small/uniform case
+                cap = None
 
     cap_stats = None
     if cap is not None:
@@ -307,9 +310,8 @@ def near_dup_pairs(
                 f"prefilter_bits_{int(n_pre_bits)}": None,
             },
         )
-        # per-band survivor sets differ (hash is salted with _band) so a
-        # pair capped out of one band can still meet in another — unless
-        # that other band is not its first-agreeing band (documented).
+        # per-band survivor sets differ (hash is salted with _band), so a
+        # pair capped out of one band can still meet in another.
         w = Window.partitionBy("_band", "_bkt").orderBy(
             F.xxhash64(F.col("_id").cast("string"), F.col("_band")), F.col("_id")
         )
@@ -317,6 +319,32 @@ def near_dup_pairs(
             sig.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap)
             .drop("_rn")
+        )
+        # survival-aware dedup (round-8 fix of a round-7 wart): the
+        # first-agreeing-band rule below must consider only bands BOTH
+        # ids survived — with the plain _sigs array, a pair capped out
+        # of its first-agreeing band was silently lost even when it met
+        # in a later band's bucket (measured: gen10x recall 2 -> 0 once
+        # the adaptive cap bound). Null out the signature entries of
+        # capped-out bands per id: zip_with's x==y yields NULL (not
+        # true) when either side is NULL, so array_position lands on
+        # the first band where both ids survive AND agree — and in that
+        # band they genuinely meet (same bucket, both under cap).
+        # Costs one extra narrow exchange (the per-id window).
+        w_id = Window.partitionBy("_id")
+        sig = (
+            sig.withColumn(
+                "_bm",
+                F.sum(F.expr("shiftleft(1L, _band)")).over(w_id),
+            )
+            .withColumn(
+                "_sigs",
+                F.expr(
+                    "transform(_sigs, (s, i) -> "
+                    "IF((shiftright(_bm, i) & 1) = 1, s, CAST(NULL AS INT)))"
+                ),
+            )
+            .drop("_bm")
         )
 
     a, b = sig.alias("a"), sig.alias("b")

@@ -412,9 +412,26 @@ def test_near_dup_bucket_cap_accounting(spark):
     # identical vectors share every band signature -> one bucket per band
     assert len(st) == 32
     got = pairs.collect()
-    # capped: at most C(50,2) pairs from the one surviving bucket set
-    assert 0 < len(got) <= 50 * 49 // 2
+    # capped: each band keeps a DIFFERENT salted top-50, and the
+    # survival-aware dedup (round-8) emits a pair from its first band
+    # where both ids survive — so coverage is the union over bands,
+    # bounded by bands * C(50,2), far better than the single band's
+    # C(50,2) the round-7 rule was limited to
+    assert 0 < len(got) <= 32 * (50 * 49 // 2)
     assert all(r.cosine == pytest.approx(1.0) for r in got)
+    # the flood stays one connected component for downstream dedup
+    parent = {i: i for i in range(300)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        parent[find(r.id1)] = find(r.id2)
+    touched = {i for r in got for i in (r.id1, r.id2)}
+    assert len({find(i) for i in touched}) == 1
 
 
 def test_near_dup_cap_stats_empty_when_under_cap(vectors):
@@ -456,6 +473,16 @@ def test_near_dup_audit_event_on_cap(spark):
             [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "id long, embedding array<double>"
         )
         near_dup_pairs(df, "embedding", threshold=0.9)
+        # round-8: no bucket exceeds the cap -> capping (and its two
+        # window exchanges) is skipped entirely, so no cap event fires;
+        # nothing was dropped, so there is nothing to account
+        assert not any("near_dup_bucket_cap" in r for r in records)
+        # a flood that binds the cap DOES emit the accounting event
+        flood = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(200)],
+            "id long, embedding array<double>",
+        )
+        near_dup_pairs(flood, "embedding", threshold=0.9, bucket_cap=50)
     finally:
         audit.disable_audit_log()
     assert any("near_dup_bucket_cap" in r for r in records)
@@ -565,3 +592,61 @@ def test_contamination_plan_broadcasts_eval_one_shuffle(contam):
     )
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
+
+
+def test_near_dup_adaptive_cap_keeps_cross_band_recall(spark):
+    """Round-8: the skew-adaptive cap (candidate_budget) must not lose a
+    pair that is capped out of its first-agreeing band but meets in a
+    later band — the survival-aware dedup nulls capped-out bands per id
+    so the emission band is the first band where BOTH ids survive AND
+    agree. A hot near-identical flood plus two moderately-similar
+    outlier vectors: the flood forces a small cap, the outlier pair
+    must still be found."""
+    import random
+
+    rnd = random.Random(11)
+    # 500 near-identical vectors (one hot bucket in every band)
+    rows = [
+        (i, [1.0 + rnd.gauss(0, 0.001), 0.0, 0.0, 0.0]) for i in range(500)
+    ]
+    # a distinct pair far from the flood, clearly above threshold
+    rows += [(9001, [0.0, 1.0, 0.1, 0.0]), (9002, [0.0, 1.0, 0.11, 0.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = {
+        (r.id1, r.id2)
+        for r in near_dup_pairs(
+            df, "embedding", threshold=0.99, bucket_cap=50,
+            candidate_budget=8,
+        ).collect()
+    }
+    assert (9001, 9002) in got
+    # flood pairs that survive are still correct (precision exact)
+    assert all(i1 < 500 and i2 < 500 or (i1, i2) == (9001, 9002)
+               for i1, i2 in got)
+
+
+def test_near_dup_adaptive_cap_binds_on_skew(spark):
+    """candidate_budget picks a cap below bucket_cap when the measured
+    bucket histogram predicts over-budget candidates; the audit event
+    records the effective cap."""
+    import logging
+
+    from pycypher_nmetl_spark import audit as audit_mod
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    recs = []
+    h = logging.Handler()
+    h.emit = lambda r: recs.append(r.getMessage())
+    audit_mod.enable_audit_log(h)
+    try:
+        near_dup_pairs(
+            df, "embedding", threshold=0.99, candidate_budget=4
+        ).count()
+    finally:
+        audit_mod.disable_audit_log()
+    cap_events = [m for m in recs if "near_dup_bucket_cap" in m]
+    assert cap_events
+    # 400-member buckets x 32 bands with budget 4*(401*32) rows predicts
+    # far over; the chosen cap must be well below the 4096 default
+    assert "bucket_cap_4096" not in cap_events[-1]
