@@ -22,7 +22,8 @@ from pycypher_nmetl_spark.llmops.similarity import (
     near_dup_pairs,
 )
 from pycypher_nmetl_spark.llmops.textstats import (
-    add_fingerprint, add_lang_id, add_quality, add_token_count, tokens,
+    add_fingerprint, add_lang_id, add_quality, add_repetition_signals,
+    add_token_count, add_url_canonical, scrub_pii, tokens,
 )
 from pycypher_nmetl_spark.llmops.export import (
     global_shuffle, pack_sequences, split, stratified_sample,
@@ -35,5 +36,6 @@ __all__ = [
     "brute_force_topk", "cosine_col", "ivf_build", "ivf_topk",
     "near_dup_components", "near_dup_pairs",
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
+    "add_repetition_signals", "scrub_pii", "add_url_canonical",
     "split", "stratified_sample", "global_shuffle", "pack_sequences",
 ]

@@ -153,6 +153,27 @@ def _topk(engine, args) -> DataFrame:
     )
 
 
+def _repetition(engine, args) -> DataFrame:
+    """llm.repetitionSignals(label, prop) ->
+    (id, dup_line_frac, dup_token_frac, top_token_frac, max_line_len)."""
+    from pycypher_nmetl_spark.llmops.textstats import add_repetition_signals
+
+    prop = _str_arg(args, 1, "prop")
+    df = add_repetition_signals(_nodes(engine, _str_arg(args, 0, "label")), prop)
+    return df.select(
+        "id", "dup_line_frac", "dup_token_frac", "top_token_frac", "max_line_len"
+    )
+
+
+def _scrub_pii(engine, args) -> DataFrame:
+    """llm.scrubPii(label, prop) -> (id, masked, pii_hits)."""
+    from pycypher_nmetl_spark.llmops.textstats import scrub_pii
+
+    prop = _str_arg(args, 1, "prop")
+    df = scrub_pii(_nodes(engine, _str_arg(args, 0, "label")), prop, out="masked")
+    return df.select("id", "masked", "pii_hits")
+
+
 # keys are lowercase: the engine lowercases procedure names on lookup
 LLM_PROCEDURES = {
     "llm.exactduplicates": _exact_duplicates,
@@ -163,4 +184,6 @@ LLM_PROCEDURES = {
     "llm.contamination": _contamination,
     "llm.neardupcomponents": _neardup_components,
     "llm.topk": _topk,
+    "llm.repetitionsignals": _repetition,
+    "llm.scrubpii": _scrub_pii,
 }

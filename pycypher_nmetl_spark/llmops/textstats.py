@@ -92,3 +92,132 @@ def add_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> D
     'fingerprinting for dedup' normalization)."""
     t = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
     return df.withColumn(out, F.md5(F.array_join(t, " ")))
+
+
+def add_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al.
+    2021, table A1 — public report), as pure column expressions:
+
+      * dup_line_frac      — fraction of lines that are duplicates of an
+                             earlier line (boilerplate / nav menus)
+      * dup_token_frac     — 1 - distinct/total tokens (low lexical
+                             diversity = template or spam)
+      * top_token_frac     — share of all tokens taken by the single
+                             most frequent token (degenerate repetition)
+      * max_line_len       — longest line in characters (minified blobs)
+
+    All computed with array/HOF expressions over one split pass each —
+    zero Python, so they run at scan throughput at any corpus size.
+    Typical published cuts: drop when dup_line_frac > 0.30 or the
+    most-frequent token takes an outsized share of a long document.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    toks = tokens(F.lower(text))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    # most-frequent-token share via an O(n) run-length fold over the
+    # SORTED token array (a per-distinct-token filter pass would be
+    # O(distinct * total) per row — quadratic on long documents)
+    distinct_toks = F.array_distinct(toks)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_count = run["best"]
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.round(
+                (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 4
+            ),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round((F.size(toks) - F.size(distinct_toks)) / n_tok, 4),
+        )
+        .withColumn("top_token_frac", F.round(top_count / n_tok, 4))
+        .withColumn(
+            "max_line_len",
+            F.aggregate(lines, F.lit(0), lambda acc, l: F.greatest(acc, F.length(l))),
+        )
+    )
+
+
+#: PII patterns (emails, phone numbers, IPv4, credit-card-shaped digit
+#: runs, SSN-shaped) — the standard pre-training scrub list; regexes are
+#: conservative and deterministic.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?\d{1,3}[-. (])?\d{3}[-. )]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ccn", r"\b(?:\d[ -]?){13,16}\b", "<CCN>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    out: str | None = None,
+    count_col: str | None = "pii_hits",
+) -> DataFrame:
+    """Mask PII spans with typed placeholders (<EMAIL>, <PHONE>, <IP>,
+    <CCN>, <SSN>) and optionally count the replacements per document.
+
+    Chained regexp_replace column expressions — JVM regex, zero Python,
+    order matters (emails first so their digits never match the phone
+    pattern; CCN before generic phone-ish digit runs is handled by the
+    word-boundary anchors). The count is computed against the ORIGINAL
+    text with regexp_count so masking one class does not hide another.
+    """
+    text = F.col(text_col)
+    masked = text
+    for _, pat, repl in _PII_PATTERNS:
+        masked = F.regexp_replace(masked, pat, repl)
+    hits = None
+    for _, pat, _repl in _PII_PATTERNS:
+        c = F.regexp_count(text, F.lit(pat))
+        hits = c if hits is None else hits + c
+    df = df.withColumn(out or text_col, masked)
+    if count_col:
+        df = df.withColumn(count_col, hits.cast("long"))
+    return df
+
+
+def add_url_canonical(
+    df: DataFrame, url_col: str, out: str = "url_canonical"
+) -> DataFrame:
+    """URL canonicalization for URL-level dedup: lowercase scheme+host,
+    strip default ports, fragments, tracking params (utm_*, fbclid,
+    gclid), and trailing slashes. parse_url + column expressions."""
+    url = F.col(url_col)
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~kv.rlike(r"^(utm_[A-Za-z]+|fbclid|gclid|ref)="),
+    )
+    qs = F.array_join(F.array_sort(kept), "&")
+    return df.withColumn(
+        out,
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )

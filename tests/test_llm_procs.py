@@ -136,3 +136,17 @@ def test_reserved_property_names_raise(spark):
     bad_edges = spark.createDataFrame([(1, 2, "t")], "src long, dst long, type string")
     with pytest.raises(ValueError, match="reserved"):
         cat.register_edges("REL", bad_edges)
+
+
+def test_llm_repetition_and_scrub_procs(tpch_engine):
+    out = tpch_engine.execute(
+        "CALL llm.repetitionSignals('Document', 'text') "
+        "YIELD id, dup_token_frac RETURN count(*) AS n, "
+        "max(dup_token_frac) AS m"
+    ).collect()[0]
+    assert out["n"] > 0 and out["m"] is not None
+    rows = tpch_engine.execute(
+        "CALL llm.scrubPii('Document', 'text') YIELD id, masked, pii_hits "
+        "RETURN count(*) AS n, sum(pii_hits) AS hits"
+    ).collect()[0]
+    assert rows["n"] > 0 and rows["hits"] is not None

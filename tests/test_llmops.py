@@ -650,3 +650,65 @@ def test_near_dup_adaptive_cap_binds_on_skew(spark):
     # 400-member buckets x 32 bands with budget 4*(401*32) rows predicts
     # far over; the chosen cap must be well below the 4096 default
     assert "bucket_cap_4096" not in cap_events[-1]
+
+
+# ------------------------------------------------------------------ #
+# round-8: repetition signals, PII scrub, URL canonicalization
+# ------------------------------------------------------------------ #
+def test_repetition_signals(spark):
+    from pycypher_nmetl_spark.llmops import add_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique line one\nunique line two\nunique line three"),
+            (2, "same\nsame\nsame\nsame"),
+            (3, "spam spam spam spam ham"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in add_repetition_signals(df, "text").collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.75  # 3 of 4 lines are repeats
+    assert out[3]["dup_token_frac"] == 0.6  # 5 tokens, 2 distinct
+    assert out[3]["top_token_frac"] == 0.8  # 'spam' is 4 of 5
+    assert out[1]["max_line_len"] == len("unique line three")
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from pycypher_nmetl_spark.llmops import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 415-555-1234."),
+            (2, "server 10.1.2.3 ssn 123-45-6789"),
+            (3, "clean text, no identifiers here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df, "text", out="masked").collect()}
+    assert "<EMAIL>" in out[1]["masked"] and "example.co.uk" not in out[1]["masked"]
+    assert "<PHONE>" in out[1]["masked"]
+    assert "<IP>" in out[2]["masked"] and "<SSN>" in out[2]["masked"]
+    assert out[3]["masked"] == out[3]["text"]
+    assert out[1]["pii_hits"] >= 2 and out[3]["pii_hits"] == 0
+    # in-place masking (no out column) keeps the original column name
+    inplace = scrub_pii(df, "text").collect()
+    assert all("@" not in r["text"] for r in inplace)
+
+
+def test_url_canonicalization(spark):
+    from pycypher_nmetl_spark.llmops import add_url_canonical
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM/Path/?utm_source=x&b=2&a=1#frag"),
+            (2, "https://example.com/Path?a=1&b=2"),
+            (3, "http://example.com/dir/"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r["url_canonical"] for r in add_url_canonical(df, "url").collect()}
+    # tracking params stripped, remaining query sorted, fragment gone,
+    # scheme+host lowercased, trailing slash trimmed -> 1 == 2
+    assert out[1] == out[2] == "https://example.com/Path?a=1&b=2"
+    assert out[3] == "http://example.com/dir"

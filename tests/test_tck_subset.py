@@ -390,3 +390,54 @@ def test_manifest_has_no_silent_gaps():
         "quantified-path-pattern",
         "inline-where-in-node-pattern",
     ]
+
+
+# ---------------------------------------------------------------------- #
+# parser robustness: arbitrary input must either parse or raise
+# CypherSyntaxError — never hang, never escape a different exception
+# from the lexer/parser layer (reference grammar_parser.py wraps Earley
+# errors identically).
+# ---------------------------------------------------------------------- #
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pycypher_nmetl_spark.cypher.parser import parse as _parse
+from pycypher_nmetl_spark.cypher.tokenizer import CypherSyntaxError
+
+_FUZZ = dict(
+    max_examples=int(_os.environ.get("PROP_EXAMPLES", "200")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    print_blob=True,
+)
+
+
+@settings(**_FUZZ)
+@given(text=st.text(min_size=0, max_size=200))
+def test_parser_never_crashes_on_garbage(text):
+    try:
+        _parse(text)
+    except (CypherSyntaxError, ValueError, NotImplementedError):
+        pass  # rejection is fine; any other exception type is a bug
+
+
+@settings(**_FUZZ)
+@given(
+    soup=st.lists(
+        st.sampled_from(
+            "MATCH RETURN WHERE WITH UNWIND CREATE MERGE SET DELETE "
+            "( ) [ ] {{ }} , : ; . .. - -> <- = <> <= >= + * / % ^ | "
+            "n m r p 'str' \"str\" 1 2.5 0x1F $param AND OR NOT NULL "
+            "count sum collect CASE WHEN THEN ELSE END AS DISTINCT".split()
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parser_never_crashes_on_token_soup(soup):
+    try:
+        _parse(" ".join(soup))
+    except (CypherSyntaxError, ValueError, NotImplementedError):
+        pass
