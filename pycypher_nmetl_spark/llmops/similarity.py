@@ -113,19 +113,21 @@ def near_dup_pairs(
        caps join fan-out at sum(min(s, cap)^2) <= cap * n * bands —
        LINEAR in n — so a flood of near-identical vectors (which pass
        any similarity prefilter, and whose pair output is inherently
-       quadratic) cannot melt the join. Dropped pairs are final for a
-       bucket (the first-agreeing-band rule still applies); the loss
+       quadratic) cannot melt the join. Capping is survival-aware
+       (round 8): a pair capped out of one band is still found in the
+       first band where BOTH ids survive and agree, so a pair is lost
+       only when it shares NO surviving bucket; that residual loss
        is *accounted*: an audit event records the cap config, and
        `return_cap_stats=True` returns (pairs, stats) where stats is a
        lazy DataFrame of (band, bucket, size, dropped) for every
        over-cap bucket. For corpus dedup, pair transitive closure
        (near_dup_components) recovers cluster membership from the
        surviving pairs. bucket_cap=None disables.
-    3. `candidate_budget` (default 64): skew-ADAPTIVE cap. The static
+    3. `candidate_budget` (default 256): skew-ADAPTIVE cap. The static
        bucket_cap bounds the worst case but still admits cap^2/2
        candidate rows per hot bucket — at gen100x that left ~1e9
        (band,bucket)-matched SMJ rows to evaluate, the measured
-       superlinear tail (exponent 1.04 at cap=4096). Before capping, a
+       superlinear tail (exponent 1.04-1.11 at cap=4096). Before capping, a
        bucket-size histogram (one cheap aggregation, collected as
        size->bucket-count) picks the LARGEST cap whose predicted
        candidate-row count sum_buckets C(min(s,cap),2) stays within
@@ -171,7 +173,7 @@ def near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
         if return_cap_stats:  # same (pairs, stats) shape as the LSH path
-            empty_schema = "band int, bucket long, size long, dropped long"
+            empty_schema = "band int, bucket int, size long, dropped long"
             return pairs, df.sparkSession.createDataFrame([], empty_schema)
         return pairs
 
@@ -411,7 +413,7 @@ def near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     if return_cap_stats:
-        empty_schema = "band int, bucket long, size long, dropped long"
+        empty_schema = "band int, bucket int, size long, dropped long"
         if cap_stats is None:
             cap_stats = df.sparkSession.createDataFrame([], empty_schema)
         return pairs, cap_stats
