@@ -47,6 +47,11 @@ class VarInfo:
     # 'node' | 'rel' so mutations can resolve the right tables instead of
     # fanning an id-keyed update out to every label (ids are per-label)
     elem_kind: str | None = None
+    # for 'rel' vars: the bound node variables at the edge's endpoints
+    # (pattern-traversal order for undirected), so startNode(r).prop /
+    # endNode(r).prop resolve to the endpoint variable's property columns
+    src_var: str | None = None
+    dst_var: str | None = None
 
 
 @dataclass

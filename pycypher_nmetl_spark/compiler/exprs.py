@@ -248,6 +248,26 @@ class ExprCompiler:
         return self.bindings.df[e.name]
 
     def _c_Prop(self, e: Prop) -> Column:
+        # startNode(r).prop / endNode(r).prop: the function itself
+        # returns the endpoint's id; a property access on it resolves
+        # through the node VARIABLE bound at that endpoint (recorded on
+        # the rel's VarInfo at pattern-compile time) — otherwise the id
+        # (a long) would silently null under missing-property semantics
+        if (
+            isinstance(e.target, FuncCall)
+            and e.target.name.lower() in ("startnode", "endnode")
+            and len(e.target.args) == 1
+            and isinstance(e.target.args[0], Var)
+        ):
+            rinfo = self.bindings.vars.get(e.target.args[0].name)
+            if rinfo is not None and rinfo.kind == "rel":
+                end = (
+                    rinfo.src_var
+                    if e.target.name.lower() == "startnode"
+                    else rinfo.dst_var
+                )
+                if end is not None and end in self.bindings.vars:
+                    return self._c_Prop(Prop(Var(end), e.key))
         if isinstance(e.target, Var) and e.target.name not in self.lambda_vars:
             info = self.bindings.vars.get(e.target.name)
             if info is None:

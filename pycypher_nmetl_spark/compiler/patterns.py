@@ -367,7 +367,11 @@ def _try_fk_collapse(
     if labels and labels != [next_label]:
         return None
     rvar = rel.var or fresh_name("_anon")
-    rinfo = VarInfo("rel", (rt,), anon=rel.var is None)
+    rinfo = VarInfo(
+        "rel", (rt,), anon=rel.var is None,
+        src_var=prev_var if rel.direction == "R" else nvar,
+        dst_var=nvar if rel.direction == "R" else prev_var,
+    )
     owner_on_prev = (owner_side == "src") == (rel.direction == "R")
 
     if owner_on_prev:
@@ -515,6 +519,17 @@ def _expand(
     pb = Bindings(df, {**pb.vars, rvar: rinfo})
 
     nvar = _ensure_var(nxt)
+    # record the endpoint variables on the rel binding: direction R (and
+    # U, whose src column carries the traversal side) walks prev -> nxt,
+    # L walks nxt -> prev. startNode(r).prop / endNode(r).prop resolve
+    # through these (exprs._c_Prop).
+    import dataclasses as _dc
+
+    if rel.direction == "L":
+        rinfo = _dc.replace(rinfo, src_var=nvar, dst_var=prev_var)
+    else:
+        rinfo = _dc.replace(rinfo, src_var=prev_var, dst_var=nvar)
+    pb.vars[rvar] = rinfo
     if nvar in pb.vars:
         # cyclic back-reference (pattern_matcher.py:502-570)
         pb = pb.with_df(

@@ -35,6 +35,7 @@ class TCK:
     setup: tuple[str, ...] = ()        # write statements run first
     error: str | None = None           # expect an error matching regex
     xfail: str | None = None           # documented-unsupported reason
+    params: dict | None = None         # query parameters
 
 
 # graph: Alice-30 -KNOWS{2015}-> Bob-25 -KNOWS{2020}-> Carol-null
@@ -335,6 +336,80 @@ SCENARIOS: list[TCK] = [
         [("Alice",)],
         xfail="Neo4j 5 inline node-pattern WHERE is outside the reference "
               "grammar — unscoped"),
+    TCK("unknown-label-returns-empty",
+        "MATCH (n:Nope) RETURN count(*) AS c", [(0,)],
+        xfail="deliberate divergence: labels are registered tables in "
+              "this engine, so an unknown label raises (and "
+              "engine.validate reports it pre-execution) instead of "
+              "matching zero rows as in schemaless Neo4j"),
+    # ---------------- round-8 expansion (probe-verified) --------------
+    TCK("order-by-unreturned-expr",
+        "MATCH (n:Person) RETURN n.name AS nm ORDER BY n.age DESC",
+        [("Carol",), ("Alice",), ("Bob",)], ordered=True),
+    TCK("with-order-alias",
+        "MATCH (n:Person) WITH n.name AS nm ORDER BY nm DESC "
+        "RETURN collect(nm) AS l", [(["Carol", "Bob", "Alice"],)]),
+    TCK("limit-zero", "MATCH (n:Person) RETURN n.name AS nm LIMIT 0", []),
+    TCK("skip-beyond-rows", "UNWIND [1, 2] AS x RETURN x SKIP 10", []),
+    TCK("negative-limit-rejected", "RETURN 1 AS x LIMIT -1",
+        error="SKIP/LIMIT"),
+    TCK("count-distinct-grouped",
+        "MATCH (n:Person) RETURN n.age IS NULL AS g, "
+        "count(DISTINCT n.name) AS c", [(False, 2), (True, 1)]),
+    TCK("string-ordering", "RETURN 'apple' < 'banana' AS x", [(True,)]),
+    TCK("to-string-forms",
+        "RETURN toString(true) AS x, toString(3.5) AS y",
+        [("true", "3.5")]),
+    TCK("date-comparison",
+        "RETURN date('2020-01-01') < date('2021-01-01') AS x", [(True,)]),
+    TCK("datetime-component",
+        "RETURN datetime('2020-06-15T12:30:45').minute AS m", [(30,)]),
+    TCK("duration-between-days",
+        "RETURN duration.between(datetime('2020-01-01T00:00:00'), "
+        "datetime('2020-01-03T00:00:00')).days AS d", [(2,)]),
+    TCK("case-in-where",
+        "MATCH (n:Person) WHERE CASE WHEN n.age IS NULL THEN false "
+        "ELSE n.age > 26 END RETURN n.name AS nm", [("Alice",)]),
+    TCK("exists-subquery-with-where",
+        "MATCH (a:Person) WHERE EXISTS { MATCH (a)-[r:KNOWS]->() "
+        "WHERE r.since > 2016 } RETURN a.name AS n", [("Bob",)]),
+    TCK("optional-match-with-where",
+        "OPTIONAL MATCH (n:Person) WHERE n.age > 100 RETURN n.name AS nm",
+        [(None,)]),
+    TCK("relationship-endpoints",
+        "MATCH (a)-[r:KNOWS]->(b) WHERE a.name = 'Alice' "
+        "RETURN type(r) AS t, startNode(r).name AS s, endNode(r).name AS e",
+        [("KNOWS", "Alice", "Bob")]),
+    TCK("param-in-limit",
+        "UNWIND [1, 2, 3] AS x RETURN x ORDER BY x LIMIT $n",
+        [(1,), (2,)], ordered=True, params={"n": 2}),
+    TCK("param-map-access", "RETURN $m.k AS x", [(7,)],
+        params={"m": {"k": 7}}),
+    TCK("unwind-range", "UNWIND range(1, 3) AS x RETURN sum(x) AS s",
+        [(6,)]),
+    TCK("split-empty-string", "RETURN split('', ',') AS x", [([""],)]),
+    TCK("substring-to-end", "RETURN substring('hello', 2) AS x",
+        [("llo",)]),
+    TCK("left-negative-length", "RETURN left('abc', -1) AS x", [("",)]),
+    TCK("multi-label-intersection",
+        "MATCH (n:Person:Admin) RETURN count(*) AS c", [(1,)],
+        writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) SET n:Admin",)),
+    TCK("set-label-then-labels",
+        "MATCH (n:Admin) RETURN n.name AS nm", [("Alice",)], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) SET n:Admin",)),
+    TCK("remove-label",
+        "MATCH (n:Person) RETURN count(*) AS c", [(2,)], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) REMOVE n:Person",)),
+    TCK("set-plus-equals-map",
+        "MATCH (n:Person {name: 'Alice'}) RETURN n.age AS a, n.city AS c",
+        [(99, "X")], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) "
+               "SET n += {age: 99, city: 'X'}",)),
+    TCK("merge-on-match-set",
+        "MATCH (n:Person {name: 'Bob'}) RETURN n.seen AS s", [(True,)],
+        writes=True,
+        setup=("MERGE (n:Person {name: 'Bob'}) ON MATCH SET n.seen = true",)),
 ]
 
 
@@ -367,9 +442,12 @@ def test_tck(sc: TCK, tck, spark):
         eng.execute(stmt)
     if sc.error is not None:
         with pytest.raises(Exception, match=f"(?i){sc.error}"):
-            eng.execute(sc.query).collect()
+            eng.execute(sc.query, sc.params).collect()
         return
-    got = [tuple(_norm(v) for v in r) for r in eng.execute(sc.query).collect()]
+    got = [
+        tuple(_norm(v) for v in r)
+        for r in eng.execute(sc.query, sc.params).collect()
+    ]
     if not sc.ordered:
         got = sorted(got, key=repr)
         want = sorted(sc.expect, key=repr)
@@ -389,6 +467,7 @@ def test_manifest_has_no_silent_gaps():
         "call-subquery",
         "quantified-path-pattern",
         "inline-where-in-node-pattern",
+        "unknown-label-returns-empty",
     ]
 
 
