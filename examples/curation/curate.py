@@ -1,6 +1,7 @@
 """End-to-end training-data curation pipeline over the llmops operators.
 
-documents.parquet -> language ID -> quality score -> exact dedup ->
+documents.parquet -> language ID -> quality + repetition signals ->
+PII scrub -> exact dedup ->
 MinHash-LSH near-dedup (representative per duplicate component) ->
 embedding near-dup collapse -> leak-free split -> eval-set
 decontamination of train vs the held-out splits -> global shuffle ->
@@ -26,9 +27,9 @@ from pyspark.sql import functions as F
 
 def curate(spark, sf_dir: str, out_dir: str) -> dict:
     from pycypher_nmetl_spark.llmops import (
-        add_lang_id, add_quality, add_token_count, decontaminate,
-        exact_dedup, global_shuffle, minhash_lsh_pairs, pack_sequences,
-        split,
+        add_lang_id, add_quality, add_repetition_signals,
+        add_token_count, decontaminate, exact_dedup, global_shuffle,
+        minhash_lsh_pairs, pack_sequences, scrub_pii, split,
     )
     from pycypher_nmetl_spark.algorithms import connected_components
 
@@ -40,9 +41,18 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     docs = add_token_count(docs, "text")
     docs = add_quality(docs, "text")
     docs = add_lang_id(docs, "text")
+    docs = add_repetition_signals(docs, "text")
 
-    # 2. filter: drop empty/garbage docs (quality heuristics)
-    docs = docs.filter((F.col("n_tokens") >= 5) & (F.col("quality_score") > 0.2))
+    # 2. filter: drop empty/garbage/repetitive docs (Gopher-style
+    #    quality + repetition cuts), then mask PII before anything is
+    #    persisted downstream
+    docs = docs.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("quality_score") > 0.2)
+        & (F.col("dup_line_frac") <= 0.5)
+        & (F.col("top_token_frac") <= 0.5)
+    )
+    docs = scrub_pii(docs, "text")
     stats["after_quality"] = docs.count()
 
     # 3. exact dedup on normalized text (hash groupBy — one shuffle)
