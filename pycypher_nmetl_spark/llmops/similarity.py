@@ -535,3 +535,62 @@ def near_dup_components(
         ids.join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def brute_force_topk_many(
+    df: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query for a SET of query vectors (the retrieval
+    batch shape): broadcast the query frame, score every (vector, query)
+    pair with the vectorized numpy cosine, keep k per query.
+
+    Scale shape: the corpus is never shuffled — the broadcast
+    nested-loop join is a map-side scan producing corpus x |queries|
+    scored rows, and the only exchange is the per-query top-k window
+    (hash by query_id). Executor memory holds one corpus partition plus
+    the broadcast queries. For large query sets, chunk the query frame
+    and union the results; for sub-brute-force latency use ivf_build and
+    probe per query.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(v1s, v2s):
+        m1 = np.stack([np.asarray(x, dtype=np.float64) for x in v1s])
+        m2 = np.stack([np.asarray(x, dtype=np.float64) for x in v2s])
+        num = (m1 * m2).sum(axis=1)
+        den = np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den == 0, 0.0, num / den))
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .join(F.broadcast(q))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            _cos(F.col("_v").cast("array<double>"),
+                 F.col("_qv").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

@@ -712,3 +712,35 @@ def test_url_canonicalization(spark):
     # scheme+host lowercased, trailing slash trimmed -> 1 == 2
     assert out[1] == out[2] == "https://example.com/Path?a=1&b=2"
     assert out[3] == "http://example.com/dir"
+
+
+def test_brute_force_topk_many(vectors, spark):
+    """Batched exact retrieval: per-query top-k must equal the
+    single-query brute_force_topk for every query vector, and the plan
+    must broadcast the query frame (corpus never shuffled for the
+    scoring pass)."""
+    from pycypher_nmetl_spark.llmops import brute_force_topk, brute_force_topk_many
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    out = brute_force_topk_many(vectors, "embedding", queries, k=2)
+    got = {
+        qid: [(r["id"], round(r["cosine"], 9)) for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in out.collect() if r["query_id"] == q],
+                key=lambda r: (-r["cosine"], r["id"]),
+            ))
+            for q in (100, 200)
+        )
+    }
+    for qid, vec in ((100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])):
+        want = [
+            (r["id"], round(r["cosine"], 9))
+            for r in brute_force_topk(vectors, "embedding", vec, k=2).collect()
+        ]
+        assert got[qid] == want, (qid, got[qid], want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
