@@ -76,7 +76,10 @@ class Bindings:
 
     def prop_columns(self, var: str) -> list[str]:
         prefix = f"{var}__"
-        skip = {pcol(var, "src"), pcol(var, "dst"), pcol(var, "type"), pcol(var, "label")}
+        skip = {
+            pcol(var, "src"), pcol(var, "dst"), pcol(var, "type"),
+            pcol(var, "label"), pcol(var, "__sw"),
+        }
         return [c for c in self.df.columns if c.startswith(prefix) and c not in skip]
 
     def has_prop(self, var: str, prop: str) -> bool:

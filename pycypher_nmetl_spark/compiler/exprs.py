@@ -259,14 +259,21 @@ class ExprCompiler:
             and len(e.target.args) == 1
             and isinstance(e.target.args[0], Var)
         ):
-            rinfo = self.bindings.vars.get(e.target.args[0].name)
+            rvar = e.target.args[0].name
+            rinfo = self.bindings.vars.get(rvar)
             if rinfo is not None and rinfo.kind == "rel":
-                end = (
-                    rinfo.src_var
-                    if e.target.name.lower() == "startnode"
-                    else rinfo.dst_var
-                )
+                is_start = e.target.name.lower() == "startnode"
+                end = rinfo.src_var if is_start else rinfo.dst_var
+                other = rinfo.dst_var if is_start else rinfo.src_var
                 if end is not None and end in self.bindings.vars:
+                    # undirected: src_var/dst_var are traversal order; the
+                    # per-row __sw flag marks rows traversed against the
+                    # stored orientation, where start/end swap (patterns.py)
+                    sw = pcol(rvar, "__sw")
+                    if sw in self.bindings.df.columns and other in self.bindings.vars:
+                        return F.when(
+                            F.col(sw), self._c_Prop(Prop(Var(other), e.key))
+                        ).otherwise(self._c_Prop(Prop(Var(end), e.key)))
                     return self._c_Prop(Prop(Var(end), e.key))
         if isinstance(e.target, Var) and e.target.name not in self.lambda_vars:
             info = self.bindings.vars.get(e.target.name)

@@ -473,16 +473,19 @@ def _expand(
     jlcol, olcol = pcol(rvar, "__jl"), pcol(rvar, "__ol")
     slab = _types_label_expr(cat, rvar, use_types, "src")
     dlab = _types_label_expr(cat, rvar, use_types, "dst")
+    swcol = pcol(rvar, "__sw")
     if rel.direction == "U":
         # undirected: traverse both orientations (src/dst swapped copy).
-        # startNode()/endNode() on an undirected rel reflect traversal order.
-        edf = edf.withColumns({jlcol: slab, olcol: dlab})
+        # A per-row __sw flag records which copy a row came from so
+        # startNode()/endNode() resolve to the STORED orientation
+        # (openCypher semantics), not traversal order (round-8 ADVICE).
+        edf = edf.withColumns({jlcol: slab, olcol: dlab, swcol: F.lit(False)})
         swapped = edf.withColumnsRenamed({src_c: "__tmp", dst_c: src_c}).withColumnRenamed(
             "__tmp", dst_c
         )
         # the swapped copy's join side carries dst values: swap the labels
         swapped = swapped.withColumns(
-            {jlcol: F.col(olcol), olcol: F.col(jlcol)}
+            {jlcol: F.col(olcol), olcol: F.col(jlcol), swcol: F.lit(True)}
         )
         # self-loops appear identically in both orientations; Neo4j
         # matches an undirected self-loop once, so keep only the

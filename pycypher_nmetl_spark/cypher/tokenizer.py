@@ -63,6 +63,8 @@ def tokenize(text: str) -> list[Token]:
                 j = i + 2
                 while j < n and (text[j].isdigit() or text[j].lower() in "abcdef"):
                     j += 1
+                if j == i + 2:
+                    raise CypherSyntaxError("hex literal with no digits", text, i)
                 tokens.append(Token("INT", str(int(text[i:j], 16)), i))
                 i = j
                 continue
@@ -70,6 +72,8 @@ def tokenize(text: str) -> list[Token]:
                 j = i + 2
                 while j < n and text[j] in "01234567":
                     j += 1
+                if j == i + 2:
+                    raise CypherSyntaxError("octal literal with no digits", text, i)
                 tokens.append(Token("INT", str(int(text[i:j], 8)), i))
                 i = j
                 continue

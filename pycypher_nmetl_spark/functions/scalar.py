@@ -348,6 +348,33 @@ def _date(cc, args):
     return cc.col(args[0]).cast("date")
 
 
+# an explicit zone suffix (Z / +05:00 / -0800 / +05) can only follow a
+# time-of-day component, so requiring `T<h>:<m>` before the suffix keeps
+# date-only strings like '2020-01-01' (which end in `-01`) naive.
+_ZONED_INPUT_RE = r"[Tt ]\d{1,2}:\d{2}.*(?:[Zz]|[+-]\d{2}(?::?\d{2})?)$"
+
+
+def _parse_ntz(cc, arg):
+    """Parse a datetime argument to TIMESTAMP_NTZ, instant-preserving.
+
+    Naive strings parse as wall-clock via to_timestamp_ntz. Strings with
+    an explicit offset/zone suffix go through to_timestamp (which honors
+    the offset) and cast to NTZ under the pinned UTC session zone — so
+    datetime('2020-01-01T00:00:00+05:00') yields the UTC instant
+    2019-12-31T19:00, matching the reference's datetime.fromisoformat
+    semantics (reference temporal_functions.py), not a silent
+    offset-drop. Non-string inputs (already temporal) convert directly.
+    """
+    col = cc.col(arg)
+    dt = cc.bindings.dtype(col)
+    if dt is not None and not isinstance(dt, T.StringType):
+        return F.to_timestamp_ntz(col)
+    s = col.cast("string")
+    return F.when(
+        s.rlike(_ZONED_INPUT_RE), F.to_timestamp(s).cast("timestamp_ntz")
+    ).otherwise(F.to_timestamp_ntz(s))
+
+
 @register("datetime")
 def _datetime(cc, args):
     """datetime() compiles to TIMESTAMP_NTZ, not TIMESTAMP: NTZ's
@@ -356,17 +383,23 @@ def _datetime(cc, args):
     survive collect(); TimestampType's datetime.fromtimestamp raises
     "year 0 is out of range" there. DuckDB's naive TIMESTAMP oracle
     matches NTZ exactly, and the sessions pin timeZone=UTC so the
-    current-time no-arg forms agree across both types."""
+    current-time no-arg forms agree across both types.
+
+    Documented divergence: because storage is NTZ, zone-bearing inputs
+    are normalized to their UTC instant (instant-preserving — see
+    _parse_ntz) and valueType() reports LOCAL DATETIME rather than
+    ZONED DATETIME for the result.
+    """
     if not args:
         return F.localtimestamp()
-    return F.to_timestamp_ntz(cc.col(args[0]))
+    return _parse_ntz(cc, args[0])
 
 
 @register("localdatetime")
 def _localdatetime(cc, args):
     if not args:
         return F.localtimestamp()
-    return F.to_timestamp_ntz(cc.col(args[0]))
+    return _parse_ntz(cc, args[0])
 
 
 @register("localdate")
@@ -449,7 +482,7 @@ def _datetime_truncate(cc, args):
     # returns zoned TIMESTAMP even for NTZ input, so cast the result
     # back — identity under the pinned UTC session zone, and the only
     # way start-of-era values (year 1) stay collectable.
-    ts = F.to_timestamp_ntz(cc.col(args[1]))
+    ts = _parse_ntz(cc, args[1])
     if unit in ("millennium", "century", "decade"):
         return F.when(ts.isNull(), F.lit(None).cast("timestamp_ntz")).otherwise(
             _epoch_start_date(unit, ts).cast("timestamp_ntz")
@@ -709,15 +742,24 @@ def _type(cc, args):
     return F.lit(None).cast("string")
 
 
+def _endpoint_id(cc, var: str, which: str) -> Column:
+    """Stored-orientation endpoint id. Undirected traversals union a
+    src/dst-swapped copy of the edge table; the per-row `__sw` flag
+    (compiler/patterns.py _expand) marks swapped rows, where the
+    traversal-side `__src` column actually carries the stored dst."""
+    src, dst = F.col(f"{var}__src"), F.col(f"{var}__dst")
+    fwd, rev = (src, dst) if which == "start" else (dst, src)
+    sw = f"{var}____sw"
+    if sw in cc.bindings.df.columns:
+        return F.when(F.col(sw), rev).otherwise(fwd)
+    return fwd
+
+
 @register("startNode")
 def _start_node(cc, args):
-    from pycypher_nmetl_spark.cypher.ast_nodes import Var
-
-    return F.col(f"{args[0].name}__src")
+    return _endpoint_id(cc, args[0].name, "start")
 
 
 @register("endNode")
 def _end_node(cc, args):
-    from pycypher_nmetl_spark.cypher.ast_nodes import Var
-
-    return F.col(f"{args[0].name}__dst")
+    return _endpoint_id(cc, args[0].name, "end")

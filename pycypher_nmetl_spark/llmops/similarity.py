@@ -159,6 +159,22 @@ def near_dup_pairs(
         # degrades both extremes to the band_bits bounds below
         p = min(max(p, 1e-9), 1.0 - 1e-9)
         band_bits = max(4, min(20, int(math.log(0.25) / math.log(p))))
+    # the survival bitmask below packs one bit per band into a single
+    # long: shiftleft(1L, b) wraps mod 64 in Spark/Java, so bands > 64
+    # would alias band b with band b-64 and silently drop pairs whose
+    # first agreeing band was capped out (recall loss with no error).
+    # band signatures are stored as int32, so band_bits must stay < 31.
+    if bands > 64:
+        raise ValueError(
+            f"near_dup_pairs supports at most 64 bands (got {bands}): the "
+            "capped-bucket survival mask is a packed 64-bit bitmask. Use "
+            "more band_bits per band instead of more bands."
+        )
+    if band_bits > 30:
+        raise ValueError(
+            f"band_bits must be <= 30 (got {band_bits}): band signatures "
+            "are packed into int32."
+        )
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if exact:

@@ -549,3 +549,83 @@ def test_explicit_id_guard_is_broadcast_semi(golden):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+# --------------------------------------------------------------------- #
+# round-9 ADVICE fixes
+# --------------------------------------------------------------------- #
+def test_datetime_preserves_explicit_offset(run):
+    """Round-8 ADVICE (medium): datetime() on a zone-bearing string must
+    be instant-preserving — '2020-01-01T00:00:00+05:00' is the UTC
+    instant 2019-12-31T19:00 (reference datetime.fromisoformat keeps
+    tzinfo); the plain to_timestamp_ntz path silently dropped the
+    offset. Naive strings still parse as wall-clock."""
+    import datetime as _dt
+
+    out = run(
+        "RETURN datetime('2020-01-01T00:00:00+05:00') AS zoned, "
+        "datetime('2020-01-01T00:00:00Z') AS utc, "
+        "datetime('2020-06-01T12:00:00-0230') AS west, "
+        "datetime('2020-01-01T00:00:00') AS naive, "
+        "datetime('2020-01-01') AS date_only"
+    )
+    assert out == [(
+        _dt.datetime(2019, 12, 31, 19, 0),
+        _dt.datetime(2020, 1, 1, 0, 0),
+        _dt.datetime(2020, 6, 1, 14, 30),
+        _dt.datetime(2020, 1, 1, 0, 0),
+        _dt.datetime(2020, 1, 1, 0, 0),  # date-only: -01 is NOT an offset
+    )]
+
+
+def test_empty_radix_literals_raise_syntax_error():
+    """Round-8 ADVICE (low): '0x' / '0o' with no digits raised a raw
+    ValueError from int(); both now raise a positioned syntax error."""
+    import pytest as _pytest
+
+    from pycypher_nmetl_spark.cypher.tokenizer import (
+        CypherSyntaxError,
+        tokenize,
+    )
+
+    for bad in ("RETURN 0x", "RETURN 0o", "RETURN 0o8 + 1", "RETURN 0xg"):
+        with _pytest.raises(CypherSyntaxError):
+            tokenize(bad)
+    # valid radix literals keep working
+    toks = tokenize("RETURN 0xff + 0o17")
+    assert [t.value for t in toks if t.kind == "INT"] == ["255", "15"]
+
+
+def test_near_dup_rejects_too_many_bands(spark):
+    """Round-8 ADVICE (low): shiftleft(1L, band) wraps mod 64, so the
+    packed survival bitmask silently aliases bands > 64 — reject loudly."""
+    import pytest as _pytest
+
+    from pycypher_nmetl_spark.llmops.similarity import near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "id long, emb array<double>"
+    )
+    with _pytest.raises(ValueError, match="64 bands"):
+        near_dup_pairs(df, "emb", bands=65)
+    with _pytest.raises(ValueError, match="band_bits"):
+        near_dup_pairs(df, "emb", bands=8, band_bits=31)
+
+
+def test_undirected_endpoints_stored_orientation(golden):
+    """Round-8 ADVICE (low): startNode()/endNode() on (a)-[r]-(b) must
+    return the STORED endpoints (openCypher), not pattern-traversal
+    order. KNOWS edge 100 is stored 1->2: matching it from either side
+    must report startNode=Alice, endNode=Bob."""
+    df = golden.execute(
+        "MATCH (a:Person)-[r:KNOWS]-(b:Person) WHERE a.name = 'Bob' AND b.name = 'Alice' "
+        "RETURN startNode(r).name AS s, endNode(r).name AS e, "
+        "startNode(r) AS sid, endNode(r) AS eid"
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", "Bob", 1, 2)]
+    # forward traversal unchanged
+    df2 = golden.execute(
+        "MATCH (a:Person)-[r:KNOWS]-(b:Person) WHERE a.name = 'Alice' AND b.name = 'Bob' "
+        "RETURN startNode(r).name AS s, endNode(r).name AS e"
+    )
+    assert [tuple(r) for r in df2.collect()] == [("Alice", "Bob")]
