@@ -683,35 +683,46 @@ def _q_minhash_lsh(spark, sf_dir):
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
-def _q_token_count(spark, sf_dir):
-    from pycypher_nmetl_spark.llmops import add_token_count
-
-    d = add_token_count(_docs(spark, sf_dir), "text")
-    return d.select("doc_id", "n_tokens", "n_tokens_bpe_est")
-
-
 def _q_text_quality(spark, sf_dir):
-    from pycypher_nmetl_spark.llmops import add_quality
+    # merged llm_token_count + llm_text_quality under the 50-gate cap
+    # (round 9): both are pure column expressions over documents, and the
+    # combined projection exercises add_token_count AND add_quality.
+    from pycypher_nmetl_spark.llmops import add_quality, add_token_count
 
-    d = add_quality(_docs(spark, sf_dir), "text")
+    d = add_quality(add_token_count(_docs(spark, sf_dir), "text"), "text")
     return d.select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality_score"
+        "doc_id", "n_tokens", "n_tokens_bpe_est", "mean_token_len",
+        "stopword_ratio", "quality_score",
     )
 
 
-def _q_lang_id(spark, sf_dir):
-    from pyspark.sql import functions as F
+def _q_lang_fingerprint(spark, sf_dir):
+    # merged llm_lang_id + llm_fingerprint under the 50-gate cap (round
+    # 9): per-doc rows exercise BOTH the charset language heuristic and
+    # the sorted-vocabulary md5 fingerprint.
+    from pycypher_nmetl_spark.llmops import add_fingerprint, add_lang_id
 
-    from pycypher_nmetl_spark.llmops import add_lang_id
-
-    d = add_lang_id(_docs(spark, sf_dir), "text")
-    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+    d = add_fingerprint(add_lang_id(_docs(spark, sf_dir), "text"), "text")
+    return d.select("doc_id", "lang_pred", "fingerprint")
 
 
-def _q_fingerprint(spark, sf_dir):
-    from pycypher_nmetl_spark.llmops import add_fingerprint
+def _q_exact_substring_pairs(spark, sf_dir):
+    # Lee et al. 2021 ExactSubstr, pair surface: docs sharing >= 1 exact
+    # 10-token window (window joined on xxhash64; oracle joins on the
+    # window string itself — equality of strings == equality of hashes)
+    from pycypher_nmetl_spark.llmops import exact_substring_pairs
 
-    return add_fingerprint(_docs(spark, sf_dir), "text").select("doc_id", "fingerprint")
+    return exact_substring_pairs(_docs(spark, sf_dir), "doc_id", "text", window=10)
+
+
+def _q_exact_substring_cut(spark, sf_dir):
+    # full ExactSubstr roundtrip: duplicated-window detection -> span
+    # merge (gaps-and-islands) -> token-level cut; the returned text is
+    # compared byte-for-byte against the SQL re-implementation
+    from pycypher_nmetl_spark.llmops import exact_substring_dedup
+
+    out = exact_substring_dedup(_docs(spark, sf_dir), "doc_id", "text", window=10)
+    return out.select("doc_id", "text")
 
 
 def _q_embedding_topk(spark, sf_dir):
@@ -858,10 +869,10 @@ _LLMOPS_QUERIES = {
     "llm_decontaminate": _q_decontaminate,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
     "llm_minhash_lsh_pairs": _q_minhash_lsh,
-    "llm_token_count": _q_token_count,
     "llm_text_quality": _q_text_quality,
-    "llm_lang_id": _q_lang_id,
-    "llm_fingerprint": _q_fingerprint,
+    "llm_lang_fingerprint": _q_lang_fingerprint,
+    "llm_exact_substring_pairs": _q_exact_substring_pairs,
+    "llm_exact_substring_cut": _q_exact_substring_cut,
     "llm_embedding_topk": _q_embedding_topk,
     "llm_embedding_neardup": _q_embedding_neardup,
     "llm_simhash_buckets": _q_simhash_buckets,
@@ -880,6 +891,18 @@ _JACCARD_PAIRS_SQL = (
     "JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
     "SELECT id1, id2, round(shared / (na + nb - shared), 4) AS jaccard "
     "FROM pairs WHERE shared / (na + nb - shared) >= 0.7"
+)
+
+# shared sliding-window CTE for the ExactSubstr oracles (window=10):
+# the oracle keys on the literal 10-token substring where Spark keys on
+# its xxhash64 — string equality and hash equality define the same
+# duplicate set (2^-64 collision odds aside).
+_SUBSTR_WINS_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "wins AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 9, 0))) "
+    "AS pos, t FROM toks), "
+    "wh AS (SELECT doc_id, pos, array_to_string(t[pos:pos+9], ' ') AS win FROM wins)"
 )
 
 _LLMOPS_ORACLE = {
@@ -906,36 +929,63 @@ _LLMOPS_ORACLE = {
         "FROM trx t JOIN evx e ON t.g = e.g GROUP BY t.doc_id, e.doc_id "
         "HAVING count(*) / any_value(e.n) >= 0.02"
     ),
-    "llm_token_count": (
-        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
-        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est FROM documents"
-    ),
     "llm_text_quality": (
         "WITH toks AS (SELECT doc_id, text, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
-        "q AS (SELECT doc_id, len(t) AS n_tokens, "
+        "q AS (SELECT doc_id, text, len(t) AS n_tokens, "
         "round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1), 4) "
         "AS mean_token_len, "
         "round(len(list_intersect(t, ['the','a','of','and','to','in','is','it'])) "
         "/ greatest(len(t), 1), 4) AS stopword_ratio, "
         "round(length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) "
         "/ greatest(length(text), 1), 4) AS punct_ratio FROM toks) "
-        "SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, "
+        "SELECT doc_id, n_tokens, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est, "
+        "mean_token_len, stopword_ratio, "
         "round(least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3 "
         "+ least(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score FROM q"
     ),
-    "llm_lang_id": (
-        "SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+    "llm_lang_fingerprint": (
+        "SELECT doc_id, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
         "WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru' "
         "WHEN regexp_matches(text, '[äöüß]') THEN 'de' "
         "WHEN regexp_matches(text, '[éèêàçîô]') THEN 'fr' "
         "WHEN regexp_matches(text, '[ñ¿¡áí]') THEN 'es' ELSE 'en' END AS lang_pred, "
-        "count(*) AS cnt FROM documents GROUP BY 1"
-    ),
-    "llm_fingerprint": (
-        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "md5(array_to_string(list_sort(list_distinct("
         "regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint "
         "FROM documents"
+    ),
+    "llm_exact_substring_pairs": (
+        _SUBSTR_WINS_SQL
+        + ", dw AS (SELECT DISTINCT doc_id, win FROM wh), "
+        "dup AS (SELECT doc_id, win FROM (SELECT doc_id, win, "
+        "count(*) OVER (PARTITION BY win) AS c FROM dw) "
+        "WHERE c >= 2 AND c <= 1000) "
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_windows "
+        "FROM dup a JOIN dup b ON a.win = b.win AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
+    ),
+    "llm_exact_substring_cut": (
+        _SUBSTR_WINS_SQL
+        + ", dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+        "count(*) OVER (PARTITION BY win) AS c FROM wh) WHERE c >= 2), "
+        "isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR "
+        "pos - prev > 10 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
+        "ORDER BY pos) AS g FROM (SELECT doc_id, pos, lag(pos) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)), "
+        "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e "
+        "FROM isl GROUP BY doc_id, g), "
+        "tokpos AS (SELECT doc_id, unnest(t) AS tok, "
+        "unnest(generate_series(1, len(t))) AS pos FROM toks), "
+        "kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp "
+        "WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tp.doc_id "
+        "AND tp.pos BETWEEN s.s AND s.e)), "
+        "rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS nt "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE WHEN sp.doc_id IS NULL THEN d.text "
+        "ELSE coalesce(r.nt, '') END AS text FROM documents d "
+        "LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp ON d.doc_id = sp.doc_id "
+        "LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"
     ),
     "llm_embedding_topk": (
         "SELECT b.vec_id AS vec_id, round(list_cosine_similarity("

@@ -28,6 +28,10 @@ from pycypher_nmetl_spark.llmops.textstats import (
 from pycypher_nmetl_spark.llmops.export import (
     global_shuffle, pack_sequences, split, stratified_sample,
 )
+from pycypher_nmetl_spark.llmops.substring import (
+    cut_spans, duplicate_spans, exact_substring_dedup,
+    exact_substring_pairs, hot_windows,
+)
 
 __all__ = [
     "contamination_pairs", "decontaminate",
@@ -38,4 +42,6 @@ __all__ = [
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
     "add_repetition_signals", "scrub_pii", "add_url_canonical",
     "split", "stratified_sample", "global_shuffle", "pack_sequences",
+    "exact_substring_pairs", "exact_substring_dedup", "duplicate_spans",
+    "cut_spans", "hot_windows",
 ]

@@ -174,6 +174,51 @@ def _scrub_pii(engine, args) -> DataFrame:
     return df.select("id", "masked", "pii_hits")
 
 
+def _exact_substring_pairs(engine, args) -> DataFrame:
+    """llm.exactSubstringPairs(label, prop, window=50, maxCount=1000)
+    -> (id1, id2, n_windows)."""
+    from pycypher_nmetl_spark.llmops.substring import exact_substring_pairs
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    return exact_substring_pairs(
+        df,
+        "id",
+        _str_arg(args, 1, "prop"),
+        window=int(_num_arg(args, 2, 50)),
+        max_count=int(_num_arg(args, 3, 1000)),
+    )
+
+
+def _exact_substring_spans(engine, args) -> DataFrame:
+    """llm.exactSubstringSpans(label, prop, window=50, keep='none')
+    -> (doc_id, span_start, span_end)."""
+    from pycypher_nmetl_spark.llmops.substring import duplicate_spans
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    keep = args[3] if len(args) > 3 and args[3] is not None else "none"
+    return duplicate_spans(
+        df,
+        "id",
+        _str_arg(args, 1, "prop"),
+        window=int(_num_arg(args, 2, 50)),
+        keep=keep,
+    )
+
+
+def _exact_substring_cut(engine, args) -> DataFrame:
+    """llm.exactSubstringCut(label, prop, window=50, keep='none')
+    -> (id, text) with duplicated >= window-token substrings removed."""
+    from pycypher_nmetl_spark.llmops.substring import exact_substring_dedup
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    prop = _str_arg(args, 1, "prop")
+    keep = args[3] if len(args) > 3 and args[3] is not None else "none"
+    out = exact_substring_dedup(
+        df, "id", prop, window=int(_num_arg(args, 2, 50)), keep=keep
+    )
+    return out.select("id", F.col(prop).alias("text"))
+
+
 # keys are lowercase: the engine lowercases procedure names on lookup
 LLM_PROCEDURES = {
     "llm.exactduplicates": _exact_duplicates,
@@ -186,4 +231,7 @@ LLM_PROCEDURES = {
     "llm.topk": _topk,
     "llm.repetitionsignals": _repetition,
     "llm.scrubpii": _scrub_pii,
+    "llm.exactsubstringpairs": _exact_substring_pairs,
+    "llm.exactsubstringspans": _exact_substring_spans,
+    "llm.exactsubstringcut": _exact_substring_cut,
 }

@@ -629,3 +629,47 @@ def test_undirected_endpoints_stored_orientation(golden):
         "RETURN startNode(r).name AS s, endNode(r).name AS e"
     )
     assert [tuple(r) for r in df2.collect()] == [("Alice", "Bob")]
+
+
+def test_explicit_id_guard_broadcast_size_gated(golden):
+    """Round-8 verdict nit #1: the clash probe must not broadcast a
+    pathologically large new-id batch (driver OOM). Assert the hint
+    itself (analyzed plan), not the physical join — AQE auto-broadcasts
+    tiny frames regardless of the hint."""
+    from pycypher_nmetl_spark.compiler.mutations import (
+        _BROADCAST_ID_LIMIT, _explicit_id_clashes,
+    )
+
+    cat = golden.catalog
+    new_ids = golden.spark.createDataFrame([(999,)], "_new_id long")
+
+    def analyzed(n):
+        df = _explicit_id_clashes(cat.nodes("Person"), new_ids, n_new=n)
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(_BROADCAST_ID_LIMIT)  # boundary: hinted
+    assert "ResolvedHint" not in analyzed(_BROADCAST_ID_LIMIT + 1)  # gated
+    assert "ResolvedHint" in analyzed(None)  # unknown size keeps old behavior
+
+
+def test_shared_scan_benefit_ignores_join_named_columns(golden):
+    """Round-8 verdict nit #2: `"Join" in plan.toString()` misclassified
+    a scan over a column literally named JoinDate as a join prefix
+    (always-share). The tree walk must cost-model such scan-only
+    prefixes and still detect real joins."""
+    spark = golden.spark
+    df = spark.createDataFrame(
+        [(1, "2020-01-01")], "id long, JoinDate string"
+    ).filter("id > 0")
+    assert not golden._plan_has_join(
+        df._jdf.queryExecution().optimizedPlan()
+    )
+    speedup, p_bytes, i_bytes = golden._shared_scan_benefit(df, members=3)
+    assert speedup != float("inf")  # cost-modeled, not auto-shared
+    assert p_bytes > 0 and i_bytes > 0
+
+    joined = df.join(
+        spark.createDataFrame([(1, "x")], "id long, v string"), "id"
+    )
+    assert golden._plan_has_join(joined._jdf.queryExecution().optimizedPlan())
+    assert golden._shared_scan_benefit(joined, members=3)[0] == float("inf")

@@ -150,3 +150,43 @@ def test_llm_repetition_and_scrub_procs(tpch_engine):
         "RETURN count(*) AS n, sum(pii_hits) AS hits"
     ).collect()[0]
     assert rows["n"] > 0 and rows["hits"] is not None
+
+
+def test_llm_exact_substring_procs_match_python_api(tpch_engine):
+    from pycypher_nmetl_spark.llmops import (
+        duplicate_spans, exact_substring_pairs,
+    )
+
+    docs = tpch_engine.catalog.nodes("Document")
+    rows = tpch_engine.run(
+        "CALL llm.exactSubstringPairs('Document', 'text', 10) "
+        "YIELD id1, id2, n_windows RETURN id1, id2, n_windows"
+    )
+    api = exact_substring_pairs(docs, "id", "text", window=10)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, api.collect()))
+
+    spans = tpch_engine.run(
+        "CALL llm.exactSubstringSpans('Document', 'text', 10) "
+        "YIELD doc_id, span_start, span_end "
+        "RETURN doc_id, span_start, span_end"
+    )
+    api_spans = duplicate_spans(docs, "id", "text", window=10)
+    assert sorted(map(tuple, spans)) == sorted(map(tuple, api_spans.collect()))
+
+
+def test_llm_exact_substring_cut_proc(tpch_engine):
+    # cut text must contain no duplicated 10-token window afterwards:
+    # re-running the span finder on the cleaned corpus finds nothing
+    from pycypher_nmetl_spark.llmops import duplicate_spans
+
+    rows = tpch_engine.run(
+        "CALL llm.exactSubstringCut('Document', 'text', 10) "
+        "YIELD id, text RETURN id, text"
+    )
+    assert len(rows) == tpch_engine.catalog.nodes("Document").count()
+    spark = tpch_engine.catalog.spark
+    cleaned = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "id long, text string"
+    )
+    # idempotence: ExactSubstr of an ExactSubstr'd corpus is a no-op
+    assert duplicate_spans(cleaned, "id", "text", window=10).count() == 0

@@ -744,3 +744,125 @@ def test_brute_force_topk_many(vectors, spark):
         assert got[qid] == want, (qid, got[qid], want)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------- #
+# exact-substring dedup (Lee et al. 2021 ExactSubstr) — round 9
+# --------------------------------------------------------------------- #
+@pytest.fixture()
+def passage_docs(spark):
+    """Planted duplicated passages: docs 1/2 share a 6-token passage,
+    doc 3 repeats one internally, doc 4 is clean, doc 5 is too short
+    to hold any window."""
+    return spark.createDataFrame(
+        [
+            (1, "a b c p q r s t u d e f"),
+            (2, "g h p q r s t u i j k l"),
+            (3, "x y z w v u m n x y z w v u o"),
+            (4, "one two three four five six seven eight"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_substring_pairs_recall(passage_docs):
+    from pycypher_nmetl_spark.llmops import exact_substring_pairs
+
+    got = sorted(
+        tuple(r) for r in
+        exact_substring_pairs(passage_docs, "doc_id", "text", window=6).collect()
+    )
+    assert got == [(1, 2, 1)]  # the planted cross-doc passage, found once
+
+
+def test_duplicate_spans_merge_and_policies(passage_docs):
+    from pycypher_nmetl_spark.llmops import duplicate_spans
+
+    spans = sorted(
+        tuple(r) for r in
+        duplicate_spans(passage_docs, "doc_id", "text", window=6).collect()
+    )
+    # "p q r s t u" at 1:4 and 2:3; doc 3's repeat at 1 and 9
+    assert spans == [(1, 4, 9), (2, 3, 8), (3, 1, 6), (3, 9, 14)]
+
+    first = sorted(
+        tuple(r) for r in
+        duplicate_spans(
+            passage_docs, "doc_id", "text", window=6, keep="first"
+        ).collect()
+    )
+    # canonical (min doc, min pos) occurrences survive
+    assert first == [(2, 3, 8), (3, 9, 14)]
+
+    with pytest.raises(ValueError, match="keep"):
+        duplicate_spans(passage_docs, "doc_id", "text", window=6, keep="bogus")
+
+
+def test_exact_substring_dedup_roundtrip(passage_docs):
+    from pycypher_nmetl_spark.llmops import exact_substring_dedup
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(
+            passage_docs, "doc_id", "text", window=6
+        ).collect()
+    }
+    assert out == {
+        1: "a b c d e f",
+        2: "g h i j k l",
+        3: "m n o",
+        4: "one two three four five six seven eight",  # byte-identical
+        5: "tiny doc",
+    }
+    kept_first = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(
+            passage_docs, "doc_id", "text", window=6, keep="first"
+        ).collect()
+    }
+    assert kept_first[1] == "a b c p q r s t u d e f"  # one copy survives
+    assert kept_first[2] == "g h i j k l"
+    assert kept_first[3] == "x y z w v u m n o"
+
+
+def test_exact_substring_overlapping_spans_merge(spark):
+    """Duplicated windows whose token ranges overlap (start gap <= window)
+    must merge into ONE span, not leave a gap-free pair of spans."""
+    from pycypher_nmetl_spark.llmops import duplicate_spans
+
+    # two docs share the 8-token passage "p1..p8": with window=6 the
+    # shared region produces 3 overlapping duplicated windows per doc
+    docs = spark.createDataFrame(
+        [
+            (1, "a b p1 p2 p3 p4 p5 p6 p7 p8 c d"),
+            (2, "e p1 p2 p3 p4 p5 p6 p7 p8 f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        tuple(r) for r in
+        duplicate_spans(docs, "doc_id", "text", window=6).collect()
+    )
+    assert spans == [(1, 3, 10), (2, 2, 9)]  # exactly the shared passage
+
+
+def test_exact_substring_hot_window_cut(spark):
+    """Pairs op drops boilerplate windows present in > max_count docs
+    (accounted via hot_windows); span/cut path is unaffected."""
+    from pycypher_nmetl_spark.llmops import (
+        exact_substring_pairs, hot_windows,
+    )
+
+    boiler = "this boilerplate footer text appears in every single document here"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # every doc shares the 10-token boilerplate window
+    all_pairs = exact_substring_pairs(docs, "doc_id", "text", window=10)
+    assert all_pairs.count() == 15  # 6 choose 2
+    cut = exact_substring_pairs(docs, "doc_id", "text", window=10, max_count=5)
+    assert cut.count() == 0
+    hot = hot_windows(docs, "doc_id", "text", window=10, max_count=5).collect()
+    assert len(hot) == 1 and hot[0]["n_docs"] == 6
