@@ -23,6 +23,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 
@@ -248,7 +249,56 @@ class GraphCatalog:
     # this is a Delta/iceberg transactional write; locally the same
     # write-then-atomic-pointer-flip protocol over plain parquet)
     # ------------------------------------------------------------------ #
-    def save_durable(self, path: str, keep: int = 2) -> str:
+    @staticmethod
+    def _durable_table(path: str, version: str, rel: str) -> str:
+        """Deterministic metastore name for a bucketed durable table —
+        reconstructable from (path, version, table) alone so a fresh
+        session's load_durable can re-register it, and prunable by the
+        `durable_<pathhash>_<version>_` prefix."""
+        import hashlib
+        import re
+
+        h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", rel)
+        return f"durable_{h}_{version}_{safe}".lower()
+
+    def _write_bucketed(self, df, target: str, table: str, col: str, buckets: int):
+        """Bucketed + sorted external table write; reads back via
+        spark.table() carry the bucket spec, so equi-joins on `col`
+        between tables bucketed INTO the same count compile with NO
+        Exchange (and no Sort) on either side."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.abspath(target))
+            .bucketBy(buckets, col)
+            .sortBy(col)
+            .saveAsTable(table)
+        )
+
+    def _register_bucketed(self, vdir: str, meta: dict) -> "DataFrame":
+        """(Re-)declare the bucketed external table in this session's
+        metastore (the default in-memory catalog forgets definitions
+        across sessions; the DDL re-attaches the bucket spec to the
+        files bucketBy wrote) and return the bucketed frame."""
+        tbl = meta["table"]
+        existing = [t.name for t in self.spark.catalog.listTables()]
+        if tbl.split(".")[-1] not in existing:
+            target = os.path.abspath(os.path.join(vdir, meta["path"]))
+            schema = self.spark.read.parquet(target).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (`{meta['bucket_col']}`) "
+                f"SORTED BY (`{meta['bucket_col']}`) "
+                f"INTO {int(meta['buckets'])} BUCKETS "
+                f"LOCATION '{target}'"
+            )
+        return self.spark.table(tbl)
+
+    def save_durable(self, path: str, keep: int = 2, buckets: int | None = None) -> str:
         """Persist every node/edge table to ``path/v<N>/`` as parquet plus
         a manifest, then atomically repoint ``path/_CURRENT``.
 
@@ -257,9 +307,19 @@ class GraphCatalog:
         kill at any moment leaves ``_CURRENT`` on the previous complete
         version. Old versions beyond ``keep`` are pruned after the flip.
         Returns the new version name.
+
+        ``buckets``: when set, nodes are written ``bucketBy(buckets, id)``
+        and edges ``bucketBy(buckets, src)`` (sorted, external tables), so
+        a reloaded catalog's hop joins (edges.src = nodes.id) compile
+        with NO Exchange on either side — at 100x scale that removes the
+        per-query shuffle a plain-parquet reload pays on every hop.
+        Bucketing costs one clustered write per snapshot; it pays when
+        snapshots are read by many hop queries over tables too big to
+        broadcast (see SCALING.md §bucketed-durable). Joins that enter an
+        edge table via ``dst`` (left-direction hops) still exchange —
+        src is the traversal-dominant side.
         """
         import json
-        import os
         import shutil
 
         os.makedirs(path, exist_ok=True)
@@ -276,23 +336,33 @@ class GraphCatalog:
             "edges": {},
             "fk_collapse": {k: list(v) for k, v in self._fk_collapse.items()},
         }
+
+        def _write(df, rel: str, bucket_col: str | None) -> dict:
+            target = os.path.join(vdir, rel)
+            meta: dict = {"path": rel}
+            if buckets and bucket_col and bucket_col in df.columns:
+                tbl = self._durable_table(path, version, rel)
+                self._write_bucketed(df, target, tbl, bucket_col, buckets)
+                meta.update(
+                    {"buckets": buckets, "bucket_col": bucket_col, "table": tbl}
+                )
+            else:
+                df.write.mode("overwrite").parquet(target)
+            return meta
+
         for label, df in self._nodes.items():
-            rel = f"nodes_{label}"
-            df.write.mode("overwrite").parquet(os.path.join(vdir, rel))
-            manifest["nodes"][label] = {
-                "path": rel,
-                "broadcastable": self.is_broadcastable("n", label),
-            }
+            meta = _write(df, f"nodes_{label}", "id")
+            meta["broadcastable"] = self.is_broadcastable("n", label)
+            manifest["nodes"][label] = meta
         for rt, df in self._edges.items():
-            rel = f"edges_{rt}"
-            df.write.mode("overwrite").parquet(os.path.join(vdir, rel))
+            meta = _write(df, f"edges_{rt}", "src")
             src_l, dst_l = self._edge_endpoints.get(rt, (None, None))
-            manifest["edges"][rt] = {
-                "path": rel,
+            meta.update({
                 "src_label": src_l,
                 "dst_label": dst_l,
                 "broadcastable": self.is_broadcastable("e", rt),
-            }
+            })
+            manifest["edges"][rt] = meta
         with open(os.path.join(vdir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         tmp = os.path.join(path, "._CURRENT.tmp")
@@ -308,15 +378,21 @@ class GraphCatalog:
         # the new files also truncates mutation lineage for free. The
         # registration metadata (endpoints, broadcastable, fk_collapse)
         # is unchanged by construction, so only the frames are swapped.
-        for label in list(self._nodes):
-            self._nodes[label] = self.spark.read.parquet(
-                os.path.join(vdir, f"nodes_{label}")
+        for label, meta in manifest["nodes"].items():
+            self._nodes[label] = (
+                self.spark.table(meta["table"]) if "table" in meta
+                else self.spark.read.parquet(os.path.join(vdir, meta["path"]))
             )
-        for rt in list(self._edges):
-            self._edges[rt] = self.spark.read.parquet(
-                os.path.join(vdir, f"edges_{rt}")
+        for rt, meta in manifest["edges"].items():
+            self._edges[rt] = (
+                self.spark.table(meta["table"]) if "table" in meta
+                else self.spark.read.parquet(os.path.join(vdir, meta["path"]))
             )
         for old in existing[: max(0, len(existing) - (keep - 1))]:
+            h = self._durable_table(path, old, "")
+            for t in self.spark.catalog.listTables():
+                if t.name.startswith(h):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
         return version
 
@@ -326,9 +402,11 @@ class GraphCatalog:
 
         Incomplete newer versions (crash mid-write) are ignored by
         construction — only the pointer names a readable version.
+        Bucketed tables (save_durable(buckets=...)) are re-declared in
+        this session's metastore so the bucket spec — and the
+        exchange-free hop joins it buys — survives the reload.
         """
         import json
-        import os
 
         with open(os.path.join(path, "_CURRENT")) as f:
             version = f.read().strip()
@@ -336,17 +414,23 @@ class GraphCatalog:
         with open(os.path.join(vdir, "manifest.json")) as f:
             manifest = json.load(f)
         cat = cls(spark)
+
+        def _read(meta):
+            if "table" in meta:
+                return cat._register_bucketed(vdir, meta)
+            return spark.read.parquet(os.path.join(vdir, meta["path"]))
+
         for label, meta in manifest["nodes"].items():
             cat.register_nodes(
                 label,
-                spark.read.parquet(os.path.join(vdir, meta["path"])),
+                _read(meta),
                 broadcastable=meta.get("broadcastable"),
             )
         for rt, meta in manifest["edges"].items():
             fk = manifest.get("fk_collapse", {}).get(rt)
             cat.register_edges(
                 rt,
-                spark.read.parquet(os.path.join(vdir, meta["path"])),
+                _read(meta),
                 src_label=meta.get("src_label"),
                 dst_label=meta.get("dst_label"),
                 broadcastable=meta.get("broadcastable"),

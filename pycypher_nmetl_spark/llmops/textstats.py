@@ -24,12 +24,33 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def add_token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
+def add_token_count(
+    df: DataFrame,
+    text_col: str,
+    out: str = "n_tokens",
+    tokenizer: str = "ws",
+    merges_path: str | None = None,
+) -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate
-    (~chars/4 is the common rule of thumb for byte-pair encodings)."""
-    return df.withColumn(out, F.size(tokens(F.col(text_col)))).withColumn(
+    (~chars/4 is the common rule of thumb for byte-pair encodings).
+
+    tokenizer="bpe" additionally computes an EXACT byte-level BPE count
+    in ``n_tokens_bpe`` from a standard merges.txt at ``merges_path``
+    (GPT-2's published file loads directly) — an Arrow-batched Python
+    path, the one textstats op where that's justified (see llmops.bpe).
+    The zero-dependency chars/4 estimate stays the default."""
+    df = df.withColumn(out, F.size(tokens(F.col(text_col)))).withColumn(
         "n_tokens_bpe_est", F.ceil(F.length(F.col(text_col)) / 4).cast("long")
     )
+    if tokenizer == "bpe":
+        if not merges_path:
+            raise ValueError("tokenizer='bpe' requires merges_path")
+        from pycypher_nmetl_spark.llmops.bpe import add_bpe_token_count
+
+        df = add_bpe_token_count(df, text_col, merges_path)
+    elif tokenizer != "ws":
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (use 'ws' or 'bpe')")
+    return df
 
 
 def add_quality(df: DataFrame, text_col: str) -> DataFrame:

@@ -866,3 +866,111 @@ def test_exact_substring_hot_window_cut(spark):
     assert cut.count() == 0
     hot = hot_windows(docs, "doc_id", "text", window=10, max_count=5).collect()
     assert len(hot) == 1 and hot[0]["n_docs"] == 6
+
+
+# --------------------------------------------------------------------- #
+# byte-level BPE token counting — round 9
+# --------------------------------------------------------------------- #
+FIXTURE_CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "I'm sure they'll be quick, won't they?",
+    "numbers 123 and 456 mixed with words",
+    "  leading spaces\tand\nnewlines  ",
+    "répétition of accented élève tokens, naïve café",
+    "",
+]
+
+
+def _reference_bpe_encode(text, ranks):
+    """Independent reference: index-based lowest-rank merging (a
+    different implementation shape from llmops.bpe.bpe_piece's
+    rebuild-the-list loop) over the same byte-encoded pre-tokens."""
+    from pycypher_nmetl_spark.llmops.bpe import bytes_to_unicode, pre_tokenize
+
+    b2u = bytes_to_unicode()
+    out = []
+    for piece in pre_tokenize(text):
+        enc = "".join(b2u[b] for b in piece.encode("utf-8"))
+        parts = list(enc)
+        while len(parts) > 1:
+            ranked = [
+                (ranks[(parts[i], parts[i + 1])], i)
+                for i in range(len(parts) - 1)
+                if (parts[i], parts[i + 1]) in ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+        out.extend(parts)
+    return out
+
+
+def test_bpe_pre_tokenize_gpt2_shapes():
+    from pycypher_nmetl_spark.llmops.bpe import pre_tokenize
+
+    assert pre_tokenize("Hello world, I'm 2 cats!") == [
+        "Hello", " world", ",", " I", "'m", " 2", " cats", "!",
+    ]
+    assert pre_tokenize("a  b") == ["a", " ", " b"]
+    assert pre_tokenize("a\nb") == ["a", "\n", "b"]
+    assert pre_tokenize("tab\t x") == ["tab", "\t", " x"]
+    assert pre_tokenize("") == []
+    # every split is a partition of the input
+    for t in FIXTURE_CORPUS:
+        assert "".join(pre_tokenize(t)) == t
+
+
+def test_bpe_encode_matches_independent_reference(tmp_path):
+    from pycypher_nmetl_spark.llmops.bpe import (
+        count_tokens, encode, load_merges, save_merges, train_bpe_merges,
+    )
+
+    merges = train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=80)
+    assert len(merges) > 20
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    ranks = load_merges(p)
+    assert list(ranks) == merges  # save/load roundtrip preserves rank order
+    for t in FIXTURE_CORPUS + ["unseen wörds he'll 789 zap!"]:
+        got = encode(t, ranks)
+        want = _reference_bpe_encode(t, ranks)
+        assert got == want, (t, got, want)
+        assert count_tokens(t, ranks) == len(want)
+        # merging never crosses pre-token boundaries: decode roundtrip
+        rev = {v: k for k, v in
+               __import__("pycypher_nmetl_spark.llmops.bpe",
+                          fromlist=["bytes_to_unicode"]).bytes_to_unicode().items()}
+        decoded = bytes(rev[c] for tok in got for c in tok).decode("utf-8")
+        assert decoded == t
+
+
+def test_bpe_distributed_count_matches_local(spark, tmp_path):
+    from pycypher_nmetl_spark.llmops.bpe import (
+        count_tokens, load_merges, save_merges, train_bpe_merges,
+    )
+    from pycypher_nmetl_spark.llmops.textstats import add_token_count
+
+    p = str(tmp_path / "merges.txt")
+    save_merges(train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=60), p)
+    ranks = load_merges(p)
+    rows = [(i, t) for i, t in enumerate(FIXTURE_CORPUS)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = add_token_count(df, "text", tokenizer="bpe", merges_path=p)
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in out.collect()}
+    for i, t in enumerate(FIXTURE_CORPUS):
+        assert got[i] == count_tokens(t, ranks), (i, t)
+    assert got[99] == 0  # null text counts 0
+    # the ws estimate columns are still present (default path untouched)
+    assert {"n_tokens", "n_tokens_bpe_est", "n_tokens_bpe"} <= set(out.columns)
+
+
+def test_bpe_tokenizer_arg_validation(spark):
+    from pycypher_nmetl_spark.llmops.textstats import add_token_count
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="merges_path"):
+        add_token_count(df, "text", tokenizer="bpe")
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        add_token_count(df, "text", tokenizer="wordpiece")

@@ -85,6 +85,23 @@ def _ops():
             min_contamination=0.02,
         ).count()
 
+    def substring_pairs(spark, d):
+        from pycypher_nmetl_spark.llmops import exact_substring_pairs
+
+        return exact_substring_pairs(
+            _docs(spark, d), "doc_id", "text", window=10
+        ).count()
+
+    def substring_cut(spark, d):
+        # full ExactSubstr roundtrip: window hashes -> dup flag (one
+        # corpus-wide exchange) -> span islands -> token cut. On the
+        # replicated gen datasets EVERY position is duplicated (each doc
+        # has k-1 exact copies), so this measures the op's worst case.
+        from pycypher_nmetl_spark.llmops import exact_substring_dedup
+
+        out = exact_substring_dedup(_docs(spark, d), "doc_id", "text", window=10)
+        return out.agg(F.sum(F.length("text"))).collect()[0][0]
+
     def export_pipeline(spark, d):
         df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
         train = df.where(F.col("split") == "train")
@@ -99,6 +116,8 @@ def _ops():
         ("embed_topk", embed_topk),
         ("embed_neardup_lsh", embed_neardup),
         ("decontaminate", decontam),
+        ("exact_substring_pairs", substring_pairs),
+        ("exact_substring_cut", substring_cut),
         ("export_split_shuffle_pack", export_pipeline),
     ]
 
