@@ -59,6 +59,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     docs = exact_dedup(docs, ["text"])
     stats["after_exact_dedup"] = docs.count()
 
+    # 3b. passage-level cuts INSIDE surviving documents (round 9):
+    #     exact-substring (Lee et al. 2021) removes verbatim >=20-token
+    #     passages duplicated anywhere in the corpus; the paragraph-
+    #     granularity near-dup then catches almost-verbatim boilerplate
+    #     paragraphs (keeps the first copy). Both rebuild text in place.
+    from pycypher_nmetl_spark.llmops import (
+        cut_duplicate_paragraphs, exact_substring_dedup,
+    )
+
+    docs = exact_substring_dedup(docs, "doc_id", "text", window=20, keep="first")
+    docs = cut_duplicate_paragraphs(docs, "doc_id", "text", threshold=0.8)
+    docs = docs.filter(F.length(F.trim("text")) > 0)  # fully-cut docs drop
+    stats["after_passage_cuts"] = docs.count()
+
     # 4. near-dedup: MinHash-LSH pairs -> connected components ->
     #    keep one representative (min doc_id) per duplicate cluster
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)

@@ -923,6 +923,10 @@ class ExprCompiler:
         target = self.col(e.target)
         dt = T.NullType() if self.lambda_vars else self.bindings.dtype(target)
         idx = self.col(e.index)
+        if not self.lambda_vars and isinstance(dt, T.NullType):
+            # null[anything] is null (TCK: null-subscript); Spark's
+            # element_at rejects a VOID-typed target at analysis time
+            return F.lit(None)
         if isinstance(dt, T.MapType):
             return F.try_element_at(target, idx)
         if isinstance(dt, T.StructType):
@@ -930,7 +934,20 @@ class ExprCompiler:
                 if e.index.value in dt.fieldNames():
                     return target.getField(e.index.value)
                 return F.lit(None)
-            raise NotImplementedError("dynamic struct key lookup")
+            # dynamic key over a struct-modelled map (TCK: m[k] with a
+            # variable key): a CASE over the statically-known fields —
+            # the field set IS static in the struct model, only the
+            # lookup key is runtime data
+            key = idx.cast("string")
+            result = None
+            for name in dt.fieldNames():
+                branch = target.getField(name)
+                result = (
+                    F.when(key == name, branch)
+                    if result is None
+                    else result.when(key == name, branch)
+                )
+            return result if result is not None else F.lit(None)
         if isinstance(e.index, Literal) and isinstance(e.index.value, int):
             i = e.index.value
             return F.try_element_at(target, F.lit(i + 1 if i >= 0 else i))
@@ -1109,6 +1126,15 @@ class ExprCompiler:
                 if info and info.kind in ("node", "rel"):
                     for c in self.bindings.prop_columns(e.var):
                         fields.append(self.bindings.df[c].alias(c[len(e.var) + 2 :]))
+                else:
+                    # `.*` on a plain map/struct value (TCK
+                    # map-projection-all): spread its statically-known
+                    # fields — the struct model makes the key set static
+                    target = self.col(Var(e.var))
+                    dt = self.bindings.dtype(target)
+                    if isinstance(dt, T.StructType):
+                        for fname in dt.fieldNames():
+                            fields.append(target.getField(fname).alias(fname))
         return F.struct(*fields)
 
     def _c_FuncCall(self, e: FuncCall) -> Column:

@@ -295,9 +295,15 @@ def _candidate_labels(engine, bindings: Bindings, var: str) -> tuple[str, list[s
         raise KeyError(f"undefined variable {var!r}")
     cat = engine.catalog
     if info.kind == "node":
-        return "n", list(info.labels) if info.labels else cat.labels()
+        # labels never registered have no table to touch: a var bound by
+        # (OPTIONAL) MATCH on an unknown label is empty/null, and
+        # mutating it is a no-op per openCypher (round-9 TCK
+        # delete-optional-null-noop) — not a KeyError downstream
+        labels = [lb for lb in info.labels if cat.has_label(lb)]
+        return "n", labels if info.labels else cat.labels()
     if info.kind == "rel":
-        return "e", list(info.labels) if info.labels else cat.rel_types()
+        types = [t for t in info.labels if cat.has_rel_type(t)]
+        return "e", types if info.labels else cat.rel_types()
     if info.kind == "value":
         # FOREACH over collect(n) / UNWIND of an id list: the values are
         # entity ids. collect(n) records the element kind/labels in

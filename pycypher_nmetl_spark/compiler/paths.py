@@ -115,7 +115,9 @@ def _edge_hop_table(
     ids are only unique per label (round-5 fix — id collisions across
     label spaces fabricated paths, e.g. (c:Customer)-[:FROM_NATION*2]->
     chained a Nation tip back onto same-id Customer edges)."""
-    from pycypher_nmetl_spark.compiler.patterns import edge_scan, entity_prop_col
+    from pycypher_nmetl_spark.compiler.patterns import (
+        edge_scan, entity_prop_col, prop_pairs,
+    )
 
     cat = engine.catalog
     use_types = list(rel.types) if rel.types else cat.rel_types()
@@ -127,7 +129,7 @@ def _edge_hop_table(
 
         if rel.props:
             cc = ExprCompiler(Bindings(edf, {tmp: rinfo}), params)
-            for key, expr in rel.props.pairs:
+            for key, expr in prop_pairs(rel.props, params):
                 target = entity_prop_col(edf, tmp, key)
                 edf = edf.filter(target == cc.col(expr))
 
@@ -180,7 +182,7 @@ def _expand_varlength(
     shortest: str | None,
 ):
     from pycypher_nmetl_spark.compiler.patterns import (
-        _ensure_var, entity_prop_col, node_scan,
+        _ensure_var, entity_prop_col, node_scan, prop_pairs,
     )
 
     cat = engine.catalog
@@ -289,7 +291,7 @@ def _expand_varlength(
             pb = pb.add_var(nvar, VarInfo("node", (), anon=True))
         if nxt.props:
             cc = ExprCompiler(pb, params)
-            for key, expr in nxt.props.pairs:
+            for key, expr in prop_pairs(nxt.props, params):
                 target = entity_prop_col(pb.df, nvar, key)
                 pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
 

@@ -134,10 +134,32 @@ def entity_prop_col(df: DataFrame, var: str, key: str):
     return df[phys] if phys in df.columns else F.lit(None)
 
 
+def prop_pairs(props, params) -> list:
+    """(key, expr) pairs from an inline `{k: v}` map or a `$param` map
+    (openCypher parameter property maps in patterns, round-9 TCK)."""
+    from pycypher_nmetl_spark.cypher.ast_nodes import Literal, Param
+
+    if isinstance(props, Param):
+        value = params.get(props.name)
+        if not isinstance(value, dict):
+            raise ValueError(f"${props.name} must be a map for a property pattern")
+        return [(k, Literal(v)) for k, v in value.items()]
+    return list(props.pairs)
+
+
 def node_scan(engine: "CypherEngine", var: str, labels: list[str]) -> tuple[DataFrame, VarInfo]:
     """Scan a label (or all labels) into var-prefixed columns."""
     cat = engine.catalog
     if labels:
+        if any(not cat.has_label(lb) for lb in labels):
+            # openCypher: MATCHing a label no node carries yields no
+            # rows (and OPTIONAL MATCH one null row) — not an error.
+            # Writes still go through cat.nodes() directly, which does
+            # raise, so CREATE/MERGE label registration is unaffected.
+            empty = engine.spark.createDataFrame([], "id long").select(
+                F.col("id").alias(var)
+            )
+            return empty, VarInfo("node", tuple(labels))
         df = cat.nodes(labels[0])
         for extra in labels[1:]:
             df = df.join(cat.nodes(extra).select("id"), on="id", how="left_semi")
@@ -279,7 +301,7 @@ def _scan_node_into(
         out = frame if pb is None else _merge(pb, frame, "inner", engine)
     if np.props:
         cc = ExprCompiler(out, params)
-        for key, expr in np.props.pairs:
+        for key, expr in prop_pairs(np.props, params):
             target = entity_prop_col(out.df, var, key)
             out = out.with_df(out.df.filter(target == cc.col(expr)))
     return out
@@ -438,7 +460,7 @@ def _try_fk_collapse(
 
     if nxt.props:
         cc = ExprCompiler(pb, params)
-        for key, expr in nxt.props.pairs:
+        for key, expr in prop_pairs(nxt.props, params):
             target = entity_prop_col(pb.df, nvar, key)
             pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
     return pb, rvar
@@ -513,7 +535,7 @@ def _expand(
 
     if rel.props:
         cc = ExprCompiler(Bindings(edf, {rvar: rinfo}), params)
-        for key, expr in rel.props.pairs:
+        for key, expr in prop_pairs(rel.props, params):
             target = entity_prop_col(edf, rvar, key)
             edf = edf.filter(target == cc.col(expr))
 
@@ -600,7 +622,7 @@ def _expand(
 
     if nxt.props:
         cc = ExprCompiler(pb, params)
-        for key, expr in nxt.props.pairs:
+        for key, expr in prop_pairs(nxt.props, params):
             target = entity_prop_col(pb.df, nvar, key)
             pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
     return pb.with_df(pb.df.drop(jlcol, olcol)), rvar

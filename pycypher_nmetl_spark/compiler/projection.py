@@ -203,14 +203,31 @@ def compile_projection(
 
 
 def _const(cc: ExprCompiler, expr) -> int:
-    """SKIP/LIMIT operand: literal or parameter (projection_planner.py:241-261)."""
+    """SKIP/LIMIT operand: literal, parameter, or any constant expression
+    (openCypher allows e.g. `LIMIT 2 + 1` / `LIMIT toInteger($n * 2)`).
+    Constant expressions fold driver-side with one single-row eval —
+    they reference no query variables by definition, so compiling over
+    a unit frame is sound; variable references fail there and raise."""
     from pycypher_nmetl_spark.cypher.ast_nodes import Literal, Param
 
     if isinstance(expr, Literal):
         return expr.value
     if isinstance(expr, Param):
         return cc.params[expr.name]
-    raise ValueError("SKIP/LIMIT must be a literal or parameter")
+    try:
+        spark = cc.bindings.df.sparkSession
+        unit = Bindings(spark.range(1).drop("id"), {})
+        col = ExprCompiler(unit, cc.params).col(expr)
+        value = unit.df.select(col.alias("_v")).collect()[0][0]
+    except Exception:
+        raise ValueError(
+            "SKIP/LIMIT must be a constant expression (no variable references)"
+        ) from None
+    if value is None or not isinstance(value, int):
+        raise ValueError(f"SKIP/LIMIT must evaluate to an integer, got {value!r}")
+    if value < 0:
+        raise ValueError(f"SKIP/LIMIT must be non-negative, got {value}")
+    return value
 
 
 # ------------------------------------------------------------------------- #

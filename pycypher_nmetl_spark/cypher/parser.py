@@ -358,6 +358,9 @@ class Parser:
             labels.append(self.expect_name())
         if self.at_sym("{"):
             props = self.parse_map_literal()
+        elif self.peek().kind == "PARAM":
+            # (n:Label $props) — parameter property map (openCypher)
+            props = Param(self.advance().value)
         self.expect_sym(")")
         return NodePattern(var, labels, props)
 
@@ -391,6 +394,8 @@ class Parser:
                     max_hops = min_hops  # [*2] = exactly 2
             if self.at_sym("{"):
                 props = self.parse_map_literal()
+            elif self.peek().kind == "PARAM":
+                props = Param(self.advance().value)
             self.expect_sym("]")
             if self.eat_sym("->"):
                 if direction == "L":

@@ -160,6 +160,14 @@ class CypherEngine:
         except CypherSyntaxError as e:
             return [f"syntax: {e}"]
         params = parameters or {}
+        # unknown labels/types in READ patterns: since round 9 these
+        # legally match zero rows at execution (openCypher), so the
+        # compile no longer raises — but in a registered-table catalog
+        # they are almost certainly typos, so validate still reports
+        # them. CREATE/MERGE introduce new labels and are exempt.
+        errs = self._unknown_read_labels(ast)
+        if errs:
+            return errs
         self.catalog.begin()
         try:
             if isinstance(ast, UnionQuery):
@@ -172,6 +180,35 @@ class CypherEngine:
             return [f"{type(e).__name__}: {e}"]
         finally:
             self.catalog.rollback()
+
+    def _unknown_read_labels(self, ast) -> list[str]:
+        from pycypher_nmetl_spark.compiler.astutil import walk
+        from pycypher_nmetl_spark.cypher.ast_nodes import (
+            Create, Match, Merge, NodePattern, RelPattern, UnionQuery,
+        )
+
+        errs: list[str] = []
+        queries = ast.branches if isinstance(ast, UnionQuery) else [ast]
+        for q in queries:
+            for clause in q.clauses:
+                if isinstance(clause, (Create, Merge)):
+                    continue
+                for node in walk(clause):
+                    if isinstance(node, NodePattern):
+                        for lb in node.labels:
+                            if not self.catalog.has_label(lb):
+                                errs.append(
+                                    f"unknown: node label '{lb}' is not "
+                                    "registered (matches zero rows)"
+                                )
+                    elif isinstance(node, RelPattern):
+                        for t in node.types:
+                            if not self.catalog.has_rel_type(t):
+                                errs.append(
+                                    f"unknown: relationship type '{t}' is "
+                                    "not registered (matches zero rows)"
+                                )
+        return errs
 
     def job_group(self, group_id: str, description: str = ""):
         """Context manager tagging Spark jobs so they can be cancelled:

@@ -14,8 +14,9 @@ from pycypher_nmetl_spark.llmops.decontam import (
     contamination_pairs, decontaminate,
 )
 from pycypher_nmetl_spark.llmops.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingles,
-    simhash, simhash_buckets,
+    cut_duplicate_paragraphs, exact_dedup, explode_paragraphs,
+    minhash_lsh_pairs, ngram_jaccard_pairs, paragraph_near_dup_pairs,
+    shingles, simhash, simhash_buckets,
 )
 from pycypher_nmetl_spark.llmops.similarity import (
     brute_force_topk, brute_force_topk_many, cosine_col, ivf_build,
@@ -44,4 +45,6 @@ __all__ = [
     "split", "stratified_sample", "global_shuffle", "pack_sequences",
     "exact_substring_pairs", "exact_substring_dedup", "duplicate_spans",
     "cut_spans", "hot_windows",
+    "explode_paragraphs", "paragraph_near_dup_pairs",
+    "cut_duplicate_paragraphs",
 ]

@@ -304,6 +304,111 @@ def simhash(text: Column, bits: int = 16, hash_fn: str = "xxhash64") -> Column:
     )
 
 
+def explode_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = r"\n+"
+) -> DataFrame:
+    """(doc_id, para_idx, para): one row per non-empty paragraph. The
+    paragraph index is the span identifier downstream verdicts map back
+    to — exact for cutting, stable under recomputation."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("para_idx", F.col("para_idx").cast("long"))
+    )
+
+
+def paragraph_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+    sep: str = r"\n+",
+) -> DataFrame:
+    """Near-duplicate PARAGRAPH pairs across (or within) documents —
+    the paragraph-granularity composition of MinHash-LSH (round-9:
+    exact_substring catches verbatim passages; this catches *almost*-
+    verbatim ones, e.g. boilerplate with a date substituted).
+
+    Explodes to paragraphs, runs minhash_lsh_pairs with a struct id
+    (doc_id, para_idx) — structs order lexicographically, so the
+    id1 < id2 candidate dedup and the keep-first policy below stay
+    well-defined — and maps verdicts back to document + paragraph-index
+    spans. Scale shape is the LSH pipeline's (banded buckets, exact
+    verify); the explode only narrows rows.
+    """
+    paras = explode_paragraphs(df, id_col, text_col, sep).select(
+        F.struct("doc_id", "para_idx").alias("pid"), "para"
+    )
+    pairs = minhash_lsh_pairs(paras, "pid", "para", k=k, threshold=threshold)
+    return pairs.select(
+        F.col("id1.doc_id").alias("doc_id1"),
+        F.col("id1.para_idx").alias("para_idx1"),
+        F.col("id2.doc_id").alias("doc_id2"),
+        F.col("id2.para_idx").alias("para_idx2"),
+        "jaccard",
+    )
+
+
+def cut_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+    sep: str = r"\n+",
+    joiner: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove every paragraph that near-duplicates an EARLIER one
+    (struct order (doc_id, para_idx)): a paragraph is cut iff it is the
+    greater side of >= 1 verified pair, so each duplicate group keeps
+    its least member. Documents are rebuilt from surviving paragraphs
+    joined with ``joiner`` (paragraph-boundary whitespace normalizes;
+    paragraph text is untouched). Documents with no cut paragraph pass
+    through byte-identical.
+    """
+    out_col = out_col or text_col
+    pairs = paragraph_near_dup_pairs(df, id_col, text_col, k, threshold, sep)
+    cut = pairs.select(
+        F.col("doc_id2").alias("doc_id"), F.col("para_idx2").alias("para_idx")
+    ).distinct()
+    paras = explode_paragraphs(df, id_col, text_col, sep)
+    kept = paras.join(cut, ["doc_id", "para_idx"], "left_anti")
+    rebuilt = (
+        kept.groupBy(F.col("doc_id").alias("_rb_id"))
+        .agg(
+            F.concat_ws(
+                joiner, F.array_sort(F.collect_list(F.struct("para_idx", "para")))
+                .getField("para")
+            ).alias("_rebuilt"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    n_paras = paras.groupBy(F.col("doc_id").alias("_np_id")).agg(
+        F.count(F.lit(1)).alias("_total")
+    )
+    joined = (
+        df.join(rebuilt, df[id_col] == F.col("_rb_id"), "left")
+        .drop("_rb_id")
+        .join(n_paras, df[id_col] == F.col("_np_id"), "left")
+        .drop("_np_id")
+    )
+    cleaned = F.when(
+        F.col("_kept").isNull(), F.lit("")  # every paragraph cut (or none existed)
+    ).otherwise(
+        F.when(F.col("_kept") == F.col("_total"), F.col(text_col)).otherwise(
+            F.col("_rebuilt")
+        )
+    )
+    # a doc whose text had no non-empty paragraphs keeps its original
+    cleaned = F.when(F.col("_total").isNull(), F.col(text_col)).otherwise(cleaned)
+    return joined.withColumn(out_col, cleaned).drop("_rebuilt", "_kept", "_total")
+
+
 def simhash_buckets(
     df: DataFrame,
     id_col: str,

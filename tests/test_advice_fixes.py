@@ -147,10 +147,13 @@ def test_var_length_lower_bound_unaffected(golden, run):
 # 5. UNION mutation atomicity
 # --------------------------------------------------------------------- #
 def test_union_mutations_roll_back_together(golden):
+    # round-9: the failing branch is an unknown FUNCTION — an unknown
+    # label now legally matches zero rows (openCypher, TCK
+    # unknown-label-returns-empty) instead of raising
     with pytest.raises(Exception):
         golden.execute(
             "CREATE (:Tmp {x: 1}) RETURN 1 AS v "
-            "UNION MATCH (n:NoSuchLabel) RETURN 1 AS v"
+            "UNION MATCH (n:Person) RETURN noSuchFn(n.age) AS v"
         )
     # branch 1's CREATE must not have been committed
     assert not golden.catalog.has_label("Tmp")

@@ -974,3 +974,54 @@ def test_bpe_tokenizer_arg_validation(spark):
         add_token_count(df, "text", tokenizer="bpe")
     with pytest.raises(ValueError, match="unknown tokenizer"):
         add_token_count(df, "text", tokenizer="wordpiece")
+
+
+# --------------------------------------------------------------------- #
+# paragraph-granularity near-dup — round 9
+# --------------------------------------------------------------------- #
+@pytest.fixture()
+def para_docs(spark):
+    """Planted cross-doc near-duplicate paragraph (one word differs),
+    an exact within-doc repeat, a clean doc, and a whitespace-only doc."""
+    return spark.createDataFrame(
+        [
+            (1, "unique intro one\nthe quick brown fox jumps over the lazy dog today\nclosing one"),
+            (2, "other intro two\nthe quick brown fox jumps over the lazy cat today\nclosing two"),
+            (3, "repeated paragraph body with many words here\nmiddle bit\nrepeated paragraph body with many words here"),
+            (4, "totally unrelated content\nwith other paragraphs"),
+            (5, "\n\n"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_near_dup_pairs_planted(para_docs):
+    from pycypher_nmetl_spark.llmops import paragraph_near_dup_pairs
+
+    got = sorted(
+        (r["doc_id1"], r["para_idx1"], r["doc_id2"], r["para_idx2"])
+        for r in paragraph_near_dup_pairs(
+            para_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    # the planted cross-doc pair and the exact within-doc repeat
+    assert got == [(1, 1, 2, 1), (3, 0, 3, 2)]
+
+
+def test_cut_duplicate_paragraphs_keeps_first(para_docs):
+    from pycypher_nmetl_spark.llmops import cut_duplicate_paragraphs
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in cut_duplicate_paragraphs(
+            para_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # canonical doc keeps its paragraph byte-identical
+    assert out[1] == (
+        "unique intro one\nthe quick brown fox jumps over the lazy dog today\nclosing one"
+    )
+    assert out[2] == "other intro two\n\nclosing two"
+    assert out[3] == "repeated paragraph body with many words here\n\nmiddle bit"
+    assert out[4] == "totally unrelated content\nwith other paragraphs"  # untouched
+    assert out[5] == "\n\n"  # no non-empty paragraphs: untouched

@@ -336,12 +336,12 @@ SCENARIOS: list[TCK] = [
         [("Alice",)],
         xfail="Neo4j 5 inline node-pattern WHERE is outside the reference "
               "grammar — unscoped"),
+    # round-9: the former deliberate divergence (unknown label raised a
+    # KeyError) is fixed — read-path scans of an unregistered label now
+    # match zero rows per openCypher; engine.validate still reports the
+    # probable typo pre-execution, and writes still raise.
     TCK("unknown-label-returns-empty",
-        "MATCH (n:Nope) RETURN count(*) AS c", [(0,)],
-        xfail="deliberate divergence: labels are registered tables in "
-              "this engine, so an unknown label raises (and "
-              "engine.validate reports it pre-execution) instead of "
-              "matching zero rows as in schemaless Neo4j"),
+        "MATCH (n:Nope) RETURN count(*) AS c", [(0,)]),
     # ---------------- round-8 expansion (probe-verified) --------------
     TCK("order-by-unreturned-expr",
         "MATCH (n:Person) RETURN n.name AS nm ORDER BY n.age DESC",
@@ -412,6 +412,425 @@ SCENARIOS: list[TCK] = [
         setup=("MERGE (n:Person {name: 'Bob'}) ON MATCH SET n.seen = true",)),
 ]
 
+# ---------------------------------------------------------------------- #
+# round-9 expansion (VERDICT r8 #5): mechanical widening toward the
+# public TCK's clause surface — ~170 further scenarios over the same
+# fixed graph, grouped by TCK feature-file theme. Same re-authoring
+# discipline: themes from opencypher/openCypher (Apache-2.0), text ours.
+# ---------------------------------------------------------------------- #
+SCENARIOS += [
+    # ---------------- Mathematical3 / functions ----------------------
+    TCK("sqrt-and-exp", "RETURN sqrt(16) AS a, exp(0) AS b", [(4.0, 1.0)]),
+    TCK("log-family",
+        "RETURN log(e()) AS a, log10(1000) AS b, round(log(1), 4) AS c",
+        [(1.0, 3.0, 0.0)]),
+    TCK("trig-roundtrip",
+        "RETURN round(sin(0), 4) AS a, round(cos(0), 4) AS b, "
+        "round(tan(0), 4) AS c", [(0.0, 1.0, 0.0)]),
+    TCK("atan2-quadrant", "RETURN round(atan2(1, 1) / pi() * 4, 4) AS x",
+        [(1.0,)]),
+    TCK("pi-and-e-literals",
+        "RETURN round(pi(), 4) AS p, round(e(), 4) AS e", [(3.1416, 2.7183)]),
+    TCK("degrees-radians",
+        "RETURN round(degrees(pi()), 4) AS d, round(radians(180) - pi(), 4) AS r",
+        [(180.0, 0.0)]),
+    TCK("ceil-floor", "RETURN ceil(1.1) AS a, floor(1.9) AS b, ceil(-1.1) AS c",
+        [(2.0, 1.0, -1.0)]),
+    TCK("round-precision", "RETURN round(3.14159, 2) AS a, round(2.5) AS b",
+        [(3.14, 3.0)]),
+    TCK("abs-variants", "RETURN abs(-5) AS a, abs(5) AS b, abs(-5.5) AS c",
+        [(5, 5, 5.5)]),
+    TCK("sign-zero", "RETURN sign(0) AS a, sign(-0.1) AS b, sign(42) AS c",
+        [(0, -1, 1)]),
+    TCK("sqrt-negative-null-or-nan", "RETURN sqrt(-1) IS NULL "
+        "OR isNaN(sqrt(-1)) AS x", [(True,)]),
+    TCK("null-through-math",
+        "RETURN abs(null) AS a, sqrt(null) AS b, round(null) AS c",
+        [(None, None, None)]),
+    # ---------------- String functions --------------------------------
+    TCK("upper-lower", "RETURN toUpper('aBc') AS a, toLower('AbC') AS b",
+        [("ABC", "abc")]),
+    TCK("trim-family",
+        "RETURN trim('  x  ') AS a, ltrim('  x') AS b, rtrim('x  ') AS c",
+        [("x", "x", "x")]),
+    TCK("replace-all-occurrences", "RETURN replace('aXbXc', 'X', '-') AS x",
+        [("a-b-c",)]),
+    TCK("replace-empty-needle", "RETURN replace('abc', '', '-') AS x",
+        [("abc",)]),
+    TCK("substring-bounds", "RETURN substring('hello', 1, 3) AS a, "
+        "substring('hello', 0) AS b", [("ell", "hello")]),
+    TCK("left-right", "RETURN left('hello', 2) AS a, right('hello', 2) AS b",
+        [("he", "lo")]),
+    TCK("split-multichar", "RETURN split('a::b::c', '::') AS x",
+        [(["a", "b", "c"],)]),
+    TCK("reverse-palindrome", "RETURN reverse('abc') = 'cba' AS x", [(True,)]),
+    TCK("size-of-string", "RETURN size('héllo') AS x", [(5,)]),
+    TCK("string-null-propagation",
+        "RETURN toUpper(null) AS a, replace(null, 'a', 'b') AS b, "
+        "substring(null, 0) AS c", [(None, None, None)]),
+    TCK("contains-case-sensitive",
+        "RETURN 'Hello' CONTAINS 'hello' AS a, 'Hello' CONTAINS 'Hell' AS b",
+        [(False, True)]),
+    TCK("starts-ends-empty",
+        "RETURN 'x' STARTS WITH '' AS a, 'x' ENDS WITH '' AS b",
+        [(True, True)]),
+    TCK("regex-case-insensitive-flag", "RETURN 'ABC' =~ '(?i)abc' AS x",
+        [(True,)]),
+    TCK("regex-partial-no-match", "RETURN 'abcdef' =~ 'bcd' AS x", [(False,)]),
+    TCK("concat-with-number-coerces",
+        "RETURN 'n=' + toString(5) AS x", [("n=5",)]),
+    # ---------------- Lists ------------------------------------------
+    TCK("list-concat-plus", "RETURN [1, 2] + [3] AS x", [([1, 2, 3],)]),
+    TCK("list-append-element", "RETURN [1, 2] + 3 AS x", [([1, 2, 3],)]),
+    TCK("range-negative-step", "RETURN range(5, 1, -2) AS x", [([5, 3, 1],)]),
+    TCK("range-single", "RETURN range(3, 3) AS x", [([3],)]),
+    TCK("in-nested-list", "RETURN [1, 2] IN [[1, 2], [3]] AS x", [(True,)]),
+    TCK("slice-open-ends", "WITH [1,2,3,4] AS l "
+        "RETURN l[..2] AS a, l[2..] AS b", [([1, 2], [3, 4])]),
+    TCK("slice-beyond-length", "RETURN [1, 2][0..10] AS x", [([1, 2],)]),
+    TCK("tail-of-singleton", "RETURN tail([1]) AS x", [([],)]),
+    TCK("list-of-nulls-size", "RETURN size([null, null]) AS x", [(2,)]),
+    TCK("comprehension-filter-only",
+        "RETURN [x IN range(1, 5) WHERE x % 2 = 0] AS x", [([2, 4],)]),
+    TCK("comprehension-map-only",
+        "RETURN [x IN [1, 2, 3] | x * x] AS x", [([1, 4, 9],)]),
+    TCK("comprehension-nested",
+        "RETURN [x IN [1, 2] | [y IN [10] | x + y]] AS x",
+        [([[11], [12]],)]),
+    TCK("reduce-string-concat",
+        "RETURN reduce(s = '', x IN ['a', 'b', 'c'] | s + x) AS x",
+        [("abc",)]),
+    TCK("reduce-over-empty", "RETURN reduce(s = 42, x IN [] | s + x) AS x",
+        [(42,)]),
+    TCK("any-with-null-element",
+        "RETURN any(x IN [null, 1] WHERE x = 1) AS a, "
+        "any(x IN [null] WHERE x = 1) AS b", [(True, None)]),
+    TCK("all-with-null-element",
+        "RETURN all(x IN [null, 1] WHERE x = 1) AS x", [(None,)]),
+    TCK("none-quantifier", "RETURN none(x IN [1, 2] WHERE x > 5) AS x",
+        [(True,)]),
+    TCK("single-quantifier-exact",
+        "RETURN single(x IN [1, 2, 3] WHERE x = 2) AS a, "
+        "single(x IN [2, 2] WHERE x = 2) AS b", [(True, False)]),
+    TCK("index-chained", "RETURN [[1, 2], [3, 4]][1][0] AS x", [(3,)]),
+    TCK("sort-mixed-numeric", "RETURN sort([3.5, 1, 2.5]) AS x",
+        [([1, 2.5, 3.5],)]),
+    TCK("flatten-nested", "RETURN flatten([[1], [2, 3], []]) AS x",
+        [([1, 2, 3],)]),
+    # ---------------- Maps -------------------------------------------
+    TCK("map-dynamic-key-access",
+        "WITH {a: 1, b: 2} AS m, 'b' AS k RETURN m[k] AS x", [(2,)]),
+    TCK("map-missing-key-null", "RETURN {a: 1}['z'] AS x", [(None,)]),
+    TCK("map-keys-sorted", "RETURN sort(keys({b: 1, a: 2})) AS x",
+        [(["a", "b"],)]),
+    TCK("map-values-by-key", "WITH {a: 1, b: 2} AS m "
+        "RETURN m.a + m.b AS x", [(3,)]),
+    TCK("map-projection-all", "WITH {a: 1, b: 2} AS m "
+        "RETURN m {.*} AS x", [({"a": 1, "b": 2},)]),
+    TCK("map-projection-computed",
+        "MATCH (n:Person {name: 'Alice'}) "
+        "RETURN n {.name, older: n.age + 1} AS x",
+        [({"name": "Alice", "older": 31},)]),
+    TCK("map-in-list", "RETURN [{a: 1}, {a: 2}][1].a AS x", [(2,)]),
+    TCK("nested-map-null-step", "RETURN {a: {b: 1}}.z.b AS x", [(None,)]),
+    # ---------------- CASE -------------------------------------------
+    TCK("case-null-subject",
+        "RETURN CASE null WHEN null THEN 'n' ELSE 'o' END AS x",
+        # openCypher simple CASE uses equality: null = null is null -> ELSE
+        [("o",)]),
+    TCK("case-first-match-wins",
+        "RETURN CASE 1 WHEN 1 THEN 'a' WHEN 1 THEN 'b' END AS x", [("a",)]),
+    TCK("case-searched-order",
+        "RETURN CASE WHEN false THEN 1 WHEN true THEN 2 ELSE 3 END AS x",
+        [(2,)]),
+    TCK("case-in-aggregate",
+        "MATCH (n:Person) "
+        "RETURN sum(CASE WHEN n.age IS NULL THEN 1 ELSE 0 END) AS x",
+        [(1,)]),
+    # ---------------- MATCH patterns ----------------------------------
+    TCK("comma-pattern-cross-product",
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "RETURN a.name AS a, b.name AS b", [("Alice", "Bob")]),
+    TCK("two-hop-chain",
+        "MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(c) "
+        "RETURN a.name AS a, c.name AS c", [("Alice", "Carol")]),
+    TCK("rel-property-inline",
+        "MATCH ()-[r:KNOWS {since: 2015}]->(b) RETURN b.name AS x",
+        [("Bob",)]),
+    TCK("rel-property-where",
+        "MATCH ()-[r:KNOWS]->(b) WHERE r.since > 2016 RETURN b.name AS x",
+        [("Carol",)]),
+    TCK("incoming-direction",
+        "MATCH (b)<-[:KNOWS]-(a) WHERE b.name = 'Bob' RETURN a.name AS x",
+        [("Alice",)]),
+    TCK("varlength-exact-two",
+        "MATCH (a {name: 'Alice'})-[:KNOWS*2]->(c) RETURN c.name AS x",
+        [("Carol",)]),
+    TCK("varlength-zero-min",
+        "MATCH (a {name: 'Bob'})-[:KNOWS*0..1]->(c) RETURN c.name AS x",
+        [("Bob",), ("Carol",)]),
+    TCK("varlength-unbounded-from-alice",
+        "MATCH (a {name: 'Alice'})-[:KNOWS*]->(c) RETURN count(*) AS x",
+        [(2,)]),
+    TCK("varlength-rel-collection",
+        "MATCH (a {name: 'Alice'})-[rs:KNOWS*2]->(c) RETURN size(rs) AS x",
+        [(2,)]),
+    TCK("cyclic-no-triangle",
+        "MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(a) RETURN count(*) AS x",
+        [(0,)]),
+    TCK("label-predicate-in-where",
+        "MATCH (n) WHERE n:Person RETURN count(*) AS x", [(3,)]),
+    TCK("where-on-boolean-property",
+        "MATCH (n:Person) WHERE n.age > 20 AND n.name <> 'Bob' "
+        "RETURN n.name AS x", [("Alice",)]),
+    TCK("count-pattern-expression",
+        "MATCH (n:Person) RETURN n.name AS name, "
+        "size([(n)-[:KNOWS]->(m) | m]) AS deg",
+        [("Alice", 1), ("Bob", 1), ("Carol", 0)]),
+    TCK("anonymous-rel-both-dirs",
+        "MATCH (n {name: 'Bob'})--(m) RETURN count(*) AS x", [(2,)]),
+    TCK("multiple-match-same-var",
+        "MATCH (a:Person {name: 'Alice'}) MATCH (a)-[:KNOWS]->(b) "
+        "RETURN b.name AS x", [("Bob",)]),
+    TCK("path-nodes-count",
+        "MATCH p = (a {name: 'Alice'})-[:KNOWS*2]->(c) "
+        "RETURN length(p) AS l", [(2,)]),
+    # ---------------- OPTIONAL MATCH ----------------------------------
+    TCK("optional-on-missing-label",
+        "OPTIONAL MATCH (n:Ghost) RETURN n AS x", [(None,)]),
+    TCK("optional-chain-null-safe",
+        "MATCH (c {name: 'Carol'}) OPTIONAL MATCH (c)-[:KNOWS]->(m) "
+        "RETURN c.name AS c, m.name AS m", [("Carol", None)]),
+    TCK("optional-then-aggregate",
+        "MATCH (n:Person) OPTIONAL MATCH (n)-[:KNOWS]->(m) "
+        "RETURN count(m) AS x", [(2,)]),
+    TCK("optional-where-inside",
+        "MATCH (n:Person) OPTIONAL MATCH (n)-[r:KNOWS]->(m) "
+        "WHERE r.since > 2016 RETURN n.name AS n, m.name AS m",
+        [("Alice", None), ("Bob", "Carol"), ("Carol", None)]),
+    # ---------------- WITH / RETURN pipeline --------------------------
+    TCK("return-star",
+        "MATCH (n:Person {name: 'Bob'}) RETURN * ", [((2),)],
+        xfail="RETURN * not supported: projections are explicit"),
+    TCK("with-shadowing-alias",
+        "WITH 1 AS x WITH x + 1 AS x RETURN x", [(2,)]),
+    TCK("with-distinct",
+        "UNWIND [1, 1, 2] AS x WITH DISTINCT x RETURN count(*) AS c",
+        [(2,)]),
+    TCK("with-limit-then-match",
+        "MATCH (n:Person) WITH n ORDER BY n.name LIMIT 1 "
+        "MATCH (n)-[:KNOWS]->(m) RETURN m.name AS x", [("Bob",)]),
+    TCK("order-by-aggregate",
+        "MATCH (n:Person) RETURN n.name AS name, count(*) AS c "
+        "ORDER BY c DESC, name LIMIT 2",
+        [("Alice", 1), ("Bob", 1)], ordered=True),
+    TCK("order-by-expression",
+        "UNWIND [3, 1, 2] AS x RETURN x ORDER BY -x",
+        [(3,), (2,), (1,)], ordered=True),
+    TCK("order-by-two-keys-mixed",
+        "UNWIND [{n: 1, s: 'b'}, {n: 1, s: 'a'}, {n: 0, s: 'z'}] AS p "
+        "RETURN p.n AS n, p.s AS s ORDER BY n ASC, s DESC",
+        [(0, "z"), (1, "b"), (1, "a")], ordered=True),
+    TCK("skip-param", "UNWIND [1, 2, 3] AS x RETURN x ORDER BY x SKIP $s",
+        [(2,), (3,)], ordered=True, params={"s": 1}),
+    TCK("limit-expression", "UNWIND range(1, 10) AS x "
+        "RETURN x ORDER BY x LIMIT 2 + 1", [(1,), (2,), (3,)], ordered=True),
+    TCK("return-distinct-multi-col",
+        "UNWIND [[1, 2], [1, 2], [1, 3]] AS p "
+        "RETURN DISTINCT p[0] AS a, p[1] AS b", [(1, 2), (1, 3)]),
+    TCK("where-after-with-no-aggregate",
+        "WITH 5 AS x WHERE x > 3 RETURN x", [(5,)]),
+    TCK("double-aggregate-pipeline",
+        "MATCH (n:Person) WITH count(*) AS c RETURN c * 2 AS x", [(6,)]),
+    # ---------------- UNWIND -----------------------------------------
+    TCK("unwind-list-of-maps",
+        "UNWIND [{k: 1}, {k: 2}] AS m RETURN m.k AS x", [(1,), (2,)]),
+    TCK("double-unwind-cross",
+        "UNWIND [1, 2] AS a UNWIND [10, 20] AS b RETURN a * b AS x",
+        [(10,), (20,), (20,), (40,)]),
+    TCK("unwind-collect-roundtrip",
+        "MATCH (n:Person) WITH collect(n.name) AS names "
+        "UNWIND names AS x RETURN count(x) AS c", [(3,)]),
+    TCK("unwind-param-list", "UNWIND $xs AS x RETURN sum(x) AS s",
+        [(6,)], params={"xs": [1, 2, 3]}),
+    # ---------------- UNION ------------------------------------------
+    TCK("three-way-union-all",
+        "RETURN 1 AS x UNION ALL RETURN 1 AS x UNION ALL RETURN 2 AS x",
+        [(1,), (1,), (2,)]),
+    TCK("union-column-name-mismatch-errors",
+        "RETURN 1 AS x UNION RETURN 2 AS y", error="column|name"),
+    TCK("union-mixed-all-and-distinct",
+        "RETURN 1 AS x UNION ALL RETURN 1 AS x UNION RETURN 1 AS x",
+        [(1,)]),
+    # ---------------- Aggregation corners ------------------------------
+    TCK("min-max-strings",
+        "MATCH (n:Person) RETURN min(n.name) AS a, max(n.name) AS b",
+        [("Alice", "Carol")]),
+    TCK("sum-no-rows-is-zero",
+        "MATCH (n:Ghost) RETURN sum(n.age) AS x", [(0,)]),
+    TCK("avg-no-rows-is-null",
+        "MATCH (n:Ghost) RETURN avg(n.age) AS x", [(None,)]),
+    TCK("collect-no-rows-empty",
+        "MATCH (n:Ghost) RETURN collect(n.age) AS x", [([],)]),
+    TCK("min-skips-null",
+        "MATCH (n:Person) RETURN min(n.age) AS x", [(25,)]),
+    TCK("collect-distinct",
+        "UNWIND [1, 1, 2] AS x RETURN sort(collect(DISTINCT x)) AS c",
+        [([1, 2],)]),
+    TCK("stdev-single-row-zero",
+        "UNWIND [5] AS x RETURN stdevp(x) AS a", [(0.0,)]),
+    TCK("percentile-disc-median",
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN percentileDisc(x, 0.5) AS p",
+        [(3,)]),
+    TCK("group-by-expression-key",
+        "MATCH (n:Person) RETURN n.age IS NULL AS missing, count(*) AS c",
+        [(False, 2), (True, 1)]),
+    TCK("multiple-aggregates-one-row",
+        "UNWIND [1, 2, 3] AS x "
+        "RETURN min(x) AS a, max(x) AS b, avg(x) AS c, sum(x) AS d",
+        [(1, 3, 2.0, 6)]),
+    TCK("count-star-vs-count-prop",
+        "MATCH (n:Person) RETURN count(*) AS a, count(n.age) AS b",
+        [(3, 2)]),
+    TCK("aggregate-inside-expression",
+        "MATCH (n:Person) RETURN count(*) + 1 AS x", [(4,)]),
+    # ---------------- NULL corners ------------------------------------
+    TCK("null-subscript", "RETURN null[0] AS a, null.k AS b",
+        [(None, None)]),
+    TCK("size-of-null", "RETURN size(null) AS x", [(None,)]),
+    TCK("null-in-empty-list", "RETURN null IN [] AS x", [(False,)]),
+    TCK("value-in-list-with-null",
+        "RETURN 1 IN [1, null] AS a, 2 IN [1, null] AS b", [(True, None)]),
+    TCK("coalesce-all-null", "RETURN coalesce(null, null) AS x", [(None,)]),
+    TCK("null-comparison-operators",
+        "RETURN (null < 1) IS NULL AS a, (null >= null) IS NULL AS b",
+        [(True, True)]),
+    TCK("missing-property-is-null",
+        "MATCH (n:Person {name: 'Alice'}) RETURN n.ghost IS NULL AS x",
+        [(True,)]),
+    # ---------------- Temporal ----------------------------------------
+    TCK("date-components",
+        "WITH date('2020-03-15') AS d "
+        "RETURN d.year AS y, d.month AS m, d.day AS dd", [(2020, 3, 15)]),
+    TCK("datetime-zone-offset-instant",
+        "RETURN datetime('2020-01-01T02:00:00+02:00') = "
+        "datetime('2020-01-01T00:00:00') AS x", [(True,)]),
+    TCK("date-ordering", "RETURN date('2020-01-01') < date('2020-06-01') AS x",
+        [(True,)]),
+    TCK("truncate-week-monday",
+        "RETURN date.truncate('week', date('2024-01-04')) AS x "
+        "// 2024-01-04 is a Thursday",
+        [(__import__("datetime").date(2024, 1, 1),)]),
+    TCK("datetime-truncate-hour",
+        "RETURN datetime.truncate('hour', datetime('2020-01-01T05:45:30')) AS x",
+        [(__import__("datetime").datetime(2020, 1, 1, 5),)]),
+    TCK("duration-days-between",
+        "RETURN duration.between(date('2020-01-01'), date('2020-01-31')).days AS x",
+        [(30,)]),
+    TCK("date-plus-duration",
+        "RETURN date('2020-01-01') + duration('P1M') AS x",
+        [(__import__("datetime").date(2020, 2, 1),)]),
+    TCK("epoch-millis-component",
+        "RETURN datetime('1970-01-01T00:00:01').epochMillis AS x", [(1000,)]),
+    # ---------------- type system --------------------------------------
+    TCK("valuetype-basics",
+        "RETURN valueType(1) AS a, valueType(1.0) AS b, valueType('s') AS c, "
+        "valueType(true) AS d",
+        [("INTEGER", "FLOAT", "STRING", "BOOLEAN")]),
+    TCK("tointeger-rounds-down", "RETURN toInteger(2.9) AS x", [(2,)]),
+    TCK("tofloat-from-string", "RETURN toFloat('3.5') AS x", [(3.5,)]),
+    TCK("toboolean-strings",
+        "RETURN toBoolean('true') AS a, toBoolean('FALSE') AS b, "
+        "toBoolean('nope') AS c", [(True, False, None)]),
+    TCK("tostring-of-float", "RETURN toString(1.5) AS x", [("1.5",)]),
+    TCK("integer-float-equality", "RETURN 1 = 1.0 AS x", [(True,)]),
+    # ---------------- writes -------------------------------------------
+    TCK("create-two-nodes-one-statement",
+        "MATCH (n:Pair) RETURN count(*) AS c", [(2,)], writes=True,
+        setup=("CREATE (:Pair {v: 1}), (:Pair {v: 2})",)),
+    TCK("create-path-two-rels",
+        "MATCH (:A)-[:R1]->(:B)-[:R2]->(:C) RETURN count(*) AS c", [(1,)],
+        writes=True,
+        setup=("CREATE (:A)-[:R1]->(:B)-[:R2]->(:C)",)),
+    TCK("create-per-unwind-row",
+        "MATCH (n:Num) RETURN sum(n.v) AS s", [(6,)], writes=True,
+        setup=("UNWIND [1, 2, 3] AS v CREATE (:Num {v: v})",)),
+    TCK("set-property-to-null-removes",
+        "MATCH (n:Person {name: 'Alice'}) RETURN n.age IS NULL AS x",
+        [(True,)], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) SET n.age = null",)),
+    TCK("set-overwrite-whole-map",
+        "MATCH (n:Person {name: 'Alice'}) "
+        "RETURN n.age AS a, n.fresh AS f", [(None, 1)], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) SET n = {name: 'Alice', fresh: 1}",)),
+    TCK("remove-missing-property-noop",
+        "MATCH (n:Person {name: 'Bob'}) RETURN n.age AS a", [(25,)],
+        writes=True,
+        setup=("MATCH (n:Person {name: 'Bob'}) REMOVE n.ghost",)),
+    TCK("delete-optional-null-noop",
+        "MATCH (n:Person) RETURN count(*) AS c", [(3,)], writes=True,
+        setup=("OPTIONAL MATCH (n:Ghost) DELETE n",)),
+    TCK("merge-creates-when-absent",
+        "MATCH (n:Town) RETURN n.name AS x", [("Springfield",)], writes=True,
+        setup=("MERGE (n:Town {name: 'Springfield'})",)),
+    TCK("merge-matches-when-present",
+        "MATCH (n:Person {name: 'Alice'}) RETURN count(*) AS c", [(1,)],
+        writes=True,
+        setup=("MERGE (n:Person {name: 'Alice'})",)),
+    TCK("merge-with-param-map",
+        "MATCH (n:Person {name: 'Zed'}) RETURN count(*) AS c", [(1,)],
+        writes=True,
+        setup=("MERGE (n:Person $props)",),
+        params={"props": {"name": "Zed"}}),
+    TCK("match-with-param-map",
+        "MATCH (n:Person $props) RETURN n.age AS a", [(30,)],
+        params={"props": {"name": "Alice"}}),
+    TCK("foreach-nested-list",
+        "MATCH (n:FE) RETURN sum(n.v) AS s", [(3,)], writes=True,
+        setup=("FOREACH (xs IN [[1], [2]] | FOREACH (x IN xs | "
+               "CREATE (:FE {v: x})))",)),
+    TCK("with-between-writes",
+        "MATCH (n:W2) RETURN n.v AS v", [(10,)], writes=True,
+        setup=("CREATE (n:W1 {v: 10}) WITH n CREATE (:W2 {v: n.v})",)),
+    TCK("set-label-additional",
+        "MATCH (n:Person:Vip) RETURN n.name AS x", [("Alice",)], writes=True,
+        setup=("MATCH (n:Person {name: 'Alice'}) SET n:Vip",)),
+    TCK("delete-then-count-zero",
+        "MATCH (n:Tmp9) RETURN count(*) AS c", [(0,)], writes=True,
+        setup=("CREATE (:Tmp9)", "MATCH (n:Tmp9) DELETE n")),
+    # ---------------- errors -------------------------------------------
+    TCK("aggregate-in-where-rejected",
+        "MATCH (n:Person) WHERE count(*) > 1 RETURN n",
+        error="aggregat|WHERE|invalid"),
+    TCK("delete-unbound-rejected", "DELETE x", error="undefined|unbound|x"),
+    TCK("varlength-in-create-rejected",
+        "CREATE (a)-[:R*2]->(b)", error="var.?length|CREATE|unsupported"),
+    TCK("unknown-function-errors", "RETURN totallyUnknownFn(1) AS x",
+        error="unknown|function"),
+    TCK("set-on-literal-rejected", "SET 1 = 2",
+        error="expected|syntax|unexpected"),
+    TCK("property-of-integer-errors-or-null",
+        "RETURN (1).foo IS NULL AS x", [(True,)]),
+    # ---------------- CALL procedures ----------------------------------
+    TCK("call-db-labels-yield",
+        "CALL db.labels() YIELD label RETURN count(*) AS c", [(1,)]),
+    TCK("call-proc-with-where-on-yield",
+        "CALL db.labels() YIELD label WHERE label = 'Person' "
+        "RETURN label", [("Person",)]),
+    # ---------------- parameters ---------------------------------------
+    TCK("param-in-property-map",
+        "MATCH (n:Person {name: $name}) RETURN n.age AS a", [(30,)],
+        params={"name": "Alice"}),
+    TCK("param-arithmetic", "RETURN $a + $b AS x", [(7,)],
+        params={"a": 3, "b": 4}),
+    TCK("param-null", "RETURN $p IS NULL AS x", [(True,)],
+        params={"p": None}),
+    TCK("param-nested-map-access", "RETURN $m.inner.v AS x", [(9,)],
+        params={"m": {"inner": {"v": 9}}}),
+    TCK("param-list-index", "RETURN $xs[1] AS x", [(20,)],
+        params={"xs": [10, 20]}),
+]
+
 
 @pytest.fixture(scope="module")
 def tck(spark):
@@ -439,7 +858,7 @@ def test_tck(sc: TCK, tck, spark):
         pytest.xfail(sc.xfail)
     eng = _build(spark) if sc.writes else tck
     for stmt in sc.setup:
-        eng.execute(stmt)
+        eng.execute(stmt, sc.params)
     if sc.error is not None:
         with pytest.raises(Exception, match=f"(?i){sc.error}"):
             eng.execute(sc.query, sc.params).collect()
@@ -467,7 +886,7 @@ def test_manifest_has_no_silent_gaps():
         "call-subquery",
         "quantified-path-pattern",
         "inline-where-in-node-pattern",
-        "unknown-label-returns-empty",
+        "return-star",
     ]
 
 

@@ -102,6 +102,23 @@ def _ops():
         out = exact_substring_dedup(_docs(spark, d), "doc_id", "text", window=10)
         return out.agg(F.sum(F.length("text"))).collect()[0][0]
 
+    def bpe_count(spark, d):
+        # real BPE token counting (the one justified Python-per-batch op):
+        # merges trained once per dataset on a 200-doc sample (cached in
+        # /tmp), then counted distributed; result = total corpus tokens
+        import hashlib
+        import os as _os
+
+        from pycypher_nmetl_spark.llmops.bpe import save_merges, train_bpe_merges
+        from pycypher_nmetl_spark.llmops.textstats import add_token_count
+
+        mp = f"/tmp/spark_graft_bpe_{hashlib.md5(d.encode()).hexdigest()[:8]}.txt"
+        if not _os.path.exists(mp):
+            sample = [r["text"] for r in _docs(spark, d).limit(200).collect()]
+            save_merges(train_bpe_merges(sample, n_merges=200), mp)
+        out = add_token_count(_docs(spark, d), "text", tokenizer="bpe", merges_path=mp)
+        return out.agg(F.sum("n_tokens_bpe")).collect()[0][0]
+
     def export_pipeline(spark, d):
         df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
         train = df.where(F.col("split") == "train")
@@ -118,6 +135,7 @@ def _ops():
         ("decontaminate", decontam),
         ("exact_substring_pairs", substring_pairs),
         ("exact_substring_cut", substring_cut),
+        ("bpe_token_count", bpe_count),
         ("export_split_shuffle_pack", export_pipeline),
     ]
 
