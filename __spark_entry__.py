@@ -652,13 +652,29 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _q_dedup_exact(spark, sf_dir):
+def _q_ngram_lm(spark, sf_dir):
+    # CCNet-style perplexity filter (stupid-backoff bigram LM): train on
+    # the doc_id % 3 != 0 subset so the backoff/OOV branches actually
+    # fire when scoring the full corpus; oracle re-implements the whole
+    # count-join-backoff arithmetic in SQL. (Replaces llm_dedup_exact
+    # under the 50-gate cap: that two-aggregate surface is covered by
+    # test_llmops + the exact-substring gates' window hashing.)
     from pyspark.sql import functions as F
 
+    from pycypher_nmetl_spark.llmops import add_lm_perplexity
+
     d = _docs(spark, sf_dir)
-    return d.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.count_distinct(F.md5("text")).alias("uniq"),
+    out = add_lm_perplexity(
+        d.select("doc_id", "text"),
+        "text",
+        n=2,
+        train_df=d.filter(F.col("doc_id") % 3 != 0),
+    )
+    return out.select(
+        "doc_id",
+        "n_scored",
+        F.round("lm_avg_logprob", 6).alias("lm_avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
     )
 
 
@@ -865,7 +881,7 @@ def _q_decontaminate(spark, sf_dir):
 
 
 _LLMOPS_QUERIES = {
-    "llm_dedup_exact": _q_dedup_exact,
+    "llm_ngram_lm": _q_ngram_lm,
     "llm_decontaminate": _q_decontaminate,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
     "llm_minhash_lsh_pairs": _q_minhash_lsh,
@@ -907,8 +923,44 @@ _SUBSTR_WINS_SQL = (
 
 _LLMOPS_ORACLE = {
     "llm_multimodal": _mm_oracle_sql(),
-    "llm_dedup_exact": (
-        "SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq FROM documents"
+    # full SQL re-implementation of stupid-backoff bigram scoring:
+    # training counts from the doc_id % 3 != 0 subset, per-position
+    # CASE over (bigram hit -> c2/c_ctx | backoff -> 0.4 * smoothed
+    # unigram | position 1 -> smoothed unigram), add-one floor over
+    # (total + vocab), avg log10 per doc, ppl = 10^-avg. Empty docs
+    # surface as null scores through the trailing LEFT JOIN exactly
+    # like the Spark side's left join back to the corpus.
+    "llm_ngram_lm": (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t "
+        "FROM documents), "
+        "tr AS (SELECT t FROM toks WHERE doc_id % 3 <> 0), "
+        "uni AS (SELECT w, count(*) AS c FROM "
+        "(SELECT unnest(t) AS w FROM tr) GROUP BY w), "
+        "big AS (SELECT g, count(*) AS c FROM "
+        "(SELECT array_to_string(t[i:i+1], ' ') AS g FROM "
+        "(SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM tr)) "
+        "GROUP BY g), "
+        "tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM uni), "
+        "pos AS (SELECT doc_id, t, "
+        "unnest(generate_series(1, len(t))) AS p FROM toks), "
+        "scored AS (SELECT pos.doc_id, CASE "
+        "WHEN pos.p >= 2 AND b.c IS NOT NULL AND u2.c IS NOT NULL "
+        "THEN b.c * 1.0 / u2.c "
+        "WHEN pos.p >= 2 "
+        "THEN 0.4 * (coalesce(u.c, 0) + 1) / (tot.total + tot.vocab) "
+        "ELSE (coalesce(u.c, 0) + 1) * 1.0 / (tot.total + tot.vocab) END AS s "
+        "FROM pos "
+        "LEFT JOIN uni u ON u.w = pos.t[pos.p] "
+        "LEFT JOIN uni u2 ON pos.p >= 2 AND u2.w = pos.t[pos.p - 1] "
+        "LEFT JOIN big b ON pos.p >= 2 "
+        "AND b.g = array_to_string(pos.t[pos.p - 1:pos.p], ' ') "
+        "CROSS JOIN tot), "
+        "agg AS (SELECT doc_id, count(*) AS n_scored, "
+        "round(avg(log10(s)), 6) AS lm_avg_logprob, "
+        "round(pow(10, -avg(log10(s))), 4) AS ppl FROM scored GROUP BY doc_id) "
+        "SELECT d.doc_id, a.n_scored, a.lm_avg_logprob, a.ppl "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
     ),
     "llm_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "llm_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,  # verified LSH = exact set

@@ -33,6 +33,9 @@ from pycypher_nmetl_spark.llmops.substring import (
     cut_spans, duplicate_spans, exact_substring_dedup,
     exact_substring_pairs, hot_windows,
 )
+from pycypher_nmetl_spark.llmops.lm import (
+    add_lm_perplexity, score_ngram_lm, score_ngram_lm_local, train_ngram_lm,
+)
 
 __all__ = [
     "contamination_pairs", "decontaminate",
@@ -47,4 +50,6 @@ __all__ = [
     "cut_spans", "hot_windows",
     "explode_paragraphs", "paragraph_near_dup_pairs",
     "cut_duplicate_paragraphs",
+    "train_ngram_lm", "score_ngram_lm", "score_ngram_lm_local",
+    "add_lm_perplexity",
 ]

@@ -219,8 +219,32 @@ def _exact_substring_cut(engine, args) -> DataFrame:
     return out.select("id", F.col(prop).alias("text"))
 
 
+def _lm_score(engine, args) -> DataFrame:
+    """llm.lmScore(label, prop, n=2, trainLabel=null)
+    -> (id, n_scored, lm_avg_logprob, ppl): stupid-backoff n-gram LM
+    perplexity (CCNet-style quality filter). trainLabel defaults to
+    scoring the corpus under its own LM."""
+    from pycypher_nmetl_spark.llmops.lm import add_lm_perplexity
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    prop = _str_arg(args, 1, "prop")
+    n = int(_num_arg(args, 2, 2))
+    train = None
+    if len(args) > 3 and args[3] is not None:
+        train = _nodes(engine, _str_arg(args, 3, "trainLabel")).withColumnRenamed(
+            "id", "__train_id"
+        )
+        # train frame only needs the text column for counting
+    out = add_lm_perplexity(
+        df.select("id", prop), prop, n=n, id_col="id",
+        train_df=train.select(F.col(prop)) if train is not None else None,
+    )
+    return out.select("id", "n_scored", "lm_avg_logprob", "ppl")
+
+
 # keys are lowercase: the engine lowercases procedure names on lookup
 LLM_PROCEDURES = {
+    "llm.lmscore": _lm_score,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

@@ -55,8 +55,11 @@ def test_draining_worker_receives_no_queries(coord):
 
 
 def test_error_carries_worker_context(coord):
+    # unknown procedures still raise at execution (unknown LABELS now
+    # conformantly match zero rows — TCK round-9 fix — so they no
+    # longer exercise the error path)
     with pytest.raises(WorkerExecutionError) as e:
-        coord.execute_query("MATCH (x:NoSuchLabel) RETURN x")
+        coord.execute_query("CALL no.such.proc() YIELD x RETURN x")
     assert e.value.worker_id in ("w1", "w2")
     health = coord.cluster_health()
     assert health.total_errors == 1

@@ -190,3 +190,26 @@ def test_llm_exact_substring_cut_proc(tpch_engine):
     )
     # idempotence: ExactSubstr of an ExactSubstr'd corpus is a no-op
     assert duplicate_spans(cleaned, "id", "text", window=10).count() == 0
+
+
+def test_llm_lm_score_matches_python_api(tpch_engine):
+    from pycypher_nmetl_spark.llmops import add_lm_perplexity
+
+    rows = tpch_engine.run(
+        "CALL llm.lmScore('Document', 'text', 2) "
+        "YIELD id, n_scored, ppl RETURN id, n_scored, ppl"
+    )
+    api = {
+        r["id"]: (r["n_scored"], r["ppl"])
+        for r in add_lm_perplexity(
+            tpch_engine.catalog.nodes("Document").select("id", "text"),
+            "text", n=2, id_col="id",
+        ).collect()
+    }
+    assert len(rows) == len(api)
+    for rid, n_scored, ppl in rows:
+        wn, wp = api[rid]
+        assert n_scored == wn
+        assert (ppl is None) == (wp is None)
+        if wp is not None:
+            assert abs(ppl - wp) < 1e-9 * max(wp, 1.0)

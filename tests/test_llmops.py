@@ -1025,3 +1025,123 @@ def test_cut_duplicate_paragraphs_keeps_first(para_docs):
     assert out[3] == "repeated paragraph body with many words here\n\nmiddle bit"
     assert out[4] == "totally unrelated content\nwith other paragraphs"  # untouched
     assert out[5] == "\n\n"  # no non-empty paragraphs: untouched
+
+
+# ------------------------- n-gram LM perplexity -------------------------
+
+_LM_TRAIN = {
+    101: "the cat sat on the mat",
+    102: "the cat sat",
+    103: "a dog sat on a rug",
+    104: "the dog ran to the mat",
+}
+_LM_SCORE = {
+    1: "the cat sat on the mat",       # in-domain
+    2: "the dog sat on the rug",       # near-domain
+    3: "zzz qqq www eee rrr ttt",      # gibberish, all OOV
+    4: "",                             # empty: null scores
+}
+
+
+@pytest.fixture(scope="module")
+def lm_frames(spark):
+    train = spark.createDataFrame(
+        [(k, v) for k, v in _LM_TRAIN.items()], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(k, v) for k, v in _LM_SCORE.items()], ["doc_id", "text"]
+    )
+    return train, score
+
+
+def test_lm_spark_matches_local_reference(lm_frames):
+    from pycypher_nmetl_spark.llmops import (
+        add_lm_perplexity, score_ngram_lm_local,
+    )
+
+    train, score = lm_frames
+    for n in (1, 2, 3):
+        want = score_ngram_lm_local(_LM_SCORE, _LM_TRAIN, n=n)
+        got = {
+            r["doc_id"]: (r["n_scored"], r["lm_avg_logprob"], r["ppl"])
+            for r in add_lm_perplexity(
+                score, "text", n=n, train_df=train
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did, (wn, wl, wp) in want.items():
+            gn, gl, gp = got[did]
+            if wl is None:
+                assert gl is None and gp is None
+            else:
+                assert gn == wn
+                assert abs(gl - wl) < 1e-9, (n, did, gl, wl)
+                assert abs(gp - wp) < 1e-6 * wp
+
+
+def test_lm_discriminates_gibberish(lm_frames):
+    from pycypher_nmetl_spark.llmops import add_lm_perplexity
+
+    train, score = lm_frames
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in add_lm_perplexity(score, "text", n=2, train_df=train).collect()
+    }
+    assert ppl[3] > ppl[2] > ppl[1]  # gibberish >> near-domain > in-domain
+
+
+def test_lm_train_counts_hand_checked(spark):
+    from pycypher_nmetl_spark.llmops import train_ngram_lm
+
+    df = spark.createDataFrame([("a b a b a",), ("b c",)], ["text"])
+    model, total, vocab = train_ngram_lm(df, "text", n=2)
+    assert (total, vocab) == (7, 3)
+    counts = {(r["order"], r["gram"]): r["count"] for r in model.collect()}
+    assert counts[(1, "a")] == 3 and counts[(1, "b")] == 3 and counts[(1, "c")] == 1
+    assert counts[(2, "a b")] == 2 and counts[(2, "b a")] == 2
+    assert counts[(2, "b c")] == 1
+    assert (2, "c b") not in counts
+
+
+def test_lm_arg_validation(lm_frames):
+    from pycypher_nmetl_spark.llmops import score_ngram_lm, train_ngram_lm
+
+    train, score = lm_frames
+    with pytest.raises(ValueError, match="n must be"):
+        train_ngram_lm(train, "text", n=0)
+    model, total, vocab = train_ngram_lm(train, "text", n=2)
+    with pytest.raises(ValueError, match="alpha"):
+        score_ngram_lm(score, "text", model, total, vocab, alpha=0.0)
+    with pytest.raises(ValueError, match="empty model"):
+        score_ngram_lm(score, "text", model, 0, 0)
+
+
+def test_lm_broadcast_gate_plan(lm_frames):
+    """Small models broadcast (no shuffle of the scoring side for the
+    joins); the plan must show BroadcastHashJoin when model_rows is
+    under the gate and none when forced above it."""
+    from pycypher_nmetl_spark.llmops import score_ngram_lm, train_ngram_lm
+
+    train, score = lm_frames
+    model, total, vocab = train_ngram_lm(train, "text", n=2)
+    small = score_ngram_lm(
+        score, "text", model, total, vocab, model_rows=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small
+    big = score_ngram_lm(
+        score, "text", model, total, vocab, model_rows=10**9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in big
+
+
+def test_lm_self_scoring_sf0001(spark):
+    """Self-scored corpus (the gate setup): every non-empty doc gets a
+    finite score, and an exact duplicate pair scores identically."""
+    from pycypher_nmetl_spark.llmops import add_lm_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = add_lm_perplexity(docs, "text", n=2).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        if r["n_scored"]:
+            assert r["ppl"] is not None and r["ppl"] >= 1.0
