@@ -110,10 +110,15 @@ _CYPHER_QUERIES: dict[str, str] = {
     "call_db_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label"
     ),
-    # §2.8 math functions
+    # §2.8 math functions + integer-division/modulo semantics (absorbed
+    # arith_semantics under the 50-gate cap — its grouped-count surface
+    # is covered by agg_pricing_summary/with_having + the agg fuzzer;
+    # the FUNCTION semantics, Cypher int/int truncation and %, live on
+    # here as per-row columns)
     "math_fns": (
         "MATCH (s:Supplier) RETURN s.name AS name, "
-        "round(sqrt(abs(s.acctbal)), 3) AS v, sign(s.acctbal) AS sg"
+        "round(sqrt(abs(s.acctbal)), 3) AS v, sign(s.acctbal) AS sg, "
+        "s.suppkey % 3 AS m, s.suppkey / 10 AS intdiv"
     ),
     # §2.4 variable-length paths over the NEXT_LINE chain
     "varlength_path": (
@@ -170,11 +175,6 @@ _CYPHER_QUERIES: dict[str, str] = {
         "reduce(acc = 0, x IN [1,2,3,4] | acc + x) AS rtotal, "
         "join([x IN range(1,6) WHERE x % 2 = 0 | toString(x)], ',') AS evens "
         "ORDER BY n DESC, cust LIMIT 20"
-    ),
-    # arithmetic semantics: integer division + modulo + pow
-    "arith_semantics": (
-        "MATCH (p:Part) RETURN p.size % 3 AS m, count(*) AS cnt, "
-        "sum(p.size / 10) AS intdiv_sum"
     ),
     # §2.2 `=~` full-string regex OR IN-list predicate + string concat
     # with + and §2.8 hash functions (merged regex_hash_fns + concat_in
@@ -307,7 +307,9 @@ _ORACLE: dict[str, str] = {
     ),
     "math_fns": (
         "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "
-        "CAST(sign(s_acctbal) AS BIGINT) AS sg FROM supplier"
+        "CAST(sign(s_acctbal) AS BIGINT) AS sg, "
+        "s_suppkey % 3 AS m, "
+        "CAST(TRUNC(s_suppkey / 10.0) AS BIGINT) AS intdiv FROM supplier"
     ),
     "varlength_path": (
         "WITH RECURSIVE pairs AS ("
@@ -355,11 +357,6 @@ _ORACLE: dict[str, str] = {
         "10 AS rtotal, '2,4,6' AS evens "
         "FROM customer JOIN orders ON o_custkey = c_custkey "
         "GROUP BY c_name ORDER BY n DESC, cust LIMIT 20"
-    ),
-    "arith_semantics": (
-        "SELECT p_size % 3 AS m, count(*) AS cnt, "
-        "CAST(sum(CAST(TRUNC(p_size / 10.0) AS BIGINT)) AS BIGINT) AS intdiv_sum "
-        "FROM part GROUP BY 1"
     ),
     "regex_in_concat_hash": (
         "SELECT n_name || '!' AS tagged, md5(n_name) AS h_md5, "
@@ -652,6 +649,23 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # bucket features, add-1-smoothed target/raw distributions, per-doc
+    # log importance weight. md5 bucketing for bit-exact DuckDB parity;
+    # target = doc_id % 7 == 0 subset, raw = the rest.
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.llmops.dsir import dsir_log_ratios, dsir_weights
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    ratios = dsir_log_ratios(target, raw, "text", buckets=1000, hash_fn="md5")
+    w = dsir_weights(raw, "doc_id", "text", ratios, buckets=1000, hash_fn="md5")
+    return w.select("doc_id", "n_features", F.round("logw", 4).alias("logw"))
+
+
 def _q_ngram_lm(spark, sf_dir):
     # CCNet-style perplexity filter (stupid-backoff bigram LM): train on
     # the doc_id % 3 != 0 subset so the backoff/OOV branches actually
@@ -882,6 +896,7 @@ def _q_decontaminate(spark, sf_dir):
 
 _LLMOPS_QUERIES = {
     "llm_ngram_lm": _q_ngram_lm,
+    "llm_dsir_weights": _q_dsir_weights,
     "llm_decontaminate": _q_decontaminate,
     "llm_ngram_jaccard_pairs": _q_ngram_jaccard,
     "llm_minhash_lsh_pairs": _q_minhash_lsh,
@@ -930,6 +945,38 @@ _LLMOPS_ORACLE = {
     # (total + vocab), avg log10 per doc, ppl = 10^-avg. Empty docs
     # surface as null scores through the trailing LEFT JOIN exactly
     # like the Spark side's left join back to the corpus.
+    # full SQL re-implementation of DSIR weighting: md5 bucket of every
+    # unigram+bigram mod 1000, add-1-smoothed bucket distributions for
+    # the target (doc_id % 7 = 0) and raw (rest) corpora, per-doc
+    # sum(count_b * (ln p_t[b] - ln q_r[b])). Raw docs with no tokens
+    # come back (0, 0.0) in both engines.
+    "llm_dsir_weights": (
+        "WITH toks AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t "
+        "FROM documents), "
+        "grams AS (SELECT doc_id, unnest(t || "
+        "[array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g "
+        "FROM toks), "
+        "db AS (SELECT doc_id, "
+        "('0x' || substr(md5(g), 1, 15))::BIGINT % 1000 AS bucket FROM grams), "
+        "tc AS (SELECT bucket, count(*) AS c FROM db "
+        "WHERE doc_id % 7 = 0 GROUP BY bucket), "
+        "rc AS (SELECT bucket, count(*) AS c FROM db "
+        "WHERE doc_id % 7 <> 0 GROUP BY bucket), "
+        "tot AS (SELECT (SELECT sum(c) FROM tc) AS tt, "
+        "(SELECT sum(c) FROM rc) AS rt), "
+        "ratio AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket, "
+        "ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 1000.0)) "
+        "- ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 1000.0)) AS lr "
+        "FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket CROSS JOIN tot), "
+        "w AS (SELECT db.doc_id, count(*) AS n_features, "
+        "round(sum(ratio.lr), 4) AS logw FROM db "
+        "JOIN ratio ON db.bucket = ratio.bucket "
+        "WHERE db.doc_id % 7 <> 0 GROUP BY db.doc_id) "
+        "SELECT d.doc_id, coalesce(w.n_features, 0) AS n_features, "
+        "coalesce(w.logw, 0.0) AS logw FROM documents d "
+        "LEFT JOIN w ON d.doc_id = w.doc_id WHERE d.doc_id % 7 <> 0"
+    ),
     "llm_ngram_lm": (
         "WITH toks AS (SELECT doc_id, list_filter("
         "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t "

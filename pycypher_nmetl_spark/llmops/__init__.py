@@ -36,6 +36,9 @@ from pycypher_nmetl_spark.llmops.substring import (
 from pycypher_nmetl_spark.llmops.lm import (
     add_lm_perplexity, score_ngram_lm, score_ngram_lm_local, train_ngram_lm,
 )
+from pycypher_nmetl_spark.llmops.dsir import (
+    dsir_local, dsir_log_ratios, dsir_resample, dsir_weights,
+)
 
 __all__ = [
     "contamination_pairs", "decontaminate",
@@ -52,4 +55,5 @@ __all__ = [
     "cut_duplicate_paragraphs",
     "train_ngram_lm", "score_ngram_lm", "score_ngram_lm_local",
     "add_lm_perplexity",
+    "dsir_log_ratios", "dsir_weights", "dsir_resample", "dsir_local",
 ]

@@ -61,13 +61,20 @@ def _toks(text_col: str) -> Column:
 
 def _grams(t: Column, k: int) -> Column:
     """All order-k grams of token array ``t``, space-joined, as one
-    scan-local HOF expression (same shape as substring.py's windows)."""
+    scan-local HOF expression (same shape as substring.py's windows).
+
+    Docs shorter than k tokens yield an EMPTY array — the when() guard
+    matters: Spark's sequence(1, 0) is a DESCENDING [1, 0] (not empty),
+    whose 0 start would crash slice()."""
     if k == 1:
         return t
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def train_ngram_lm(

@@ -219,6 +219,20 @@ def _exact_substring_cut(engine, args) -> DataFrame:
     return out.select("id", F.col(prop).alias("text"))
 
 
+def _dsir_weights(engine, args) -> DataFrame:
+    """llm.dsirWeights(rawLabel, prop, targetLabel, buckets=10000)
+    -> (id, n_features, logw): DSIR importance weights of every raw doc
+    against the target-label corpus (Xie et al. 2023)."""
+    from pycypher_nmetl_spark.llmops.dsir import dsir_log_ratios, dsir_weights
+
+    raw = _nodes(engine, _str_arg(args, 0, "rawLabel"))
+    prop = _str_arg(args, 1, "prop")
+    target = _nodes(engine, _str_arg(args, 2, "targetLabel"))
+    buckets = int(_num_arg(args, 3, 10_000))
+    ratios = dsir_log_ratios(target, raw, prop, buckets)
+    return dsir_weights(raw, "id", prop, ratios, buckets)
+
+
 def _lm_score(engine, args) -> DataFrame:
     """llm.lmScore(label, prop, n=2, trainLabel=null)
     -> (id, n_scored, lm_avg_logprob, ppl): stupid-backoff n-gram LM
@@ -245,6 +259,7 @@ def _lm_score(engine, args) -> DataFrame:
 # keys are lowercase: the engine lowercases procedure names on lookup
 LLM_PROCEDURES = {
     "llm.lmscore": _lm_score,
+    "llm.dsirweights": _dsir_weights,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

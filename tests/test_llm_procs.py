@@ -213,3 +213,34 @@ def test_llm_lm_score_matches_python_api(tpch_engine):
         assert (ppl is None) == (wp is None)
         if wp is not None:
             assert abs(ppl - wp) < 1e-9 * max(wp, 1.0)
+
+
+def test_llm_dsir_weights_proc_matches_python_api(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+    from pycypher_nmetl_spark.llmops import dsir_log_ratios, dsir_weights
+
+    cat = GraphCatalog(spark)
+    raw = spark.createDataFrame(
+        [(1, "quantum field energy notes"), (2, "cat sat on the mat"),
+         (3, "energy momentum quantum theory")],
+        "id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "quantum energy momentum field theory")], "id long, text string"
+    )
+    cat.register_nodes("RawDoc", raw)
+    cat.register_nodes("TargetDoc", target)
+    eng = CypherEngine(cat)
+    rows = eng.run(
+        "CALL llm.dsirWeights('RawDoc', 'text', 'TargetDoc', 500) "
+        "YIELD id, n_features, logw RETURN id, n_features, logw"
+    )
+    ratios = dsir_log_ratios(target, raw, "text", 500)
+    api = {
+        r["id"]: (r["n_features"], r["logw"])
+        for r in dsir_weights(raw, "id", "text", ratios, 500).collect()
+    }
+    assert len(rows) == 3
+    for rid, nf, logw in rows:
+        wn, wl = api[rid]
+        assert nf == wn and abs(logw - wl) < 1e-9

@@ -1145,3 +1145,138 @@ def test_lm_self_scoring_sf0001(spark):
     for r in out:
         if r["n_scored"]:
             assert r["ppl"] is not None and r["ppl"] >= 1.0
+
+
+def test_lm_short_docs_do_not_crash(spark):
+    """Regression: Spark's sequence(1, 0) is DESCENDING [1, 0]; un-
+    guarded, gram windows over docs shorter than the order crashed
+    slice() with start=0."""
+    from pycypher_nmetl_spark.llmops import (
+        add_lm_perplexity, score_ngram_lm_local,
+    )
+
+    texts = {1: "", 2: "one", 3: "a b", 4: "x y z w"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_scored"], r["lm_avg_logprob"])
+        for r in add_lm_perplexity(df, "text", n=3).collect()
+    }
+    want = score_ngram_lm_local(texts, n=3)
+    for did, (wn, wl, _) in want.items():
+        gn, gl = got[did]
+        if wl is None:
+            assert gl is None
+        else:
+            assert gn == wn and abs(gl - wl) < 1e-9
+
+
+# ------------------------- DSIR importance resampling -------------------------
+
+_DSIR_TARGET = {
+    201: "physics energy momentum quantum field theory",
+    202: "quantum entanglement energy levels in the field",
+    203: "momentum conservation and energy in physics",
+}
+_DSIR_RAW = {
+    1: "quantum field energy and momentum physics notes",   # in-domain
+    2: "the cat sat on the mat with the dog",               # off-domain
+    3: "recipe for chocolate cake with butter and sugar",   # off-domain
+    4: "energy momentum tensor in quantum field theory",    # in-domain
+    5: "",                                                  # empty: logw 0
+}
+
+
+@pytest.fixture(scope="module")
+def dsir_frames(spark):
+    raw = spark.createDataFrame(list(_DSIR_RAW.items()), ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(k, v) for k, v in _DSIR_TARGET.items()], ["doc_id", "text"]
+    )
+    return raw, target
+
+
+def test_dsir_weights_match_local_reference(dsir_frames):
+    from pycypher_nmetl_spark.llmops.dsir import (
+        dsir_local, dsir_log_ratios, dsir_weights,
+    )
+
+    raw, target = dsir_frames
+    want = dsir_local(_DSIR_RAW, _DSIR_TARGET, buckets=1000)
+    ratios = dsir_log_ratios(target, raw, "text", buckets=1000, hash_fn="md5")
+    got = {
+        r["doc_id"]: (r["n_features"], r["logw"])
+        for r in dsir_weights(
+            raw, "doc_id", "text", ratios, buckets=1000, hash_fn="md5"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for did, (wn, wl) in want.items():
+        gn, gl = got[did]
+        assert gn == wn, (did, gn, wn)
+        assert abs(gl - wl) < 1e-9, (did, gl, wl)
+
+
+def test_dsir_prefers_in_domain(dsir_frames):
+    from pycypher_nmetl_spark.llmops.dsir import dsir_resample
+
+    raw, target = dsir_frames
+    # noiseless top-k: the two in-domain docs win outright
+    sel = dsir_resample(raw, target, k=2, buckets=1000, hash_fn="md5", gumbel=False)
+    picked = {r["doc_id"] for r in sel.collect()}
+    assert picked == {1, 4}
+    # Gumbel sampling is deterministic for a fixed seed (hash noise) —
+    # on a 5-doc fixture the noise can outvote the weights, so assert
+    # reproducibility + size, not membership
+    g1 = {
+        r["doc_id"]
+        for r in dsir_resample(raw, target, k=2, buckets=1000, hash_fn="md5").collect()
+    }
+    g2 = {
+        r["doc_id"]
+        for r in dsir_resample(raw, target, k=2, buckets=1000, hash_fn="md5").collect()
+    }
+    assert g1 == g2 and len(g1) == 2
+    other = dsir_resample(raw, target, k=3, seed=7, buckets=1000, hash_fn="md5")
+    assert other.count() == 3
+
+
+def test_dsir_empty_doc_weight_zero(dsir_frames):
+    from pycypher_nmetl_spark.llmops.dsir import dsir_log_ratios, dsir_weights
+
+    raw, target = dsir_frames
+    ratios = dsir_log_ratios(target, raw, "text", buckets=500, hash_fn="md5")
+    row = (
+        dsir_weights(raw, "doc_id", "text", ratios, buckets=500, hash_fn="md5")
+        .filter(F.col("doc_id") == 5)
+        .first()
+    )
+    assert row["n_features"] == 0 and row["logw"] == 0.0
+
+
+def test_dsir_arg_validation(dsir_frames):
+    from pycypher_nmetl_spark.llmops.dsir import dsir_log_ratios, dsir_resample
+
+    raw, target = dsir_frames
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_log_ratios(target, raw, "text", buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_log_ratios(target, raw, "text", smoothing=0.0)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample(raw, target, k=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_log_ratios(target, raw, "text", hash_fn="sha9000")
+
+
+def test_dsir_plan_broadcasts_ratios_and_takeordered(dsir_frames):
+    """Scale shape: the ratio table is broadcast (raw side never
+    shuffles for the join) and top-k plans TakeOrderedAndProject, not a
+    global Sort."""
+    from pycypher_nmetl_spark.llmops.dsir import dsir_resample
+
+    raw, target = dsir_frames
+    plan = (
+        dsir_resample(raw, target, k=2, buckets=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
