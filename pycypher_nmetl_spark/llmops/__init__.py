@@ -39,6 +39,9 @@ from pycypher_nmetl_spark.llmops.lm import (
 from pycypher_nmetl_spark.llmops.dsir import (
     dsir_local, dsir_log_ratios, dsir_resample, dsir_weights,
 )
+from pycypher_nmetl_spark.llmops.classifier import (
+    pareto_keep, score_quality, train_quality_classifier,
+)
 
 __all__ = [
     "contamination_pairs", "decontaminate",
@@ -56,4 +59,5 @@ __all__ = [
     "train_ngram_lm", "score_ngram_lm", "score_ngram_lm_local",
     "add_lm_perplexity",
     "dsir_log_ratios", "dsir_weights", "dsir_resample", "dsir_local",
+    "train_quality_classifier", "score_quality", "pareto_keep",
 ]

@@ -1280,3 +1280,87 @@ def test_dsir_plan_broadcasts_ratios_and_takeordered(dsir_frames):
     )
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------- quality classifier -------------------------
+
+_QC_POS = [
+    "the theory of relativity describes gravity as curvature of spacetime",
+    "a balanced essay considers evidence from multiple reliable sources",
+    "the committee published its findings in a peer reviewed journal",
+    "careful analysis of the data reveals a consistent long term trend",
+]
+_QC_NEG = [
+    "click here buy now cheap pills free offer",
+    "win win win casino jackpot lucky lucky spin",
+    "xxx hot singles near you click click",
+    "free free free buy cheap cheap offer now",
+]
+
+
+@pytest.fixture(scope="module")
+def qc_model(spark):
+    from pycypher_nmetl_spark.llmops.classifier import train_quality_classifier
+
+    pos = spark.createDataFrame([(t,) for t in _QC_POS], ["text"])
+    neg = spark.createDataFrame([(t,) for t in _QC_NEG], ["text"])
+    return train_quality_classifier(pos, neg, "text", num_features=1 << 12)
+
+
+def test_quality_classifier_separates(spark, qc_model):
+    from pycypher_nmetl_spark.llmops.classifier import score_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the journal published a careful analysis of the evidence"),
+            (2, "buy cheap pills now free casino offer click"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["quality_prob"] for r in score_quality(docs, "text", qc_model).collect()}
+    assert out[1] > 0.8 > 0.2 > out[2]
+
+
+def test_quality_classifier_score_is_narrow_plan(spark, qc_model):
+    from pycypher_nmetl_spark.llmops.classifier import score_quality
+
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    scored = score_quality(docs, "text", qc_model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map: hash + dot product per row
+    assert set(scored.columns) == {"doc_id", "text", "quality_prob"}
+
+
+def test_quality_classifier_save_load_roundtrip(spark, qc_model, tmp_path):
+    from pyspark.ml import PipelineModel
+
+    from pycypher_nmetl_spark.llmops.classifier import score_quality
+
+    p = str(tmp_path / "qc_model")
+    qc_model.save(p)
+    loaded = PipelineModel.load(p)
+    docs = spark.createDataFrame([(1, "peer reviewed journal analysis")], ["doc_id", "text"])
+    a = score_quality(docs, "text", qc_model).first()["quality_prob"]
+    b = score_quality(docs, "text", loaded).first()["quality_prob"]
+    assert abs(a - b) < 1e-12
+
+
+def test_pareto_keep_deterministic_and_monotone(spark):
+    from pycypher_nmetl_spark.llmops.classifier import pareto_keep
+
+    n = 2000
+    half = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0.95).alias("quality_prob")
+    )
+    low = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0.05).alias("quality_prob")
+    )
+    kept_hi = pareto_keep(half).filter("keep").count()
+    kept_hi2 = pareto_keep(half).filter("keep").count()
+    kept_lo = pareto_keep(low).filter("keep").count()
+    assert kept_hi == kept_hi2          # hash noise: deterministic
+    assert kept_hi > kept_lo            # higher score -> kept more often
+    assert 0 < kept_lo < n              # but the tail still survives
+
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_keep(half, alpha=0.0)
