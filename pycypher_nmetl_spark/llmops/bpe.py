@@ -284,3 +284,86 @@ def add_bpe_token_count(
         return s.map(one)
 
     return df.withColumn(out, _count(F.col(text_col)))
+
+
+# --------------------------------------------------------------------- #
+# token IDS (the tokenize -> pack export path needs ids, not counts)
+# --------------------------------------------------------------------- #
+def vocab_from_merges(ranks: dict[tuple[str, str], int]) -> dict[str, int]:
+    """The canonical byte-level BPE id space: the 256 byte symbols get
+    ids 0..255 (in byte order, through the bytes_to_unicode table) and
+    each merged symbol ``a+b`` gets ``256 + rank`` — exactly how GPT-2's
+    published encoder.json ids were assigned, so for GPT-2's merges.txt
+    this reproduces its ids (sans the trailing <|endoftext|> special)."""
+    b2u = bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    for (a, b), rank in ranks.items():
+        vocab[a + b] = 256 + rank
+    return vocab
+
+
+def load_vocab(path: str) -> dict[str, int]:
+    """Load a published encoder.json (piece -> id) verbatim."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        v = json.load(f)
+    if not isinstance(v, dict):
+        raise ValueError(f"{path} is not a piece->id JSON object")
+    return {str(k): int(i) for k, i in v.items()}
+
+
+def encode_ids(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+) -> list[int]:
+    """Token ids of ``text``: encode() pieces looked up in ``vocab``.
+    A piece missing from an EXTERNAL vocab (mismatched files) raises
+    KeyError — with vocab_from_merges(ranks) every piece is present by
+    construction."""
+    return [vocab[p] for p in encode(text, ranks)]
+
+
+def add_bpe_token_ids(
+    df: DataFrame,
+    text_col: str,
+    merges_path: str,
+    vocab_path: str | None = None,
+    out: str = "token_ids",
+) -> DataFrame:
+    """``array<int>`` token ids per row, Arrow-batched — the input to
+    sequence packing (llmops.export.pack_sequences) and any training
+    export. Same broadcast + piece-LRU shape as add_bpe_token_count;
+    ids come from ``vocab_path`` (a published encoder.json) or are
+    derived from the merges (vocab_from_merges) when omitted. Null
+    text encodes to an empty array."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    ranks = load_merges(merges_path)
+    vocab = load_vocab(vocab_path) if vocab_path else vocab_from_merges(ranks)
+    bc = spark.sparkContext.broadcast((ranks, vocab))
+
+    @pandas_udf("array<int>")
+    def _ids(s):  # pd.Series -> pd.Series
+        r, v = bc.value
+
+        @functools.lru_cache(maxsize=65536)
+        def piece_ids(enc: str) -> tuple:
+            return tuple(v[p] for p in bpe_piece(enc, r))
+
+        b2u = bytes_to_unicode()
+
+        def one(text):
+            if text is None:
+                return []
+            ids: list[int] = []
+            for piece in pre_tokenize(text):
+                ids.extend(piece_ids("".join(b2u[b] for b in piece.encode("utf-8"))))
+            return ids
+
+        return s.map(one)
+
+    return df.withColumn(out, _ids(F.col(text_col)))

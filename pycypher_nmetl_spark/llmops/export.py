@@ -169,8 +169,14 @@ def pack_sequences(
         closed: list[list] = []
 
         def _flush() -> pd.DataFrame:
+            # explicit dtypes: an empty plain DataFrame defaults its
+            # columns to float64 ndarrays, which Arrow refuses to
+            # convert to list<string> (empty partitions hit this)
             out = pd.DataFrame(
-                {out_ids: [b[0] for b in closed], out_len: [b[1] for b in closed]}
+                {
+                    out_ids: pd.Series([b[0] for b in closed], dtype=object),
+                    out_len: pd.Series([b[1] for b in closed], dtype="int64"),
+                }
             )
             closed.clear()
             return out

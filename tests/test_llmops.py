@@ -1364,3 +1364,85 @@ def test_pareto_keep_deterministic_and_monotone(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         pareto_keep(half, alpha=0.0)
+
+
+# ------------------------- BPE token ids -> packing -------------------------
+
+def test_bpe_vocab_from_merges_structure():
+    from pycypher_nmetl_spark.llmops.bpe import (
+        bytes_to_unicode, train_bpe_merges, vocab_from_merges,
+    )
+
+    merges = train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=40)
+    ranks = {m: i for i, m in enumerate(merges)}
+    vocab = vocab_from_merges(ranks)
+    b2u = bytes_to_unicode()
+    assert vocab[b2u[ord("a")]] == ord("a")  # byte symbols keep byte ids
+    assert len(vocab) == 256 + len(merges)
+    for (a, b), rank in ranks.items():
+        assert vocab[a + b] == 256 + rank
+
+
+def test_bpe_encode_ids_roundtrip_to_bytes(tmp_path):
+    """ids -> pieces -> byte decode reproduces the input exactly."""
+    from pycypher_nmetl_spark.llmops.bpe import (
+        bytes_to_unicode, encode_ids, train_bpe_merges, vocab_from_merges,
+    )
+
+    merges = train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=60)
+    ranks = {m: i for i, m in enumerate(merges)}
+    vocab = vocab_from_merges(ranks)
+    inv = {i: p for p, i in vocab.items()}
+    u2b = {u: b for b, u in bytes_to_unicode().items()}
+    for t in FIXTURE_CORPUS:
+        ids = encode_ids(t, ranks, vocab)
+        decoded = bytes(
+            u2b[ch] for i in ids for ch in inv[i]
+        ).decode("utf-8")
+        assert decoded == t
+
+
+def test_bpe_token_ids_distributed_matches_local_and_packs(spark, tmp_path):
+    from pycypher_nmetl_spark.llmops.bpe import (
+        add_bpe_token_ids, encode_ids, load_merges, save_merges,
+        train_bpe_merges, vocab_from_merges,
+    )
+    from pycypher_nmetl_spark.llmops.export import pack_sequences
+
+    p = str(tmp_path / "merges.txt")
+    save_merges(train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=60), p)
+    ranks = load_merges(p)
+    vocab = vocab_from_merges(ranks)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE_CORPUS)], ["doc_id", "text"]
+    )
+    out = add_bpe_token_ids(df, "text", p)
+    got = {r["doc_id"]: r["token_ids"] for r in out.collect()}
+    for i, t in enumerate(FIXTURE_CORPUS):
+        assert got[i] == encode_ids(t, ranks, vocab), i
+    # feed real token counts into sequence packing end-to-end
+    packed = pack_sequences(
+        out.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.size("token_ids").alias("n"),
+        ),
+        "doc_id", "n", max_tokens=16,
+    ).collect()
+    packed_ids = sorted(d for r in packed for d in r["doc_ids"])
+    assert packed_ids == [str(i) for i in range(len(FIXTURE_CORPUS))]
+    assert all(r["seq_len"] <= 16 or len(r["doc_ids"]) == 1 for r in packed)
+
+
+def test_bpe_external_vocab_file(tmp_path):
+    import json
+
+    from pycypher_nmetl_spark.llmops.bpe import (
+        load_vocab, vocab_from_merges, train_bpe_merges,
+    )
+
+    merges = train_bpe_merges(FIXTURE_CORPUS * 3, n_merges=20)
+    ranks = {m: i for i, m in enumerate(merges)}
+    vocab = vocab_from_merges(ranks)
+    p = tmp_path / "encoder.json"
+    p.write_text(json.dumps(vocab))
+    assert load_vocab(str(p)) == vocab
