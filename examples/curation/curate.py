@@ -55,6 +55,34 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     docs = scrub_pii(docs, "text")
     stats["after_quality"] = docs.count()
 
+    # 2b. model-based quality (round 9): CCNet-style n-gram-LM
+    #     perplexity against a reference LM trained on the corpus's
+    #     top-quality slice — docs in the worst 5% ppl tail drop —
+    #     then a fastText-style hashed-n-gram classifier scored with
+    #     GPT-3's stochastic Pareto keep rule (low scorers survive
+    #     occasionally; no hard cliff). Both stages are joins/maps —
+    #     nothing driver-side but the two fitted models + one quantile.
+    from pycypher_nmetl_spark.llmops import (
+        add_lm_perplexity, pareto_keep, score_quality,
+        train_quality_classifier,
+    )
+
+    reference = docs.filter(F.col("quality_score") >= 0.5).select("text")
+    docs = add_lm_perplexity(docs, "text", n=2, train_df=reference)
+    ppl_cap = docs.approxQuantile("ppl", [0.95], 0.01)[0]
+    docs = docs.filter(F.col("ppl").isNotNull() & (F.col("ppl") <= ppl_cap))
+    stats["after_lm_perplexity"] = docs.count()
+
+    clf = train_quality_classifier(
+        positive_df=docs.filter(F.col("quality_score") >= 0.5),
+        negative_df=docs.filter(F.col("quality_score") < 0.35),
+        text_col="text",
+        num_features=1 << 15,
+    )
+    docs = pareto_keep(score_quality(docs, "text", clf), "quality_prob")
+    docs = docs.filter(F.col("keep")).drop("keep", "quality_prob")
+    stats["after_classifier_keep"] = docs.count()
+
     # 3. exact dedup on normalized text (hash groupBy — one shuffle)
     docs = exact_dedup(docs, ["text"])
     stats["after_exact_dedup"] = docs.count()

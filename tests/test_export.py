@@ -215,7 +215,9 @@ def test_curation_example_end_to_end(spark, tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     stats = mod.curate(spark, "/root/testdata/sf0.001", str(tmp_path))
-    assert stats["input"] >= stats["after_quality"] >= stats["after_exact_dedup"]
+    assert stats["input"] >= stats["after_quality"] >= stats["after_lm_perplexity"]
+    assert stats["after_lm_perplexity"] >= stats["after_classifier_keep"]
+    assert stats["after_classifier_keep"] >= stats["after_exact_dedup"]
     assert stats["after_exact_dedup"] >= stats["after_near_dedup"] > 0
     assert stats["train_sequences"] > 0
     out = spark.read.parquet(str(tmp_path / "train_sequences.parquet"))

@@ -610,8 +610,13 @@ SCENARIOS += [
         [("Alice", None), ("Bob", "Carol"), ("Carol", None)]),
     # ---------------- WITH / RETURN pipeline --------------------------
     TCK("return-star",
-        "MATCH (n:Person {name: 'Bob'}) RETURN * ", [((2),)],
-        xfail="RETURN * not supported: projections are explicit"),
+        "MATCH (n:Person {name: 'Bob'}) RETURN * ", [(2,)]),
+    TCK("return-star-multi-var-sorted",
+        "MATCH (n:Person {name: 'Bob'}) MATCH (m:Person {name: 'Alice'}) "
+        "RETURN *", [(1, 2)]),  # star expands alphabetically: m, n
+    TCK("with-star-plus-item",
+        "WITH 1 AS x, 2 AS y WITH *, x + y AS z RETURN x, y, z",
+        [(1, 2, 3)]),
     TCK("with-shadowing-alias",
         "WITH 1 AS x WITH x + 1 AS x RETURN x", [(2,)]),
     TCK("with-distinct",
@@ -881,12 +886,13 @@ def test_manifest_has_no_silent_gaps():
     for s in SCENARIOS:
         assert s.expect is not None or s.error or s.xfail, s.name
     unsupported = [s.name for s in SCENARIOS if s.xfail]
+    # round 9: return-star left this list — RETURN * / WITH * are
+    # supported (star expands to all non-anonymous bindings, sorted)
     assert unsupported == [
         "mixed-type-min-orderability",
         "call-subquery",
         "quantified-path-pattern",
         "inline-where-in-node-pattern",
-        "return-star",
     ]
 
 

@@ -119,6 +119,50 @@ def _ops():
         out = add_token_count(_docs(spark, d), "text", tokenizer="bpe", merges_path=mp)
         return out.agg(F.sum("n_tokens_bpe")).collect()[0][0]
 
+    def lm_perplexity(spark, d):
+        # stupid-backoff bigram LM: train on 2/3 of the corpus, score
+        # everything — 2 count aggregations + 3 gram-string joins
+        from pycypher_nmetl_spark.llmops import add_lm_perplexity
+
+        docs = _docs(spark, d)
+        out = add_lm_perplexity(
+            docs.select("doc_id", "text"), "text", n=2,
+            train_df=docs.filter(F.col("doc_id") % 3 != 0),
+        )
+        return out.agg(F.sum("n_scored")).collect()[0][0]
+
+    def dsir(spark, d):
+        # DSIR weights: two bucket histograms + broadcast ratio join +
+        # per-doc sum; the raw side shuffles once (doc,bucket groupBy)
+        from pycypher_nmetl_spark.llmops import dsir_log_ratios, dsir_weights
+
+        docs = _docs(spark, d)
+        ratios = dsir_log_ratios(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+            "text",
+        )
+        w = dsir_weights(
+            docs.filter(F.col("doc_id") % 7 != 0), "doc_id", "text", ratios
+        )
+        return w.agg(F.sum("n_features")).collect()[0][0]
+
+    def quality_classifier(spark, d):
+        # hashed-n-gram LR: fit on quality-split halves, score corpus
+        from pycypher_nmetl_spark.llmops import (
+            add_quality, score_quality, train_quality_classifier,
+        )
+
+        docs = add_quality(_docs(spark, d), "text")
+        clf = train_quality_classifier(
+            docs.filter(F.col("quality_score") >= 0.5),
+            docs.filter(F.col("quality_score") < 0.5),
+            "text", num_features=1 << 15, max_iter=10,
+        )
+        return score_quality(docs, "text", clf).agg(
+            F.sum("quality_prob")
+        ).collect()[0][0]
+
     def export_pipeline(spark, d):
         df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
         train = df.where(F.col("split") == "train")
@@ -136,6 +180,9 @@ def _ops():
         ("exact_substring_pairs", substring_pairs),
         ("exact_substring_cut", substring_cut),
         ("bpe_token_count", bpe_count),
+        ("ngram_lm_perplexity", lm_perplexity),
+        ("dsir_weights", dsir),
+        ("quality_classifier", quality_classifier),
         ("export_split_shuffle_pack", export_pipeline),
     ]
 
