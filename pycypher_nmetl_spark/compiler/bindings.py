@@ -52,6 +52,12 @@ class VarInfo:
     # endNode(r).prop resolve to the endpoint variable's property columns
     src_var: str | None = None
     dst_var: str | None = None
+    # for 'path' vars: the pattern's node / relationship variables in
+    # traversal order, so nodes(p)/relationships(p) compile to arrays of
+    # the bound id columns. Empty path_nodes = the path has a variable-
+    # length segment whose interior nodes were never materialized.
+    path_nodes: tuple[str, ...] = ()
+    path_rels: tuple[str, ...] = ()
 
 
 @dataclass

@@ -95,7 +95,13 @@ def build_varlength_path(
         for h in hop_cols[1:]:
             total = total + h
         pb = pb.with_df(pb.df.withColumn(f"{path.var}__length", total))
-        pb = pb.add_var(path.var, VarInfo("path"))
+        # path_nodes stays empty: a varlength segment's interior nodes
+        # are never materialized (nodes(p) raises a clear unsupported);
+        # relationships(p) still works — rel vars bind edge-id arrays
+        pb = pb.add_var(
+            path.var,
+            VarInfo("path", path_rels=tuple(rv for rv, _ in rel_vars)),
+        )
     return pb, rel_vars
 
 

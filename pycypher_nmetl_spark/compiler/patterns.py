@@ -264,7 +264,17 @@ def build_path_frame(
     if path.var:
         hops = sum(1 for e in elements if isinstance(e, RelPattern))
         pb = pb.with_df(pb.df.withColumn(f"{path.var}__length", F.lit(hops)))
-        pb = pb.add_var(path.var, VarInfo("path"))
+        node_vars = tuple(
+            _node_var(e) for e in elements if isinstance(e, NodePattern)
+        )
+        pb = pb.add_var(
+            path.var,
+            VarInfo(
+                "path",
+                path_nodes=node_vars,
+                path_rels=tuple(rv for rv, _ in rel_vars),
+            ),
+        )
     return pb, rel_vars
 
 

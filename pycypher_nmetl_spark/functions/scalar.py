@@ -119,6 +119,56 @@ def _length(cc, args):
     return F.length(col)
 
 
+@register("nodes")
+def _nodes_fn(cc, args):
+    """nodes(path) -> list of the path's node ids, traversal order.
+    Compile-time array of the bound node-id columns; variable-length
+    paths never materialize interior nodes, so they raise."""
+    from pycypher_nmetl_spark.cypher.ast_nodes import Var
+
+    if len(args) == 1 and isinstance(args[0], Var):
+        info = cc.bindings.vars.get(args[0].name)
+        if info and info.kind == "path":
+            if not info.path_nodes:
+                raise ValueError(
+                    "nodes() over a variable-length path is not supported "
+                    "(interior nodes are never materialized); use "
+                    "length(p) or the relationship collection variable"
+                )
+            missing = [
+                v for v in info.path_nodes if v not in cc.bindings.df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"nodes(): endpoint variable(s) {missing} were collapsed "
+                    "out of the plan; name and reference them in the pattern"
+                )
+            return F.array(*[F.col(v) for v in info.path_nodes])
+    raise ValueError("nodes() takes a bound path variable")
+
+
+@register("relationships")
+def _relationships_fn(cc, args):
+    """relationships(path) -> list of the path's relationship ids.
+    Fixed segments contribute singleton arrays, variable-length
+    segments contribute their already-bound edge-id arrays; one
+    concat, all JVM-side."""
+    from pycypher_nmetl_spark.cypher.ast_nodes import Var
+
+    if len(args) == 1 and isinstance(args[0], Var):
+        info = cc.bindings.vars.get(args[0].name)
+        if info and info.kind == "path":
+            if not info.path_rels:
+                return F.array().cast("array<long>")
+            parts = []
+            for rv in info.path_rels:
+                col = F.col(rv)
+                dt = cc.bindings.dtype(col)
+                parts.append(col if isinstance(dt, T.ArrayType) else F.array(col))
+            return parts[0] if len(parts) == 1 else F.concat(*parts)
+    raise ValueError("relationships() takes a bound path variable")
+
+
 @register("size")
 def _size(cc, args):
     col = cc.col(args[0])

@@ -617,6 +617,64 @@ SCENARIOS += [
     TCK("with-star-plus-item",
         "WITH 1 AS x, 2 AS y WITH *, x + y AS z RETURN x, y, z",
         [(1, 2, 3)]),
+    # ---------------- round-9 expansion: strings / lists / paths ------
+    TCK("split-string", "RETURN split('a,b,c', ',') AS x",
+        [(["a", "b", "c"],)]),
+    TCK("substring-from-for",
+        "RETURN substring('hello', 1, 3) AS x, substring('hello', 2) AS y",
+        [("ell", "llo")]),
+    TCK("trim-family",
+        "RETURN ltrim('  a ') AS x, rtrim(' a  ') AS y, trim('  a  ') AS z",
+        [("a ", " a", "a")]),
+    TCK("starts-ends-with-null-operand",
+        "RETURN null STARTS WITH 'a' AS x, 'a' ENDS WITH null AS y",
+        [(None, None)]),
+    TCK("size-of-string", "RETURN size('abc') AS x", [(3,)]),
+    TCK("tail-of-list", "RETURN tail([1, 2, 3]) AS x, tail([]) AS y",
+        [([2, 3], [])]),
+    TCK("sum-no-rows-is-zero",
+        "MATCH (n:Person) WHERE n.age > 100 RETURN sum(n.age) AS s",
+        [(0,)]),
+    TCK("sum-skips-null",
+        "MATCH (n:Person) RETURN sum(n.age) AS s", [(55,)]),
+    TCK("all-shortest-paths-length",
+        "MATCH p = allShortestPaths((a:Person {name: 'Alice'})"
+        "-[:KNOWS*]->(c:Person {name: 'Carol'})) RETURN length(p) AS l",
+        [(2,)]),
+    TCK("nodes-of-fixed-path",
+        "MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->()-[:KNOWS]->(c) "
+        "RETURN nodes(p) AS n", [([1, 2, 3],)]),
+    TCK("relationships-of-fixed-path",
+        "MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b) "
+        "RETURN relationships(p) AS r", [([100],)]),
+    TCK("relationships-of-varlength-path",
+        "MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b) "
+        "RETURN relationships(p) AS r", [([100],), ([100, 101],)]),
+    TCK("id-function",
+        "MATCH (n:Person {name: 'Alice'}) RETURN id(n) AS i", [(1,)]),
+    TCK("type-of-relationship",
+        "MATCH (a)-[r:KNOWS]->(b) RETURN DISTINCT type(r) AS t",
+        [("KNOWS",)]),
+    TCK("skip-beyond-rows",
+        "UNWIND [1, 2] AS x RETURN x SKIP 5", []),
+    TCK("order-skip-limit-pipeline",
+        "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x SKIP 1 LIMIT 1",
+        [(2,)]),
+    TCK("to-boolean-conversions",
+        "RETURN toBoolean('true') AS a, toBoolean('nope') AS b",
+        [(True, None)]),
+    TCK("to-string-float-and-bool",
+        "RETURN toString(1.5) AS a, toString(true) AS b",
+        [("1.5", "true")]),
+    TCK("to-integer-string",
+        "RETURN toInteger('42') AS x, toInteger('x') AS y",
+        [(42, None)]),
+    TCK("keys-skip-null-properties",
+        "MATCH (n:Person {name: 'Carol'}) RETURN keys(n) AS k",
+        [(["name"],)]),
+    TCK("set-relationship-property",
+        "MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b) SET r.w = 5 "
+        "RETURN r.w AS w", [(5,)]),
     TCK("with-shadowing-alias",
         "WITH 1 AS x WITH x + 1 AS x RETURN x", [(2,)]),
     TCK("with-distinct",
