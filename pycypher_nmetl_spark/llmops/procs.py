@@ -233,6 +233,21 @@ def _dsir_weights(engine, args) -> DataFrame:
     return dsir_weights(raw, "id", prop, ratios, buckets)
 
 
+def _dsir_resample(engine, args) -> DataFrame:
+    """llm.dsirResample(rawLabel, prop, targetLabel, k, seed=42)
+    -> (id, logw, key): the k raw docs selected by Gumbel-top-k
+    importance resampling toward the target corpus."""
+    from pycypher_nmetl_spark.llmops.dsir import dsir_resample
+
+    raw = _nodes(engine, _str_arg(args, 0, "rawLabel"))
+    prop = _str_arg(args, 1, "prop")
+    target = _nodes(engine, _str_arg(args, 2, "targetLabel"))
+    k = int(_num_arg(args, 3, 1000))
+    seed = int(_num_arg(args, 4, 42))
+    out = dsir_resample(raw, target, k, id_col="id", text_col=prop, seed=seed)
+    return out.select("id", "logw", "key")
+
+
 def _lm_score(engine, args) -> DataFrame:
     """llm.lmScore(label, prop, n=2, trainLabel=null)
     -> (id, n_scored, lm_avg_logprob, ppl): stupid-backoff n-gram LM
@@ -260,6 +275,7 @@ def _lm_score(engine, args) -> DataFrame:
 LLM_PROCEDURES = {
     "llm.lmscore": _lm_score,
     "llm.dsirweights": _dsir_weights,
+    "llm.dsirresample": _dsir_resample,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

@@ -244,3 +244,30 @@ def test_llm_dsir_weights_proc_matches_python_api(spark):
     for rid, nf, logw in rows:
         wn, wl = api[rid]
         assert nf == wn and abs(logw - wl) < 1e-9
+
+
+def test_llm_dsir_resample_proc(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    raw = spark.createDataFrame(
+        [(1, "quantum field energy notes"), (2, "cat sat on the mat"),
+         (3, "energy momentum quantum theory"), (4, "buy cheap pills now")],
+        "id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "quantum energy momentum field theory")], "id long, text string"
+    )
+    cat.register_nodes("RawDoc", raw)
+    cat.register_nodes("TargetDoc", target)
+    eng = CypherEngine(cat)
+    rows = eng.run(
+        "CALL llm.dsirResample('RawDoc', 'text', 'TargetDoc', 2, 7) "
+        "YIELD id, logw, key RETURN id ORDER BY id"
+    )
+    assert len(rows) == 2
+    again = eng.run(
+        "CALL llm.dsirResample('RawDoc', 'text', 'TargetDoc', 2, 7) "
+        "YIELD id, logw, key RETURN id ORDER BY id"
+    )
+    assert rows == again  # deterministic for a fixed seed

@@ -1446,3 +1446,69 @@ def test_bpe_external_vocab_file(tmp_path):
     p = tmp_path / "encoder.json"
     p.write_text(json.dumps(vocab))
     assert load_vocab(str(p)) == vocab
+
+
+# --------------- LM / DSIR differential fuzzers (vs local refs) ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x", "y", "zz", "Q", "1", "é"]
+_doc_strategy = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=12
+).map(" ".join)
+_corpus_strategy = st.lists(_doc_strategy, min_size=1, max_size=8)
+
+_FUZZ = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_FUZZ)
+@given(train=_corpus_strategy, score=_corpus_strategy, n=st.integers(1, 3))
+def test_lm_differential_random_corpora(spark, train, score, n):
+    from pycypher_nmetl_spark.llmops import (
+        add_lm_perplexity, score_ngram_lm_local,
+    )
+
+    train_d = {i: t for i, t in enumerate(train)}
+    score_d = {i: t for i, t in enumerate(score)}
+    if not any(t.strip() for t in train):
+        return  # empty model raises by contract (covered in arg tests)
+    tdf = spark.createDataFrame(list(train_d.items()), ["doc_id", "text"])
+    sdf = spark.createDataFrame(list(score_d.items()), ["doc_id", "text"])
+    want = score_ngram_lm_local(score_d, train_d, n=n)
+    got = {
+        r["doc_id"]: (r["n_scored"], r["lm_avg_logprob"])
+        for r in add_lm_perplexity(sdf, "text", n=n, train_df=tdf).collect()
+    }
+    for did, (wn, wl, _) in want.items():
+        gn, gl = got[did]
+        if wl is None:
+            assert gl is None, did
+        else:
+            assert gn == wn and abs(gl - wl) < 1e-9, (did, gl, wl)
+
+
+@settings(**_FUZZ)
+@given(raw=_corpus_strategy, target=_corpus_strategy)
+def test_dsir_differential_random_corpora(spark, raw, target):
+    from pycypher_nmetl_spark.llmops import dsir_local, dsir_log_ratios, dsir_weights
+
+    raw_d = {i: t for i, t in enumerate(raw)}
+    target_d = {i: t for i, t in enumerate(target)}
+    rdf = spark.createDataFrame(list(raw_d.items()), ["doc_id", "text"])
+    tdf = spark.createDataFrame(list(target_d.items()), ["doc_id", "text"])
+    want = dsir_local(raw_d, target_d, buckets=97)
+    ratios = dsir_log_ratios(tdf, rdf, "text", buckets=97, hash_fn="md5")
+    got = {
+        r["doc_id"]: (r["n_features"], r["logw"])
+        for r in dsir_weights(
+            rdf, "doc_id", "text", ratios, buckets=97, hash_fn="md5"
+        ).collect()
+    }
+    for did, (wn, wl) in want.items():
+        gn, gl = got[did]
+        assert gn == wn and abs(gl - wl) < 1e-9, (did, gl, wl)
