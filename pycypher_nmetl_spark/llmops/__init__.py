@@ -24,7 +24,7 @@ from pycypher_nmetl_spark.llmops.similarity import (
 )
 from pycypher_nmetl_spark.llmops.textstats import (
     add_fingerprint, add_lang_id, add_quality, add_repetition_signals,
-    add_token_count, add_url_canonical, scrub_pii, tokens,
+    add_token_count, add_url_canonical, chunk_documents, scrub_pii, tokens,
 )
 from pycypher_nmetl_spark.llmops.export import (
     global_shuffle, pack_sequences, split, stratified_sample,
@@ -51,6 +51,7 @@ __all__ = [
     "near_dup_components", "near_dup_pairs",
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
     "add_repetition_signals", "scrub_pii", "add_url_canonical",
+    "chunk_documents",
     "split", "stratified_sample", "global_shuffle", "pack_sequences",
     "exact_substring_pairs", "exact_substring_dedup", "duplicate_spans",
     "cut_spans", "hot_windows",

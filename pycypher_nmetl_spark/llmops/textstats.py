@@ -242,3 +242,45 @@ def add_url_canonical(
             F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    windows of ``max_tokens`` tokens advancing by ``max_tokens -
+    overlap`` (the standard stride trick so no training example loses
+    the context that crossed a boundary).
+
+    Emits ``(id_col, chunk_idx, chunk, n_chunk_tokens)`` — one row per
+    window, pure column expressions (sequence + slice + concat_ws +
+    posexplode): scan throughput, no Python, no shuffle. Documents with
+    zero tokens produce no rows; the final window of a document may be
+    shorter than ``max_tokens``. Windows starting past the last token
+    are never generated (the sequence's upper bound is the last start
+    position that still covers a fresh token)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+    t = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    n = F.size(t)
+    # last start s.t. the window contributes >= 1 new token:
+    # 1, 1+step, ... <= n - (it's the start of a non-empty suffix)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, max_tokens)))
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk"), r"\s+"))
+    )

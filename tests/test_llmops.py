@@ -1512,3 +1512,79 @@ def test_dsir_differential_random_corpora(spark, raw, target):
     for did, (wn, wl) in want.items():
         gn, gl = got[did]
         assert gn == wn and abs(gl - wl) < 1e-9, (did, gl, wl)
+
+
+# ------------------------- context-window chunking -------------------------
+
+def test_chunk_documents_no_overlap(spark):
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, "doc_id", "text", max_tokens=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_chunk_tokens"]) for r in rows}
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("d e f", 3),
+        (1, 2): ("g", 1),
+        (2, 0): ("x y", 2),
+    }  # empty doc 3 yields no rows
+
+
+def test_chunk_documents_with_stride_overlap(spark):
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = chunk_documents(df, "doc_id", "text", max_tokens=3, overlap=1).collect()
+    chunks = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])]
+    # stride 2: starts 1, 3, 5
+    assert chunks == ["a b c", "c d e", "e"]
+
+
+def test_chunk_documents_reconstructs_corpus(spark):
+    """With zero overlap the concatenation of a doc's chunks equals the
+    normalized token stream — no token lost, none duplicated."""
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=7)
+    # sort INSIDE the aggregate: collect_list order is not preserved
+    # across the groupBy exchange
+    re_joined = chunks.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("re")
+    )
+    joined = docs.join(re_joined, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit(""))).alias("want"),
+        F.coalesce("re", F.lit("")).alias("got"),
+    )
+    bad = joined.filter(F.col("want") != F.col("got")).count()
+    assert bad == 0
+
+
+def test_chunk_documents_arg_validation(spark):
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, "doc_id", "text", max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", max_tokens=3, overlap=3)
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs, "doc_id", "text", max_tokens=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # generate over the scan, zero shuffles
