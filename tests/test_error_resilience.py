@@ -70,10 +70,12 @@ def test_many_syntax_errors_dont_leak_state(rig):
     assert _count(rig) == N
 
 
-def test_unknown_label_errors_dont_affect_valid_labels(rig):
+def test_unknown_label_matches_zero_rows_repeatedly(rig):
+    # round-9 TCK conformance: an unknown read label matches zero rows
+    # (openCypher semantics) instead of raising; 30 such queries must
+    # not perturb valid-label reads
     for _ in range(30):
-        with pytest.raises(KeyError):
-            rig.execute("MATCH (d:Dinosaur) RETURN d.name AS n")
+        assert rig.execute("MATCH (d:Dinosaur) RETURN d.name AS n").collect() == []
     assert _count(rig) == N
 
 
@@ -81,8 +83,8 @@ def test_error_messages_deterministic(rig):
     unknown, syntax = set(), set()
     for _ in range(25):
         try:
-            rig.execute("MATCH (g:Ghost) RETURN g.x AS x")
-        except KeyError as e:
+            rig.execute("RETURN nosuchfunction(1) AS x")
+        except Exception as e:  # unknown function — any stable error type
             unknown.add(str(e))
         try:
             rig.execute("MATCH (broken")
