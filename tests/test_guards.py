@@ -90,7 +90,9 @@ def test_audit_log_records_and_metrics(tpch, caplog):
         with caplog.at_level(logging.INFO, logger="pycypher_nmetl_spark.audit"):
             eng.run("MATCH (n:Region) RETURN count(*) AS c", {"p": "secret"})
             with pytest.raises(Exception):
-                eng.execute("MATCH (n:NoSuchLabel) RETURN n")
+                # unknown function fails at compile (unknown LABELS now
+                # conformantly match zero rows — round-9 TCK fix)
+                eng.execute("RETURN nosuchfunction(1) AS x")
         records = [json.loads(r.message) for r in caplog.records]
         events = {(r["event"], r["status"]) for r in records}
         assert ("compile", "ok") in events and ("run", "ok") in events
