@@ -205,6 +205,9 @@ class NodePattern:
     var: Optional[str]
     labels: list[str]
     props: Optional[MapLit]
+    # Neo4j-5 inline predicate `(n:L WHERE n.x > 1)` — hoisted by the
+    # parser into the enclosing MATCH's WHERE (same semantics)
+    where: Optional[Expr] = None
 
 
 @dataclass

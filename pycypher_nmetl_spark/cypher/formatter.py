@@ -111,6 +111,8 @@ def _path(p: PathPattern) -> str:
             inner += "".join(f":{l}" for l in el.labels)
             if el.props:
                 inner += (" " if inner else "") + _e(el.props)
+            if el.where is not None:
+                inner += (" " if inner else "") + f"WHERE {_e(el.where)}"
             body += f"({inner})"
         else:
             inner = el.var or ""

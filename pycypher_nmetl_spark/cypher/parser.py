@@ -142,6 +142,7 @@ class Parser:
             paths = [self.parse_path_pattern()]
             while self.eat_sym(","):
                 paths.append(self.parse_path_pattern())
+            self._reject_inline_where(paths, "CREATE")
             return Create(paths)
         if self.eat_kw("SET"):
             return SetClause(self.parse_set_items())
@@ -159,6 +160,7 @@ class Parser:
             return Delete(exprs, detach=detach)
         if self.eat_kw("MERGE"):
             path = self.parse_path_pattern()
+            self._reject_inline_where([path], "MERGE")
             on_create: list[SetItem] = []
             on_match: list[SetItem] = []
             while self.at_kw("ON"):
@@ -208,11 +210,28 @@ class Parser:
             return CallProc(name, args, yields, where)
         self.err(f"expected a clause, got {self.peek().value!r}")
 
+    def _reject_inline_where(self, paths, clause: str) -> None:
+        for p in paths:
+            for e in p.elements:
+                if isinstance(e, NodePattern) and e.where is not None:
+                    self.err(f"WHERE is not allowed inside a {clause} pattern")
+
     def parse_match(self, optional: bool) -> Match:
         paths = [self.parse_path_pattern()]
         while self.eat_sym(","):
             paths.append(self.parse_path_pattern())
         where = self.parse_expr() if self.eat_kw("WHERE") else None
+        # hoist inline node-pattern predicates into the clause WHERE
+        # (identical semantics; reuses the per-var pushdown machinery)
+        inline = []
+        for p in paths:
+            for e in p.elements:
+                if isinstance(e, NodePattern) and e.where is not None:
+                    inline.append(e.where)
+                    e.where = None  # hoisted — avoid double-apply on reformat
+        if inline:
+            conj = inline + ([where] if where is not None else [])
+            where = conj[0] if len(conj) == 1 else BoolOp("AND", conj)
         return Match(paths, optional=optional, where=where)
 
     def parse_projection(self, is_return: bool) -> Projection:
@@ -361,8 +380,13 @@ class Parser:
         elif self.peek().kind == "PARAM":
             # (n:Label $props) — parameter property map (openCypher)
             props = Param(self.advance().value)
+        where = None
+        if self.at_kw("WHERE"):
+            # Neo4j-5 inline predicate: (n:Label {p: v} WHERE expr)
+            self.advance()
+            where = self.parse_expr()
         self.expect_sym(")")
-        return NodePattern(var, labels, props)
+        return NodePattern(var, labels, props, where)
 
     def parse_rel_pattern(self) -> RelPattern:
         direction = "U"

@@ -333,9 +333,21 @@ SCENARIOS: list[TCK] = [
               "grammar — unscoped"),
     TCK("inline-where-in-node-pattern",
         "MATCH (a:Person WHERE a.age > 26) RETURN a.name AS n",
-        [("Alice",)],
-        xfail="Neo4j 5 inline node-pattern WHERE is outside the reference "
-              "grammar — unscoped"),
+        [("Alice",)]),
+    TCK("inline-where-both-endpoints",
+        "MATCH (a:Person WHERE a.age > 24)-[:KNOWS]->"
+        "(b:Person WHERE b.age < 30) RETURN a.name AS s, b.name AS t",
+        [("Alice", "Bob")]),
+    TCK("inline-where-combines-with-clause-where",
+        "MATCH (n:Person WHERE n.age > 20) WHERE n.name <> 'Alice' "
+        "RETURN n.name AS x", [("Bob",)]),
+    TCK("inline-where-with-props-map",
+        "MATCH (n:Person {name: 'Bob'} WHERE n.age < 30) "
+        "RETURN n.age AS a", [(25,)]),
+    TCK("inline-where-rejected-in-create",
+        "CREATE (n:Person WHERE n.age > 1)", error="not allowed"),
+    TCK("inline-where-rejected-in-merge",
+        "MERGE (n:Person WHERE n.age > 1)", error="not allowed"),
     # round-9: the former deliberate divergence (unknown label raised a
     # KeyError) is fixed — read-path scans of an unregistered label now
     # match zero rows per openCypher; engine.validate still reports the
@@ -944,13 +956,14 @@ def test_manifest_has_no_silent_gaps():
     for s in SCENARIOS:
         assert s.expect is not None or s.error or s.xfail, s.name
     unsupported = [s.name for s in SCENARIOS if s.xfail]
-    # round 9: return-star left this list — RETURN * / WITH * are
-    # supported (star expands to all non-anonymous bindings, sorted)
+    # round 9: return-star and inline-where-in-node-pattern left this
+    # list — RETURN */WITH * are supported (star expands to all
+    # non-anonymous bindings, sorted) and inline node-pattern WHERE
+    # hoists into the clause WHERE (rejected in CREATE/MERGE)
     assert unsupported == [
         "mixed-type-min-orderability",
         "call-subquery",
         "quantified-path-pattern",
-        "inline-where-in-node-pattern",
     ]
 
 
