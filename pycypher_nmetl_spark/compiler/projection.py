@@ -126,6 +126,15 @@ def compile_projection(
         ]
         items = star_items + items
 
+    # CALL { } carry keys (engine._compile_call_subquery): always
+    # projected through, always part of implicit grouping / DISTINCT —
+    # that is exactly what gives subqueries their per-invoking-row
+    # semantics in a single relational plan
+    carry = [v for v in bindings.vars if v.startswith("__cq")]
+    for v in carry:
+        if not any(isinstance(it.expr, Var) and it.expr.name == v for it in items):
+            items.append(ReturnItem(Var(v), v, v))
+
     # pattern-shaped sub-expressions -> hidden columns first
     all_exprs = [it.expr for it in items] + [o.expr for o in proj.order_by]
     if proj.where is not None:
@@ -158,10 +167,32 @@ def compile_projection(
         df = _apply_order(engine, new_b, proj, params, internal)
 
     cc = ExprCompiler(Bindings(df, new_b.vars), params, subst, engine.functions)
-    if proj.skip is not None:
-        df = df.offset(int(_const(cc, proj.skip)))
-    if proj.limit is not None:
-        df = df.limit(int(_const(cc, proj.limit)))
+    if carry and (proj.skip is not None or proj.limit is not None):
+        # SKIP/LIMIT inside CALL { }: per invoking row, not global — a
+        # row_number window partitioned by the carry keys (top-k-per-row,
+        # the classic Spark shape; no global sort, no collect)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*[F.col(internal[v]) for v in carry])
+        if proj.order_by:
+            nb2 = Bindings(df, new_b.vars)
+            if hasattr(new_b, "_agg_map"):
+                nb2._agg_map = new_b._agg_map
+            w = w.orderBy(*_sort_cols(engine, nb2, proj, params, internal))
+        else:
+            w = w.orderBy(F.monotonically_increasing_id())
+        lo = int(_const(cc, proj.skip)) if proj.skip is not None else 0
+        df = df.withColumn("__cq_rn", F.row_number().over(w)).filter(
+            F.col("__cq_rn") > lo
+        )
+        if proj.limit is not None:
+            df = df.filter(F.col("__cq_rn") <= lo + int(_const(cc, proj.limit)))
+        df = df.drop("__cq_rn")
+    else:
+        if proj.skip is not None:
+            df = df.offset(int(_const(cc, proj.skip)))
+        if proj.limit is not None:
+            df = df.limit(int(_const(cc, proj.limit)))
 
     # ---- finalize ------------------------------------------------------- #
     if proj.is_return:
@@ -183,7 +214,9 @@ def compile_projection(
             for c in new_b.var_columns(src):
                 if c != src and c in df.columns:
                     keep_cols.append(F.col(c).alias(name + c[len(src):]))
-            vars_[name] = VarInfo(info.kind, info.labels, elem_kind=info.elem_kind)
+            vars_[name] = VarInfo(
+                info.kind, info.labels, anon=info.anon, elem_kind=info.elem_kind
+            )
         else:
             keep_cols.append(F.col(icol).alias(name))
             # the projection step may have recorded richer info (e.g.
@@ -372,7 +405,7 @@ def _aggregate_projection(
     return b, internal
 
 
-def _apply_order(engine, b: Bindings, proj, params, internal) -> DataFrame:
+def _sort_cols(engine, b: Bindings, proj, params, internal) -> list[Column]:
     agg_map = getattr(b, "_agg_map", {})
     cc = ExprCompiler(b, params, {}, engine.functions, agg_map)
     sort_cols = []
@@ -387,4 +420,8 @@ def _apply_order(engine, b: Bindings, proj, params, internal) -> DataFrame:
         else:
             c = c.desc_nulls_last() if o.nulls == "LAST" else c.desc_nulls_first()
         sort_cols.append(c)
-    return b.df.orderBy(*sort_cols)
+    return sort_cols
+
+
+def _apply_order(engine, b: Bindings, proj, params, internal) -> DataFrame:
+    return b.df.orderBy(*_sort_cols(engine, b, proj, params, internal))

@@ -336,6 +336,16 @@ class CallProc(Clause):
 
 
 @dataclass
+class CallSubquery(Clause):
+    """CALL { [WITH imports] ... RETURN items } — executed per incoming
+    row with only the imported variables in scope; the result rows join
+    back onto the invoking rows."""
+    clauses: list[Clause]
+    imports: tuple[str, ...] = ()    # importing WITH variables (may be empty)
+    has_import_with: bool = False    # distinguishes `WITH a` from no WITH
+
+
+@dataclass
 class Query:
     clauses: list[Clause]
 

@@ -5,7 +5,8 @@
 from __future__ import annotations
 
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    BinOp, BoolOp, CallProc, CaseExpr, Cmp, CountStar, Create, Delete,
+    BinOp, BoolOp, CallProc, CallSubquery, CaseExpr, Cmp, CountStar,
+    Create, Delete,
     ExistsSub, Foreach, FuncCall, Index, InList, IsNull, LabelPred,
     ListComp, ListLit, Literal, MapLit, MapProjection, Match, Merge,
     NodePattern, Not, OrderItem, Param, PathPattern, PatternComp,
@@ -86,6 +87,13 @@ def _clause(c) -> str:
                 f + (f" AS {a}" if a else "") for f, a in c.yields
             )
         return out
+    if isinstance(c, CallSubquery):
+        inner = []
+        if c.has_import_with:
+            inner.append("WITH " + ", ".join(c.imports))
+        inner.extend(_clause(sc) for sc in c.clauses)
+        body = "\n".join("  " + line for cl in inner for line in cl.split("\n"))
+        return "CALL {\n" + body + "\n}"
     raise NotImplementedError(type(c).__name__)
 
 

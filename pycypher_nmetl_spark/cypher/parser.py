@@ -11,7 +11,8 @@ from __future__ import annotations
 from functools import lru_cache
 
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    BinOp, BoolOp, CallProc, CaseExpr, Clause, Cmp, CountStar, Create,
+    BinOp, BoolOp, CallProc, CallSubquery, CaseExpr, Clause, Cmp,
+    CountStar, Create,
     Delete, ExistsSub, Expr, Foreach, FuncCall, Index, InList, IsNull,
     LabelPred, ListComp, ListLit, Literal, MapLit, MapProjection, Match,
     Merge, NodePattern, Not, OrderItem, Param, PathPattern, PatternComp,
@@ -186,6 +187,8 @@ class Parser:
             self.expect_sym(")")
             return Foreach(var, coll, inner)
         if self.eat_kw("CALL"):
+            if self.at_sym("{"):
+                return self.parse_call_subquery()
             name = self.expect_name()
             while self.eat_sym("."):
                 name += "." + self.expect_name()
@@ -209,6 +212,48 @@ class Parser:
                     where = self.parse_expr()
             return CallProc(name, args, yields, where)
         self.err(f"expected a clause, got {self.peek().value!r}")
+
+    def parse_call_subquery(self) -> CallSubquery:
+        """CALL { [WITH var[, var]*] clause* RETURN ... } — the importing
+        WITH (Neo4j 4.x rules) must list PLAIN variables, first."""
+        self.expect_sym("{")
+        imports: tuple[str, ...] = ()
+        has_import_with = False
+        # importing WITH: only if the subquery starts with WITH of plain
+        # vars (no aliases/expressions/modifiers) — peek-parse it
+        if self.at_kw("WITH"):
+            save = self.i
+            self.advance()
+            names: list[str] = []
+            ok = True
+            while True:
+                if self.peek().kind != "NAME":
+                    ok = False
+                    break
+                names.append(self.advance().value)
+                if not self.eat_sym(","):
+                    break
+            # a plain-var WITH followed by another clause (not AS/ORDER/
+            # WHERE/...) is an importing WITH; anything else rewinds and
+            # parses as a normal projection inside the subquery
+            if ok and not (
+                self.at_kw("AS") or self.at_kw("ORDER") or self.at_kw("WHERE")
+                or self.at_kw("LIMIT") or self.at_kw("SKIP")
+                or self.at_kw("DISTINCT")
+            ):
+                imports = tuple(names)
+                has_import_with = True
+            else:
+                self.i = save
+        clauses: list[Clause] = []
+        while not self.at_sym("}"):
+            if self.peek().kind == "EOF":
+                self.err("unterminated CALL { subquery")
+            clauses.append(self.parse_clause())
+        self.expect_sym("}")
+        if not clauses:
+            self.err("empty CALL { } subquery")
+        return CallSubquery(clauses, imports, has_import_with)
 
     def _reject_inline_where(self, paths, clause: str) -> None:
         for p in paths:

@@ -26,8 +26,8 @@ from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
 from pycypher_nmetl_spark.compiler.patterns import compile_match, materialize_subpatterns
 from pycypher_nmetl_spark.compiler.projection import compile_projection
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    CallProc, Clause, Create, Delete, Foreach, Match, Merge, Projection,
-    Query, Remove, SetClause, UnionQuery, Unwind,
+    CallProc, CallSubquery, Clause, Create, Delete, Foreach, Match, Merge,
+    Projection, Query, Remove, SetClause, UnionQuery, Unwind,
 )
 from pycypher_nmetl_spark.cypher.parser import parse
 
@@ -925,7 +925,117 @@ class CypherEngine:
             return mutations.compile_foreach(self, bindings, clause, params), None
         if isinstance(clause, CallProc):
             return self._compile_call(bindings, clause, params), None
+        if isinstance(clause, CallSubquery):
+            return self._compile_call_subquery(bindings, clause, params, mutations), None
         raise NotImplementedError(f"clause {type(clause).__name__}")
+
+    # ------------------------------------------------------------------ #
+    def _compile_call_subquery(
+        self, bindings: Bindings, clause: CallSubquery, params: dict, mutations
+    ) -> Bindings:
+        """CALL { [WITH imports] ... RETURN items } — Neo4j-4.x subquery,
+        compiled relationally instead of per-row:
+
+        * every invoking row gets a hidden carry key ``__cq<depth>``
+          (monotonically_increasing_id over a localCheckpoint so both
+          sides of the re-join see the same ids);
+        * the subquery's clauses compile against a frame holding ONLY the
+          carry key + imported variables — compile_projection recognises
+          ``__cq*`` vars and (a) always carries them through WITH/RETURN,
+          (b) adds them to every implicit grouping and DISTINCT, and
+          (c) turns SKIP/LIMIT into a per-carry-key row_number window —
+          which together reproduce per-invocation semantics in one plan;
+        * the final RETURN is rewritten to a WITH so the result keeps the
+          carry key, then joins back onto the invoking rows. A pure-
+          aggregate RETURN joins LEFT (an invocation over zero rows still
+          aggregates — count() coalesces to 0); anything else joins INNER
+          (zero subquery rows eliminate the invoking row, per Neo4j).
+
+        Writes inside the subquery are not supported (raise); neither is
+        UNION (the parser rejects it inside the braces).
+        """
+        import dataclasses
+
+        from pycypher_nmetl_spark.compiler.projection import contains_aggregate
+        from pycypher_nmetl_spark.cypher.ast_nodes import Var
+
+        body = list(clause.clauses)
+        for c in body:
+            if isinstance(c, MUTATION_CLAUSES):
+                raise NotImplementedError(
+                    "writes inside CALL { } subqueries are not supported"
+                )
+        last = body[-1]
+        if not (isinstance(last, Projection) and last.is_return):
+            raise ValueError("CALL { } subquery must end with RETURN")
+
+        depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
+        key = f"__cq{depth}"
+        outer_df = bindings.df.withColumn(
+            key, F.monotonically_increasing_id()
+        ).localCheckpoint()
+        outer = Bindings(
+            outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
+        )
+
+        # inner scope: carry key + imported vars (with satellite columns)
+        missing = [v for v in clause.imports if v not in outer.vars]
+        if missing:
+            raise ValueError(
+                f"CALL subquery imports undefined variable(s): {missing}"
+            )
+        keep_cols = [key] + [
+            c for v in clause.imports for c in outer.var_columns(v)
+        ]
+        inner_vars = {key: VarInfo("value", anon=True)}
+        for v in clause.imports:
+            inner_vars[v] = outer.vars[v]
+        # carry keys of ENCLOSING subqueries ride along too (nesting)
+        for v in bindings.vars:
+            if v.startswith("__cq") and v != key:
+                keep_cols.append(v)
+                inner_vars[v] = bindings.vars[v]
+        inner = Bindings(outer_df.select(*dict.fromkeys(keep_cols)), inner_vars)
+
+        # run the body; final RETURN becomes a WITH so the carry key and
+        # satellite columns survive into the result frame
+        body[-1] = dataclasses.replace(last, is_return=False)
+        b = inner
+        for c in body:
+            b, result = self._run_clause(c, b, params, mutations)
+            if result is not None:  # pragma: no cover — rewritten above
+                raise AssertionError("subquery RETURN escaped the rewrite")
+
+        exported = [
+            (it.alias or it.text) for it in last.items
+        ]
+        clash = [v for v in exported if v in bindings.vars]
+        if clash:
+            raise ValueError(
+                f"CALL subquery returns variable(s) already in scope: {clash}"
+            )
+
+        pure_agg = bool(last.items) and all(
+            contains_aggregate(it.expr) for it in last.items
+        )
+        how = "left" if pure_agg else "inner"
+        # enclosing subqueries' carry keys rode through the body (they
+        # key the inner groupings); the OUTER frame already has them —
+        # drop the copies before the re-join to avoid ambiguity
+        b_df = b.df.drop(
+            *[c for c in b.df.columns if c.startswith("__cq") and c != key]
+        )
+        joined = outer_df.join(b_df, key, how)
+        if pure_agg:
+            # an invocation over zero rows still aggregates: count -> 0
+            for it, name in zip(last.items, exported):
+                fn = getattr(it.expr, "name", "")
+                if isinstance(fn, str) and fn.lower() in ("count", "countstar") or type(it.expr).__name__ == "CountStar":
+                    joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        out_vars = {**bindings.vars}
+        for v in exported:
+            out_vars[v] = b.vars.get(v, VarInfo("value"))
+        return Bindings(joined.drop(key), out_vars)
 
     # ------------------------------------------------------------------ #
     def _compile_unwind(self, bindings: Bindings, clause: Unwind, params: dict) -> Bindings:

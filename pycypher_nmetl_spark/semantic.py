@@ -22,10 +22,10 @@ from enum import Enum
 from typing import Any, Iterable
 
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    CallProc, CountStar, Create, Delete, ExistsSub, Expr, Foreach, FuncCall,
-    ListComp, MapProjection, Match, Merge, NodePattern, PathPattern,
-    PatternComp, PatternPred, Projection, Quantifier, Query, Reduce,
-    RelPattern, Remove, SetClause, UnionQuery, Unwind, Var,
+    CallProc, CallSubquery, CountStar, Create, Delete, ExistsSub, Expr,
+    Foreach, FuncCall, ListComp, MapProjection, Match, Merge, NodePattern,
+    PathPattern, PatternComp, PatternPred, Projection, Quantifier, Query,
+    Reduce, RelPattern, Remove, SetClause, UnionQuery, Unwind, Var,
 )
 
 
@@ -236,6 +236,27 @@ class SemanticValidator:
                 scope.open = True
             if clause.where is not None:
                 self._use_expr(clause.where, scope)
+            return scope
+        if isinstance(clause, CallSubquery):
+            # imports must exist outside; the body validates in its own
+            # scope seeded ONLY by the imports; exports define into the
+            # invoking scope (Neo4j 4.x subquery scoping)
+            inner = VariableScope()
+            for v in clause.imports:
+                self._use_expr(Var(v), scope)
+                inner.define(v)
+            sub = inner
+            for c in clause.clauses:
+                sub = self._clause(c, sub)
+            last = clause.clauses[-1] if clause.clauses else None
+            if isinstance(last, Projection):
+                for item in last.items:
+                    if item.alias:
+                        scope.define(item.alias)
+                    elif isinstance(item.expr, Var):
+                        scope.define(item.expr.name)
+                    else:
+                        scope.define(item.text)
             return scope
         if isinstance(clause, Projection):
             return self._projection(clause, scope)
