@@ -67,10 +67,23 @@ _CYPHER_QUERIES: dict[str, str] = {
         "round(sum(l.extendedprice), 2) AS sum_base, "
         "round(avg(l.discount), 4) AS avg_disc, count(*) AS cnt"
     ),
-    # §2.3 OPTIONAL MATCH (left join) + count(x) null semantics
+    # §2.3 OPTIONAL MATCH (left join) + count(x) null semantics +
+    # IS NULL on an entity variable (absorbed optional_anti under the
+    # 50-gate cap — its WITH+trailing-WHERE surface stays covered by
+    # with_having, its anti-join shape by exists_anti; the per-row
+    # o IS NULL test lives on here inside the CASE)
     "optional_hop_count": (
         "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
-        "RETURN c.name AS cust, count(o) AS n_orders"
+        "RETURN c.name AS cust, count(o) AS n_orders, "
+        "sum(CASE WHEN o IS NULL THEN 1 ELSE 0 END) AS null_rows"
+    ),
+    # §2.10 CALL { } subquery: per-invoking-row ORDER BY + LIMIT (the
+    # top-k-per-group shape) — compiles to one row_number window, no
+    # per-row execution
+    "call_subquery_topk": (
+        "MATCH (c:Customer) CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+        "RETURN o.totalprice AS top_price ORDER BY o.totalprice DESC, "
+        "o.orderkey LIMIT 2 } RETURN c.custkey AS custkey, top_price"
     ),
     # §2.9 CASE + §2.8 string fns + CONTAINS predicate in one grouped
     # projection (merged case_buckets + string_fns: the driver records at
@@ -158,11 +171,6 @@ _CYPHER_QUERIES: dict[str, str] = {
         "RETURN o.orderdate.month AS mo, "
         "date.truncate('quarter', o.orderdate) AS qtr, count(*) AS cnt, "
         "round(sum(o.totalprice), 2) AS total"
-    ),
-    # OPTIONAL MATCH ... IS NULL (anti-join shape)
-    "optional_anti": (
-        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
-        "WITH c, o WHERE o IS NULL RETURN count(*) AS customers_without_orders"
     ),
     # quantifier over a collected list + reduce/comprehension/range
     # scalars in the same projection (absorbed list_ops under the
@@ -274,8 +282,17 @@ _ORACLE: dict[str, str] = {
         "GROUP BY l_returnflag, l_linestatus"
     ),
     "optional_hop_count": (
-        "SELECT c_name AS cust, count(o_orderkey) AS n_orders FROM customer "
+        "SELECT c_name AS cust, count(o_orderkey) AS n_orders, "
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_rows FROM customer "
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_name"
+    ),
+    "call_subquery_topk": (
+        "SELECT c_custkey AS custkey, o_totalprice AS top_price FROM ("
+        "SELECT c.c_custkey, o.o_totalprice, row_number() OVER ("
+        "PARTITION BY c.c_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey"
+        ") AS rn FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"
+        ") WHERE rn <= 2"
     ),
     "case_string_fns": (
         "SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' "
@@ -346,10 +363,6 @@ _ORACLE: dict[str, str] = {
         "date_trunc('quarter', o_orderdate)::DATE AS qtr, count(*) AS cnt, "
         "round(sum(o_totalprice), 2) AS total FROM orders "
         "WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1, 2"
-    ),
-    "optional_anti": (
-        "SELECT count(*) AS customers_without_orders FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
     ),
     "collect_quantifier": (
         "SELECT c_name AS cust, count(*) AS n, "
