@@ -20,7 +20,7 @@ from pycypher_nmetl_spark.llmops.dedup import (
 )
 from pycypher_nmetl_spark.llmops.similarity import (
     brute_force_topk, brute_force_topk_many, cosine_col, ivf_build,
-    ivf_topk, near_dup_components, near_dup_pairs,
+    ivf_topk, ivf_topk_many, near_dup_components, near_dup_pairs,
 )
 from pycypher_nmetl_spark.llmops.textstats import (
     add_fingerprint, add_lang_id, add_quality, add_repetition_signals,
@@ -48,6 +48,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
     "simhash", "simhash_buckets",
     "brute_force_topk", "brute_force_topk_many", "cosine_col", "ivf_build", "ivf_topk",
+    "ivf_topk_many",
     "near_dup_components", "near_dup_pairs",
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
     "add_repetition_signals", "scrub_pii", "add_url_canonical",

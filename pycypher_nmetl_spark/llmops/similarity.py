@@ -610,3 +610,91 @@ def brute_force_topk_many(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def ivf_topk_many(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k per query for a SET of queries over an IVF
+    index (the batched retrieval shape at scale): each query probes only
+    its nprobe nearest clusters instead of the whole corpus.
+
+    Plan shape: the (query, cluster) probe map is built driver-side from
+    the LOCAL centroid list (|queries| x nprobe rows — queries are a
+    batch, centroids are small by construction) and broadcast; the
+    corpus joins it on `_cluster`, so every corpus row is scored only
+    against the queries probing ITS cluster — corpus-side work is
+    |corpus-rows-in-probed-clusters|, never corpus x |queries|. The only
+    exchange is the same per-query top-k window as brute_force_topk_many.
+    For 100 TB, repartition/persist `assigned` by `_cluster` once so
+    cluster-pruned scans touch only matching files.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivf_topk_many: empty query frame")
+    C = np.array(centroids, dtype="float64")
+    probe_pairs = []
+    qvecs = []
+    for r in qrows:
+        qv = np.array(r["_qv"], dtype="float64")
+        order = (((C - qv) ** 2).sum(1)).argsort()[:nprobe].tolist()
+        qvecs.append((r["_qid"], list(map(float, qv))))
+        probe_pairs.extend((r["_qid"], int(c)) for c in order)
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} string, _cluster int") \
+        if isinstance(qrows[0]["_qid"], str) else spark.createDataFrame(
+            probe_pairs, f"{query_id_col} long, _cluster int")
+    qdf = spark.createDataFrame(
+        qvecs,
+        f"{query_id_col} string, _qv array<double>"
+        if isinstance(qrows[0]["_qid"], str)
+        else f"{query_id_col} long, _qv array<double>",
+    )
+
+    @pandas_udf("double")
+    def _cos(v1s, v2s):
+        m1 = np.stack([np.asarray(x, dtype=np.float64) for x in v1s])
+        m2 = np.stack([np.asarray(x, dtype=np.float64) for x in v2s])
+        num = (m1 * m2).sum(axis=1)
+        den = np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den == 0, 0.0, num / den))
+
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("_cluster").cast("int").alias("_cluster"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .join(F.broadcast(probes), "_cluster")
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            F.col("_id").alias(id_col),
+            _cos(F.col("_v").cast("array<double>"), F.col("_qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

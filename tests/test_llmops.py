@@ -1588,3 +1588,69 @@ def test_chunk_documents_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # generate over the scan, zero shuffles
+
+
+def test_ivf_topk_many_matches_per_query_probe(spark):
+    """Batched IVF == single-query ivf_topk per query, on the sf0.001
+    embeddings with full recall settings (nprobe = n_clusters)."""
+    from pycypher_nmetl_spark.llmops import (
+        brute_force_topk_many, ivf_build, ivf_topk_many,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(e, "embedding", n_clusters=6, id_col="vec_id")
+    queries = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    # nprobe == n_clusters -> probes every cluster -> must equal brute force
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk_many(
+            e, "embedding", queries, k=5, id_col="vec_id"
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_many(
+            assigned, cents, "embedding", queries, k=5, nprobe=6, id_col="vec_id"
+        ).collect()
+    }
+    assert got == exact
+    # at nprobe=2 it stays approximate but returns k rows per query with
+    # decent recall on this clustered synthetic set
+    approx = ivf_topk_many(
+        assigned, cents, "embedding", queries, k=5, nprobe=2, id_col="vec_id"
+    )
+    counts = {r["query_id"]: r["c"] for r in approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(v == 5 for v in counts.values())
+    inter = {t for t in got if t in {(r["query_id"], r["vec_id"]) for r in approx.collect()}}
+    assert len(inter) >= 0.6 * len(got)
+
+
+def test_ivf_topk_many_corpus_not_broadcast_plan(spark):
+    from pycypher_nmetl_spark.llmops import ivf_build, ivf_topk_many
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(e, "embedding", n_clusters=4, id_col="vec_id")
+    queries = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        ivf_topk_many(assigned, cents, "embedding", queries, k=3, id_col="vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # probe map + query frame broadcast; corpus side streamed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_topk_many_empty_queries_raises(spark):
+    from pycypher_nmetl_spark.llmops import ivf_build, ivf_topk_many
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(e, "embedding", n_clusters=4, id_col="vec_id")
+    empty = e.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="empty query frame"):
+        ivf_topk_many(assigned, cents, "embedding", empty, k=3)
