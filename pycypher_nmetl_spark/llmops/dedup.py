@@ -424,3 +424,108 @@ def simhash_buckets(
         h.alias("simhash"),
         F.shiftright(h, bits - prefix_bits).alias("bucket"),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """The persistable MinHash dedup index: ``(id, _sh, _sig)`` — shingle
+    set + signature per document. Write this once for the standing
+    corpus; every new ingest batch then dedups against it via
+    :func:`minhash_lsh_pairs_against` without touching corpus text.
+    Docs with no shingles (shorter than k tokens) are excluded — they
+    have no LSH identity."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .withColumn("_sig", signature_from_shingles(F.col("_sh"), num_perm))
+        .filter(F.size("_sh") > 0)
+    )
+
+
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    corpus_is_signatures: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup — the ingest shape: find near-duplicate
+    pairs between a NEW batch and the EXISTING corpus without comparing
+    corpus x corpus (that work was already done when the corpus was
+    ingested) and without recomputing corpus signatures (pass the
+    persisted :func:`minhash_signatures` frame with
+    ``corpus_is_signatures=True``).
+
+    Returns ``(new_id, corpus_id, jaccard)``. Within-batch duplicates
+    are the plain :func:`minhash_lsh_pairs` over ``new_df`` — run both
+    for a full ingest dedup.
+
+    Scale shape: band buckets for the (small) new batch join the corpus
+    band buckets on (band, key) — with AQE the batch side broadcasts, so
+    the standing corpus index is scanned map-side, never shuffled; the
+    verification join touches only candidate corpus rows.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band < 1:
+        raise ValueError(f"bands={bands} > num_perm={num_perm}")
+    new_base = minhash_signatures(new_df, id_col, text_col, k, num_perm).persist()
+    if corpus_is_signatures:
+        corpus_base = corpus.select("_id", "_sh", "_sig")
+    else:
+        corpus_base = minhash_signatures(corpus, id_col, text_col, k, num_perm)
+
+    def _buckets(base: DataFrame) -> DataFrame:
+        return base.select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band", "key"),
+        )
+
+    nb = _buckets(new_base).withColumnRenamed("_id", "new_id")
+    cb = _buckets(corpus_base).withColumnRenamed("_id", "corpus_id")
+    candidates = (
+        nb.join(cb, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates()
+    )
+    out = (
+        candidates.join(
+            new_base.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh1")),
+            on="new_id",
+        )
+        .join(
+            corpus_base.select(
+                F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sh2")
+            ),
+            on="corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh1", "_sh2"))
+            / (
+                F.size("_sh1")
+                + F.size("_sh2")
+                - F.size(F.array_intersect("_sh1", "_sh2"))
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.col("jaccard"))
+    )
+    return out

@@ -1654,3 +1654,79 @@ def test_ivf_topk_many_empty_queries_raises(spark):
     )
     with pytest.raises(ValueError, match="empty query frame"):
         ivf_topk_many(assigned, cents, "embedding", empty, k=3)
+
+
+# ------------------------- incremental (ingest) dedup -------------------------
+
+def test_minhash_against_finds_cross_corpus_dups(spark):
+    from pycypher_nmetl_spark.llmops import (
+        minhash_lsh_pairs_against, minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (102, "unrelated brand new document text entirely"),
+            (103, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_against(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == {(101, 1), (103, 1)}
+
+    # same result against a PRE-COMPUTED signatures index
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_against(
+            new, sigs, "doc_id", "text", threshold=0.5,
+            corpus_is_signatures=True,
+        ).collect()
+    }
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs_against(new, corpus, "doc_id", "text", num_perm=8, bands=16)
+
+
+def test_minhash_against_consistent_with_full_rerun(spark):
+    """Incremental dedup of batch-vs-corpus must agree with running the
+    full minhash_lsh_pairs over corpus+batch, restricted to cross pairs."""
+    from pycypher_nmetl_spark.llmops import (
+        minhash_lsh_pairs, minhash_lsh_pairs_against,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    # full rerun over the union: cross pairs are those spanning the split
+    full = minhash_lsh_pairs(
+        corpus.unionByName(new), "doc_id", "text", threshold=0.7
+    )
+    cross_full = {
+        (max(r["id1"], r["id2"]), min(r["id1"], r["id2"]))
+        for r in full.collect()
+        if (r["id1"] >= 100000) != (r["id2"] >= 100000)
+    }
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_against(
+            new, corpus, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert inc == cross_full and len(inc) > 0
