@@ -219,6 +219,19 @@ def _exact_substring_cut(engine, args) -> DataFrame:
     return out.select("id", F.col(prop).alias("text"))
 
 
+def _dedup_against(engine, args) -> DataFrame:
+    """llm.dedupAgainst(newLabel, corpusLabel, prop, threshold=0.7)
+    -> (new_id, corpus_id, jaccard): incremental near-dedup of a new
+    batch against the standing corpus (batch side broadcasts)."""
+    from pycypher_nmetl_spark.llmops.dedup import minhash_lsh_pairs_against
+
+    new_df = _nodes(engine, _str_arg(args, 0, "newLabel"))
+    corpus = _nodes(engine, _str_arg(args, 1, "corpusLabel"))
+    prop = _str_arg(args, 2, "prop")
+    thr = float(_num_arg(args, 3, 0.7))
+    return minhash_lsh_pairs_against(new_df, corpus, "id", prop, threshold=thr)
+
+
 def _dsir_weights(engine, args) -> DataFrame:
     """llm.dsirWeights(rawLabel, prop, targetLabel, buckets=10000)
     -> (id, n_features, logw): DSIR importance weights of every raw doc
@@ -276,6 +289,7 @@ LLM_PROCEDURES = {
     "llm.lmscore": _lm_score,
     "llm.dsirweights": _dsir_weights,
     "llm.dsirresample": _dsir_resample,
+    "llm.dedupagainst": _dedup_against,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

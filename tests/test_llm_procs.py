@@ -271,3 +271,27 @@ def test_llm_dsir_resample_proc(spark):
         "YIELD id, logw, key RETURN id ORDER BY id"
     )
     assert rows == again  # deterministic for a fixed seed
+
+
+def test_llm_dedup_against_proc(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "other corpus content entirely different here")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy cat"),
+         (102, "fresh unseen text with no duplicate anywhere")],
+        "id long, text string",
+    )
+    cat.register_nodes("Corpus", corpus)
+    cat.register_nodes("NewBatch", new)
+    eng = CypherEngine(cat)
+    rows = eng.run(
+        "CALL llm.dedupAgainst('NewBatch', 'Corpus', 'text', 0.5) "
+        "YIELD new_id, corpus_id RETURN new_id, corpus_id"
+    )
+    assert sorted(map(tuple, rows)) == [(101, 1)]
