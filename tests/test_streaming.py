@@ -290,3 +290,78 @@ def test_true_readstream_watermark_drops_late_rows(spark, tmp_path):
     assert state.get("2024-01-01 00:00:00") == 2, state
     w0 = [c for c in changes if c.key == ("2024-01-01 00:00:00",)]
     assert len(w0) == 1 and w0[0].op == "INSERT"
+
+
+def test_true_readstream_ingest_dedup_against_growing_index(spark, tmp_path):
+    """Streaming ingest dedup — the production shape: a file-source
+    stream of new documents, each micro-batch near-dedup'd against the
+    STANDING corpus signature index (minhash_lsh_pairs_against), then
+    its own non-dup docs appended to the index so later batches dedup
+    against everything ingested before them. Asserts cross-BATCH dups
+    are caught (batch 2's copy of a batch-1 doc), which only works if
+    the index actually grows between micro-batches."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from pycypher_nmetl_spark.llmops import (
+        minhash_lsh_pairs_against, minhash_signatures,
+    )
+
+    ind = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    idx = str(tmp_path / "index.parquet")
+    os.makedirs(ind)
+
+    # standing corpus: one seed doc in the index
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    minhash_signatures(seed, "doc_id", "text").write.mode("overwrite").parquet(idx)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    flagged: dict[int, set] = {}
+
+    def ingest(batch_df, batch_id):
+        index = spark.read.parquet(idx)
+        dups = minhash_lsh_pairs_against(
+            batch_df, index, "doc_id", "text", threshold=0.6,
+            corpus_is_signatures=True,
+        )
+        pairs = {(r["new_id"], r["corpus_id"]) for r in dups.collect()}
+        flagged[batch_id] = pairs
+        dup_ids = [p[0] for p in pairs]
+        fresh = batch_df.filter(~F.col("doc_id").isin(dup_ids or [-1]))
+        minhash_signatures(fresh, "doc_id", "text").write.mode("append").parquet(idx)
+
+    batches = [
+        # batch 0: one near-dup of the seed, one fresh doc
+        [(101, "the quick brown fox jumps over the lazy cat"),
+         (102, "completely new content about streaming ingestion")],
+        # batch 1: dup of the FRESH doc from batch 0 (cross-batch) +
+        # another new doc
+        [(201, "completely new content about streaming ingestion"),
+         (202, "unrelated closing document with different words")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(ind / f"b{i}.jsonl", "w") as f:
+            for did, txt in rows:
+                f.write(json.dumps({"doc_id": did, "text": txt}) + "\n")
+        (
+            spark.readStream.schema(schema).json(str(ind))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    assert flagged[0] == {(101, 1)}          # near-dup of the seed
+    assert flagged[1] == {(201, 102)}        # cross-batch dup caught
+    # index holds seed + the three non-dup docs
+    ids = {r["_id"] for r in spark.read.parquet(idx).collect()}
+    assert ids == {1, 102, 202}
