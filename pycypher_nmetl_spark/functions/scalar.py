@@ -68,7 +68,26 @@ simple("reverse", F.reverse)  # works for strings and arrays
 simple("left", lambda s, n: F.substring(s, 1, n), 2, 2)
 simple("right", lambda s, n: s.substr(F.length(s) - n + 1, n), 2, 2)
 simple("replace", F.replace, 3, 3)
-simple("split", F.split, 2, 2)
+@register("split")
+def _split_fn(cc, args):
+    """split(s, delim) — reference parity (extended_string_functions.py
+    _split -> pandas str.split): a literal 1-char delimiter splits
+    LITERALLY (split('a.b', '.') -> ['a','b'], not regex-everything),
+    longer delimiters are regexes. Non-literal delimiter expressions
+    keep Spark's regex semantics (documented)."""
+    import re as _re
+
+    from pycypher_nmetl_spark.cypher.ast_nodes import Literal
+
+    if len(args) != 2:
+        raise ValueError(f"split() takes 2 args, got {len(args)}")
+    s = cc.col(args[0])
+    d = args[1]
+    if isinstance(d, Literal) and isinstance(d.value, str) and len(d.value) == 1:
+        return F.split(s, _re.escape(d.value))
+    return F.split(s, cc.col(d))
+
+
 def _join_fn(cc, args):
     from pycypher_nmetl_spark.cypher.ast_nodes import Literal
 
@@ -744,6 +763,13 @@ def _values(cc, args):
 
 @register("properties")
 def _properties(cc, args):
+    """properties(n) -> struct of the entity's property columns.
+
+    Documented divergence: Neo4j returns a MAP that omits null-valued
+    properties per row; a Spark struct is fixed-shape, so absent
+    properties surface as null FIELDS instead (a null-filtered map
+    would have to coerce mixed-type property values to one type —
+    lossy). keys(n) DOES skip nulls, matching Neo4j."""
     from pycypher_nmetl_spark.cypher.ast_nodes import Var
 
     if isinstance(args[0], Var):

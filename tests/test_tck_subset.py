@@ -666,6 +666,29 @@ SCENARIOS += [
     # ---------------- round-9 expansion: strings / lists / paths ------
     TCK("split-string", "RETURN split('a,b,c', ',') AS x",
         [(["a", "b", "c"],)]),
+    TCK("split-literal-dot-delimiter",
+        "RETURN split('a.b.c', '.') AS x", [(["a", "b", "c"],)]),
+    TCK("split-multichar-regex-delimiter",
+        "RETURN split('a1b2c', '[0-9]') AS x", [(["a", "b", "c"],)]),
+    TCK("range-negative-step-down",
+        "RETURN range(5, 1, -2) AS r", [([5, 3, 1],)]),
+    TCK("slice-negative-open-ends",
+        "RETURN [1, 2, 3, 4][-2..] AS s, [1, 2, 3, 4][..-1] AS t",
+        [(([3, 4], [1, 2, 3]))]),
+    TCK("modulo-float-and-negative",
+        "RETURN 5.5 % 2 AS m, -5 % 3 AS n", [((1.5, -2))]),
+    TCK("avg-integers-returns-float",
+        "MATCH (n:Person) RETURN avg(n.id) AS a", [(2.0,)]),
+    TCK("round-half-away-from-zero",
+        "RETURN round(2.5) AS r1, round(-2.5) AS r2, round(3.5) AS r3",
+        [((3.0, -3.0, 4.0))]),
+    TCK("properties-struct-shape",
+        "MATCH (n:Person {name: 'Alice'}) RETURN properties(n).name AS nm",
+        [("Alice",)]),
+    TCK("reverse-list", "RETURN reverse([1, 2, 3]) AS rl", [([3, 2, 1],)]),
+    TCK("order-by-boolean",
+        "UNWIND [true, false, true] AS b RETURN b ORDER BY b",
+        [(False,), (True,), (True,)], ordered=True),
     TCK("substring-from-for",
         "RETURN substring('hello', 1, 3) AS x, substring('hello', 2) AS y",
         [("ell", "llo")]),
