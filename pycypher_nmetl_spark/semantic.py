@@ -153,12 +153,43 @@ class SemanticValidator:
     # ------------------------------------------------------------------ #
     def validate(self, ast: Query | UnionQuery) -> list[ValidationError]:
         self.errors = []
+        self._check_reserved_names(ast)
         if isinstance(ast, UnionQuery):
             for branch in ast.branches:
                 self._validate_query(branch)
         else:
             self._validate_query(ast)
         return self.errors
+
+    def _check_reserved_names(self, node: Any, seen: set | None = None) -> None:
+        """Variables with the ``__cq`` prefix are reserved for the CALL
+        subquery carry keys (compile_projection treats them specially) —
+        reject them anywhere in the AST before they can corrupt a plan."""
+        if seen is None:
+            seen = set()
+        if id(node) in seen or node is None or isinstance(node, (str, int, float, bool, bytes)):
+            return
+        seen.add(id(node))
+        name = getattr(node, "var", None) or (
+            node.name if isinstance(node, Var) else None
+        )
+        alias = getattr(node, "alias", None)
+        for n in (name, alias):
+            if isinstance(n, str) and n.startswith("__cq"):
+                self.errors.append(
+                    ValidationError(
+                        severity=ErrorSeverity.ERROR,
+                        message=f"variable name '{n}' uses the reserved "
+                        "'__cq' prefix (CALL subquery carry keys)",
+                        variable_name=n,
+                    )
+                )
+        if dataclasses.is_dataclass(node):
+            for f in dataclasses.fields(node):
+                self._check_reserved_names(getattr(node, f.name), seen)
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                self._check_reserved_names(x, seen)
 
     # ------------------------------------------------------------------ #
     def _validate_query(self, q: Query) -> None:
