@@ -73,7 +73,9 @@ def test_query_screen_runs_and_scrolls(model):
 
 def test_query_error_is_screen_content_not_crash(model):
     model.handle_key("3")
-    _type(model, "MATCH (x:Nope) RETURN x")
+    # unknown FUNCTION errors; unknown labels now conformantly match
+    # zero rows (round-9 TCK change), which is a result, not an error
+    _type(model, "RETURN nosuchfunction(1) AS x")
     model.handle_key("ENTER")
     assert model.result_header == ["error"]
     assert model.status == "error"
