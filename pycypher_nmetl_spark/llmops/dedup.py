@@ -483,7 +483,12 @@ def minhash_lsh_pairs_against(
     if corpus_is_signatures:
         corpus_base = corpus.select("_id", "_sh", "_sig")
     else:
-        corpus_base = minhash_signatures(corpus, id_col, text_col, k, num_perm)
+        # computed from text: persist — the banding join AND the verify
+        # join both consume it, and shingling + 32 signature folds per
+        # doc is the expensive part (same reasoning as minhash_lsh_pairs)
+        corpus_base = minhash_signatures(
+            corpus, id_col, text_col, k, num_perm
+        ).persist()
 
     def _buckets(base: DataFrame) -> DataFrame:
         return base.select(

@@ -163,6 +163,17 @@ def _ops():
             F.sum("quality_prob")
         ).collect()[0][0]
 
+    def dedup_against(spark, d):
+        # incremental ingest dedup: 10% batch vs 90% standing corpus
+        from pycypher_nmetl_spark.llmops import minhash_lsh_pairs_against
+
+        docs = _docs(spark, d)
+        return minhash_lsh_pairs_against(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id", "text", threshold=0.7,
+        ).count()
+
     def export_pipeline(spark, d):
         df = split(_docs(spark, d), {"train": 0.9, "val": 0.1}, key="doc_id")
         train = df.where(F.col("split") == "train")
@@ -180,6 +191,7 @@ def _ops():
         ("exact_substring_pairs", substring_pairs),
         ("exact_substring_cut", substring_cut),
         ("bpe_token_count", bpe_count),
+        ("dedup_against_incremental", dedup_against),
         ("ngram_lm_perplexity", lm_perplexity),
         ("dsir_weights", dsir),
         ("quality_classifier", quality_classifier),
