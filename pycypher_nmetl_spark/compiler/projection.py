@@ -163,11 +163,17 @@ def compile_projection(
         df = df.select(*internal.values()).dropDuplicates()
         new_b = Bindings(df, new_b.vars)
 
-    if proj.order_by:
+    in_carry_window = bool(carry) and (
+        proj.skip is not None or proj.limit is not None
+    )
+    if proj.order_by and not in_carry_window:
+        # inside the carry-window path the ORDER BY lives in the window
+        # spec — a global orderBy here would add a redundant full sort +
+        # range-partition exchange under the per-key row_number
         df = _apply_order(engine, new_b, proj, params, internal)
 
     cc = ExprCompiler(Bindings(df, new_b.vars), params, subst, engine.functions)
-    if carry and (proj.skip is not None or proj.limit is not None):
+    if in_carry_window:
         # SKIP/LIMIT inside CALL { }: per invoking row, not global — a
         # row_number window partitioned by the carry keys (top-k-per-row,
         # the classic Spark shape; no global sort, no collect)
