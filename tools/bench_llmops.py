@@ -163,6 +163,14 @@ def _ops():
             F.sum("quality_prob")
         ).collect()[0][0]
 
+    def paragraph_neardup(spark, d):
+        # paragraph-granularity near-dup pairs over the whole corpus
+        from pycypher_nmetl_spark.llmops import paragraph_near_dup_pairs
+
+        return paragraph_near_dup_pairs(
+            _docs(spark, d), "doc_id", "text", threshold=0.8
+        ).count()
+
     def dedup_against(spark, d):
         # incremental ingest dedup: 10% batch vs 90% standing corpus
         from pycypher_nmetl_spark.llmops import minhash_lsh_pairs_against
@@ -191,6 +199,7 @@ def _ops():
         ("exact_substring_pairs", substring_pairs),
         ("exact_substring_cut", substring_cut),
         ("bpe_token_count", bpe_count),
+        ("paragraph_neardup", paragraph_neardup),
         ("dedup_against_incremental", dedup_against),
         ("ngram_lm_perplexity", lm_perplexity),
         ("dsir_weights", dsir),
