@@ -664,6 +664,30 @@ SCENARIOS += [
         "WITH 1 AS x, 2 AS y WITH *, x + y AS z RETURN x, y, z",
         [(1, 2, 3)]),
     # ---------------- round-9 expansion: strings / lists / paths ------
+    TCK("leap-day-plus-year-clamps",
+        "RETURN toString(date('2024-02-29') + duration('P1Y')) AS d",
+        [("2025-02-28",)]),
+    TCK("date-week-quarter-dayofweek",
+        "RETURN date('2024-03-15').week AS w, "
+        "date('2024-03-15').quarter AS q, "
+        "date('2024-03-15').dayOfWeek AS dw", [((11, 1, 5))]),
+    TCK("datetime-epoch-seconds",
+        "RETURN datetime('2024-03-15T10:30:00').epochSeconds AS es",
+        [(1710498600,)]),
+    TCK("exists-subquery-inner-where",
+        "MATCH (a:Person) WHERE EXISTS { MATCH (a)-[:KNOWS]->(b) "
+        "WHERE b.age IS NULL } RETURN a.name AS n", [("Bob",)]),
+    TCK("comprehension-then-single",
+        "WITH [x IN range(1, 10) WHERE x % 3 = 0 | x * x] AS l "
+        "RETURN l AS l, single(y IN l WHERE y > 50) AS s",
+        [(([9, 36, 81], True))]),
+    TCK("none-empty-single-one",
+        "RETURN none(x IN [] WHERE x > 0) AS n0, "
+        "single(x IN [1] WHERE x > 0) AS s1", [((True, True))]),
+    TCK("pattern-comprehension-with-where",
+        "MATCH (a:Person {name: 'Alice'}) "
+        "RETURN [(a)-[:KNOWS]->(b) WHERE b.age > 20 | b.name] AS friends",
+        [(["Bob"],)]),
     TCK("split-string", "RETURN split('a,b,c', ',') AS x",
         [(["a", "b", "c"],)]),
     TCK("split-literal-dot-delimiter",
