@@ -688,6 +688,23 @@ SCENARIOS += [
         "MATCH (a:Person {name: 'Alice'}) "
         "RETURN [(a)-[:KNOWS]->(b) WHERE b.age > 20 | b.name] AS friends",
         [(["Bob"],)]),
+    TCK("with-order-limit-then-match",
+        "MATCH (n:Person) WITH n ORDER BY n.age DESC LIMIT 2 "
+        "MATCH (n)-[:KNOWS]->(m) RETURN m.name AS b",
+        # DESC puts null-aged Carol FIRST (null is largest); survivors
+        # of LIMIT 2 are Carol (no out-edge) and Alice -> Bob
+        [("Bob",)]),
+    TCK("with-order-limit-null-first-desc-pipeline",
+        "MATCH (n:Person) WITH n ORDER BY n.age DESC LIMIT 1 "
+        "RETURN n.name AS a", [("Carol",)]),
+    TCK("double-unwind-with-empty-inner",
+        "UNWIND [[1, 2], [3], []] AS l UNWIND l AS x RETURN sum(x) AS s",
+        [(6,)]),
+    TCK("in-predicate-inside-case",
+        "RETURN CASE WHEN 1 IN [1, 2] THEN 'y' ELSE 'n' END AS c",
+        [("y",)]),
+    TCK("negative-zero-and-sqrt-negative",
+        "RETURN abs(-0.0) AS a, isNaN(sqrt(-1)) AS sq", [((0.0, True))]),
     TCK("split-string", "RETURN split('a,b,c', ',') AS x",
         [(["a", "b", "c"],)]),
     TCK("split-literal-dot-delimiter",
