@@ -34,6 +34,20 @@ from pycypher_nmetl_spark.cypher.parser import parse
 MUTATION_CLAUSES = (Create, SetClause, Remove, Delete, Merge, Foreach)
 
 
+def _join_comparable(dt) -> bool:
+    """True when a column of this type can serve as an equi-join key
+    (Spark: everything except MapType, at any nesting depth)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _join_comparable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_join_comparable(f.dataType) for f in dt.fields)
+    return True
+
+
 class CypherEngine:
     """Executes Cypher text against a GraphCatalog.
 
@@ -936,9 +950,18 @@ class CypherEngine:
         """CALL { [WITH imports] ... RETURN items } — Neo4j-4.x subquery,
         compiled relationally instead of per-row:
 
-        * every invoking row gets a hidden carry key ``__cq<depth>``
-          (monotonically_increasing_id over a localCheckpoint so both
-          sides of the re-join see the same ids);
+        * every invoking row gets a hidden carry key ``__cq<depth>``.
+          The key is DETERMINISTIC whenever possible: a struct of the
+          imported variables' columns plus any enclosing carry keys
+          (the subquery's result is a pure function of those, so rows
+          sharing a key share a result — the inner frame is deduped on
+          the key and each invocation class is evaluated once; an
+          uncorrelated ``CALL { ... }`` therefore runs exactly once).
+          Struct equality in Spark treats null fields as equal, which
+          gives the null-safe join the re-join needs. Only when an
+          import's type is not join-comparable (contains a MapType)
+          does it fall back to monotonically_increasing_id over a
+          localCheckpoint;
         * the subquery's clauses compile against a frame holding ONLY the
           carry key + imported variables — compile_projection recognises
           ``__cq*`` vars and (a) always carries them through WITH/RETURN,
@@ -971,31 +994,51 @@ class CypherEngine:
 
         depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
         key = f"__cq{depth}"
-        outer_df = bindings.df.withColumn(
-            key, F.monotonically_increasing_id()
-        ).localCheckpoint()
+        missing = [v for v in clause.imports if v not in bindings.vars]
+        if missing:
+            raise ValueError(
+                f"CALL subquery imports undefined variable(s): {missing}"
+            )
+        import_cols = [
+            c for v in clause.imports for c in bindings.var_columns(v)
+        ]
+        enclosing = [v for v in bindings.vars if v.startswith("__cq")]
+        key_src = list(dict.fromkeys(import_cols + enclosing))
+        schema = {f.name: f.dataType for f in bindings.df.schema.fields}
+        if not key_src:
+            # uncorrelated subquery: one invocation class for the whole
+            # frame — it will be evaluated exactly once
+            key_col = F.lit(0)
+        elif all(_join_comparable(schema[c]) for c in key_src):
+            key_col = F.struct(*[F.col(c) for c in key_src])
+        else:
+            key_col = None  # map-typed import: no comparable key exists
+        if key_col is not None:
+            outer_df = bindings.df.withColumn(key, key_col)
+        else:
+            # fallback: synthetic per-row id; checkpoint so both sides of
+            # the re-join see the same (non-deterministic) ids
+            outer_df = bindings.df.withColumn(
+                key, F.monotonically_increasing_id()
+            ).localCheckpoint()
         outer = Bindings(
             outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
         )
 
         # inner scope: carry key + imported vars (with satellite columns)
-        missing = [v for v in clause.imports if v not in outer.vars]
-        if missing:
-            raise ValueError(
-                f"CALL subquery imports undefined variable(s): {missing}"
-            )
-        keep_cols = [key] + [
-            c for v in clause.imports for c in outer.var_columns(v)
-        ]
+        keep_cols = [key] + import_cols
         inner_vars = {key: VarInfo("value", anon=True)}
         for v in clause.imports:
             inner_vars[v] = outer.vars[v]
         # carry keys of ENCLOSING subqueries ride along too (nesting)
-        for v in bindings.vars:
-            if v.startswith("__cq") and v != key:
-                keep_cols.append(v)
-                inner_vars[v] = bindings.vars[v]
-        inner = Bindings(outer_df.select(*dict.fromkeys(keep_cols)), inner_vars)
+        for v in enclosing:
+            keep_cols.append(v)
+            inner_vars[v] = bindings.vars[v]
+        inner_df = outer_df.select(*dict.fromkeys(keep_cols))
+        if key_col is not None:
+            # deterministic key: evaluate each invocation class once
+            inner_df = inner_df.distinct()
+        inner = Bindings(inner_df, inner_vars)
 
         # run the body; final RETURN becomes a WITH so the carry key and
         # satellite columns survive into the result frame
@@ -1027,11 +1070,28 @@ class CypherEngine:
         )
         joined = outer_df.join(b_df, key, how)
         if pure_agg:
-            # an invocation over zero rows still aggregates: count -> 0
+            # An invocation over zero rows still aggregates. The inner
+            # projection's own coalesces (sum -> 0, collect_list -> [])
+            # only fire when the carry key has at least one inner row;
+            # a key with NO row at all comes back from the left join as
+            # all-null, so re-apply Neo4j's empty-aggregate identities
+            # here, typed from the joined column (avg/min/max stay null,
+            # which is Neo4j's answer for those):
+            #   count -> 0, sum -> 0, collect -> []
             for it, name in zip(last.items, exported):
                 fn = getattr(it.expr, "name", "")
-                if isinstance(fn, str) and fn.lower() in ("count", "countstar") or type(it.expr).__name__ == "CountStar":
+                fn = fn.lower() if isinstance(fn, str) else ""
+                dt = joined.schema[name].dataType
+                if fn in ("count", "countstar") or type(it.expr).__name__ == "CountStar":
                     joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+                elif fn == "sum":
+                    joined = joined.withColumn(
+                        name, F.coalesce(F.col(name), F.lit(0).cast(dt))
+                    )
+                elif fn == "collect":
+                    joined = joined.withColumn(
+                        name, F.coalesce(F.col(name), F.array().cast(dt))
+                    )
         out_vars = {**bindings.vars}
         for v in exported:
             out_vars[v] = b.vars.get(v, VarInfo("value"))

@@ -676,3 +676,73 @@ def test_shared_scan_benefit_ignores_join_named_columns(golden):
     )
     assert golden._plan_has_join(joined._jdf.queryExecution().optimizedPlan())
     assert golden._shared_scan_benefit(joined, members=3)[0] == float("inf")
+
+
+# --------------------------------------------------------------------- #
+# round-10 advice fixes: CALL { } empty-aggregate identities + carry key
+# --------------------------------------------------------------------- #
+def test_call_subquery_empty_agg_sum_collect(golden):
+    """Round-9 advice (medium): a pure-aggregate subquery over ZERO inner
+    rows must follow Neo4j's empty-aggregate identities — sum -> 0 and
+    collect -> [] (not null), count -> 0, while avg stays null."""
+    df = golden.execute(
+        "MATCH (n:Person) CALL { WITH n MATCH (n)-[:KNOWS]->(m) "
+        "RETURN sum(m.age) AS s, collect(m.name) AS c, "
+        "count(m) AS k, avg(m.age) AS a } "
+        "RETURN n.name AS name, s, c, k, a"
+    )
+    got = {r["name"]: (r["s"], sorted(r["c"]), r["k"], r["a"]) for r in df.collect()}
+    assert got["Carol"] == (0, [], 0, None)  # no outgoing KNOWS
+    assert got["Dave"] == (0, [], 0, None)
+    assert got["Alice"] == (60, ["Bob", "Carol"], 2, 30.0)
+
+
+def test_call_subquery_deterministic_carry_key_no_checkpoint(golden):
+    """Round-9 advice (low): the carry key is a deterministic struct of
+    the imported columns, so the plan has no localCheckpoint RDD scan and
+    no monotonically_increasing_id (checkpoint = non-reliable blocks +
+    eager materialization)."""
+    df = golden.execute(
+        "MATCH (n:Person) CALL { WITH n RETURN n.age * 2 AS d } "
+        "RETURN n.name AS name, d"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Checkpoint" not in plan
+    assert "monotonically" not in plan
+
+
+def test_call_subquery_duplicate_invoking_rows(golden):
+    """Deduping invocation classes on the deterministic key must NOT
+    collapse duplicate invoking rows: each duplicate still gets the full
+    per-invocation result set."""
+    df = golden.execute(
+        "UNWIND [25, 25, 30] AS cap CALL { WITH cap MATCH (m:Person) "
+        "WHERE m.age <= cap RETURN m.name AS nm } RETURN cap, nm"
+    )
+    got = sorted((r["cap"], r["nm"]) for r in df.collect())
+    assert got == [(25, "Bob"), (25, "Bob"), (30, "Alice"), (30, "Bob"),
+                   (30, "Dave")]
+
+
+def test_call_subquery_map_import_falls_back(golden):
+    """A map-typed import has no join-comparable key; the compiler falls
+    back to the checkpointed synthetic id and still answers correctly."""
+    df = golden.execute(
+        "MATCH (n:Person) WITH n.name AS name, properties(n) AS p "
+        "CALL { WITH p RETURN size(keys(p)) AS k } RETURN name, k"
+    )
+    got = {r["name"]: r["k"] for r in df.collect()}
+    assert set(got) == {"Alice", "Bob", "Carol", "Dave"}
+    assert all(v >= 3 for v in got.values())
+
+
+def test_call_subquery_uncorrelated_single_evaluation(golden):
+    """An uncorrelated CALL { } is one invocation class — constant key,
+    inner frame deduped to a single row — and fans its result out to
+    every invoking row."""
+    df = golden.execute(
+        "MATCH (n:Person) CALL { MATCH (m:Person) RETURN count(m) AS total } "
+        "RETURN n.name AS name, total"
+    )
+    got = sorted((r["name"], r["total"]) for r in df.collect())
+    assert got == [("Alice", 4), ("Bob", 4), ("Carol", 4), ("Dave", 4)]
