@@ -58,6 +58,10 @@ class VarInfo:
     # length segment whose interior nodes were never materialized.
     path_nodes: tuple[str, ...] = ()
     path_rels: tuple[str, ...] = ()
+    # True when a WITH rescope (aggregation/DISTINCT) dropped the columns
+    # path_nodes/path_rels pointed at — nodes()/relationships() then raise
+    # a precise error instead of the variable-length message / silent []
+    path_dropped: bool = False
 
 
 @dataclass

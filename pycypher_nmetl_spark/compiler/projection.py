@@ -210,6 +210,29 @@ def compile_projection(
     # WITH: rescope — keep only projected vars, rename to aliases
     keep_cols: list[Column] = []
     vars_: dict[str, VarInfo] = {}
+    # old var -> new alias, for every var projected straight through —
+    # path_nodes/path_rels/src_var/dst_var metadata references other
+    # variables by name and must be remapped to the post-WITH names
+    var_renames = {
+        it.expr.name: (it.alias or it.text)
+        for it in items
+        if isinstance(it.expr, Var) and it.expr.name in new_b.vars
+    }
+
+    def _carry_ref(v: str, name: str, tag: str, i: int) -> str | None:
+        """Resolve a metadata-referenced variable through the rescope:
+        renamed if it survives the WITH; otherwise its id column is
+        carried as a hidden satellite of the owning variable (so
+        `MATCH p=... WITH p RETURN nodes(p)` works even when the
+        pattern's node vars were not themselves projected)."""
+        if v in var_renames:
+            return var_renames[v]
+        if v in df.columns:
+            hidden = f"{name}__{tag}{i}"
+            keep_cols.append(F.col(v).alias(hidden))
+            return hidden
+        return None
+
     for it, name in zip(items, out_names):
         icol = internal[name]
         if isinstance(it.expr, Var) and it.expr.name in new_b.vars:
@@ -220,9 +243,38 @@ def compile_projection(
             for c in new_b.var_columns(src):
                 if c != src and c in df.columns:
                     keep_cols.append(F.col(c).alias(name + c[len(src):]))
-            vars_[name] = VarInfo(
-                info.kind, info.labels, anon=info.anon, elem_kind=info.elem_kind
-            )
+            if info.kind == "path":
+                pn = tuple(
+                    r for i, v in enumerate(info.path_nodes)
+                    if (r := _carry_ref(v, name, "pn", i)) is not None
+                )
+                pr = tuple(
+                    r for i, v in enumerate(info.path_rels)
+                    if (r := _carry_ref(v, name, "pr", i)) is not None
+                )
+                # a partially-resolvable list is useless (wrong arity
+                # beats a clean error) — drop to empty and flag it so
+                # the path functions raise a precise error
+                dropped = info.path_dropped
+                if len(pn) != len(info.path_nodes):
+                    pn, dropped = (), True
+                if len(pr) != len(info.path_rels):
+                    pr, dropped = (), True
+                vars_[name] = VarInfo(
+                    info.kind, info.labels, anon=info.anon,
+                    path_nodes=pn, path_rels=pr, path_dropped=dropped,
+                )
+            elif info.kind == "rel":
+                vars_[name] = VarInfo(
+                    info.kind, info.labels, anon=info.anon,
+                    src_var=var_renames.get(info.src_var),
+                    dst_var=var_renames.get(info.dst_var),
+                )
+            else:
+                vars_[name] = VarInfo(
+                    info.kind, info.labels, anon=info.anon,
+                    elem_kind=info.elem_kind,
+                )
         else:
             keep_cols.append(F.col(icol).alias(name))
             # the projection step may have recorded richer info (e.g.
@@ -282,7 +334,13 @@ def _plain_projection(
     for it in items:
         name = it.alias or it.text
         if isinstance(it.expr, Var) and it.expr.name in bindings.vars:
-            internal[name] = it.expr.name
+            v = it.expr.name
+            if bindings.vars[v].kind == "path":
+                # a path var has no base column; its value is the hop
+                # count (column conventions in bindings.py)
+                internal[name] = pcol(v, "length")
+            else:
+                internal[name] = v
             continue
         icol = fresh_name("_prj")
         new_cols[icol] = cc.col(it.expr)
@@ -321,8 +379,13 @@ def _aggregate_projection(
         name = it.alias or it.text
         if isinstance(it.expr, Var) and it.expr.name in bindings.vars:
             v = it.expr.name
-            group_cols.append(v)
-            key_internal[name] = v
+            if bindings.vars[v].kind == "path":
+                # no base column — group by the satellites (p__length,
+                # carried below) and expose the hop count as the value
+                key_internal[name] = pcol(v, "length")
+            else:
+                group_cols.append(v)
+                key_internal[name] = v
             vars_[v] = bindings.vars[v]
             # satellites are functionally dependent on the id — grouping by
             # them too keeps properties available after aggregation with

@@ -148,6 +148,12 @@ def _nodes_fn(cc, args):
     if len(args) == 1 and isinstance(args[0], Var):
         info = cc.bindings.vars.get(args[0].name)
         if info and info.kind == "path":
+            if info.path_dropped:
+                raise ValueError(
+                    "nodes(): the path's pattern variables did not survive "
+                    "an aggregating/DISTINCT WITH; project the node "
+                    "variables through the WITH alongside the path"
+                )
             if not info.path_nodes:
                 raise ValueError(
                     "nodes() over a variable-length path is not supported "
@@ -177,6 +183,13 @@ def _relationships_fn(cc, args):
     if len(args) == 1 and isinstance(args[0], Var):
         info = cc.bindings.vars.get(args[0].name)
         if info and info.kind == "path":
+            if info.path_dropped:
+                raise ValueError(
+                    "relationships(): the path's pattern variables did not "
+                    "survive an aggregating/DISTINCT WITH; project the "
+                    "relationship variables through the WITH alongside the "
+                    "path"
+                )
             if not info.path_rels:
                 return F.array().cast("array<long>")
             parts = []

@@ -456,6 +456,39 @@ SCENARIOS: list[TCK] = [
         "MATCH (n:Person {name: 'Bob'}) RETURN n.seen AS s", [(True,)],
         writes=True,
         setup=("MERGE (n:Person {name: 'Bob'}) ON MATCH SET n.seen = true",)),
+    # ------- round-10: path metadata through WITH (ADVICE r9) --------
+    TCK("path-var-through-with-nodes",
+        "MATCH p=(a:Person)-[r:KNOWS]->(b:Person) WITH p "
+        "RETURN nodes(p) AS ns", [([1, 2],), ([2, 3],)]),
+    TCK("path-var-renamed-relationships",
+        "MATCH p=(a:Person)-[r:KNOWS]->(b:Person) WITH p AS q "
+        "RETURN relationships(q) AS rs, length(q) AS l",
+        [([100], 1), ([101], 1)]),
+    TCK("path-var-with-renamed-endpoint",
+        "MATCH p=(a:Person)-[r:KNOWS]->(b:Person) WITH p, a AS x "
+        "RETURN size(nodes(p)) AS k, x.name AS nm ORDER BY nm",
+        [(2, "Alice"), (2, "Bob")], ordered=True),
+    TCK("rel-var-through-with-endpoint-props",
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) WITH r AS e2, a AS x, "
+        "b AS y RETURN startNode(e2).name AS s, endNode(e2).name AS t "
+        "ORDER BY s", [("Alice", "Bob"), ("Bob", "Carol")], ordered=True),
+    TCK("path-nodes-after-agg-with-errors",
+        "MATCH p=(a:Person)-[r:KNOWS]->(b:Person) WITH p, count(*) AS c "
+        "RETURN nodes(p)", error="did not survive"),
+    TCK("path-var-return-is-hop-count",
+        "MATCH p=(a:Person)-[:KNOWS]->(b:Person) RETURN p AS hops",
+        [(1,), (1,)]),
+    # ------- round-10: empty-aggregate identities in CALL {} ---------
+    TCK("call-subquery-empty-sum-collect",
+        "MATCH (n:Person) CALL { WITH n MATCH (n)-[:KNOWS]->(m) "
+        "RETURN sum(m.age) AS s, collect(m.name) AS cl, avg(m.age) AS a } "
+        "RETURN n.name AS name, s, size(cl) AS k, a ORDER BY name",
+        [("Alice", 25, 1, 25.0), ("Bob", 0, 1, None),
+         ("Carol", 0, 0, None)], ordered=True),
+    TCK("call-subquery-duplicate-invocations",
+        "UNWIND [25, 25] AS cap CALL { WITH cap MATCH (m:Person) "
+        "WHERE m.age <= cap RETURN m.name AS nm } RETURN cap, nm",
+        [(25, "Bob"), (25, "Bob")]),
 ]
 
 # ---------------------------------------------------------------------- #
