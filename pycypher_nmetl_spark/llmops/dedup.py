@@ -183,6 +183,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     verify: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -190,6 +191,11 @@ def minhash_lsh_pairs(
     is 1-(1-j^r)^b (with r=2, b=16: ~1.0 at j>=0.7). With verify=True the
     candidates are re-checked with exact Jaccard, so precision is exact
     and only recall depends on the banding.
+
+    ``eager=True`` (default) materializes the pair result and releases
+    the internal signature cache (no CacheManager residue across
+    batches); ``eager=False`` returns the lazy plan and leaves the
+    cache to the caller.
     """
     rows_per_band = num_perm // bands
     base = (
@@ -231,6 +237,9 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     if not verify:
+        if eager:
+            candidates = candidates.localCheckpoint(eager=True)
+            base.unpersist()
         return candidates
 
     sh = base.select("_id", "_sh")
@@ -249,6 +258,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
     return out
 
 
@@ -459,6 +471,7 @@ def minhash_lsh_pairs_against(
     bands: int = 16,
     threshold: float = 0.7,
     corpus_is_signatures: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Incremental near-dedup — the ingest shape: find near-duplicate
     pairs between a NEW batch and the EXISTING corpus without comparing
@@ -470,6 +483,12 @@ def minhash_lsh_pairs_against(
     Returns ``(new_id, corpus_id, jaccard)``. Within-batch duplicates
     are the plain :func:`minhash_lsh_pairs` over ``new_df`` — run both
     for a full ingest dedup.
+
+    ``eager=True`` (default) materializes the (small) pair result and
+    releases the signature caches built inside this call — repeated
+    ingest batches in a long-lived session then leave nothing cached.
+    Pass ``eager=False`` to get the lazy plan instead; the caches this
+    call created stay alive and managing them is the caller's job.
 
     Scale shape: band buckets for the (small) new batch join the corpus
     band buckets on (band, key) — with AQE the batch side broadcasts, so
@@ -533,4 +552,13 @@ def minhash_lsh_pairs_against(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", F.col("jaccard"))
     )
+    if eager:
+        # materialize, then drop the caches THIS call created (a
+        # caller-persisted signature corpus is the caller's to manage);
+        # the checkpoint blocks are context-cleaned when the returned
+        # frame is garbage collected, unlike CacheManager entries
+        out = out.localCheckpoint(eager=True)
+        new_base.unpersist()
+        if not corpus_is_signatures:
+            corpus_base.unpersist()
     return out

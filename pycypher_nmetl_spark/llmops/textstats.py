@@ -272,10 +272,18 @@ def chunk_documents(
     step = max_tokens - overlap
     t = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
     n = F.size(t)
-    # last start s.t. the window contributes >= 1 new token:
-    # 1, 1+step, ... <= n - (it's the start of a non-empty suffix)
+    # last start s.t. the window's END extends past the previous
+    # window's end (= contributes >= 1 fresh token): with overlap > 0 a
+    # start in (n - max_tokens + step, n] yields a window fully
+    # contained in its predecessor — duplicated training data — so the
+    # sequence's upper bound is n - max_tokens + step, floored at 1
     starts = F.when(
-        n >= 1, F.sequence(F.lit(1), n, F.lit(step))
+        n >= 1,
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.lit(1), n - F.lit(max_tokens) + F.lit(step)),
+            F.lit(step),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, max_tokens)))
     out = df.select(

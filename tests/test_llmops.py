@@ -1538,8 +1538,41 @@ def test_chunk_documents_with_stride_overlap(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     rows = chunk_documents(df, "doc_id", "text", max_tokens=3, overlap=1).collect()
     chunks = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])]
-    # stride 2: starts 1, 3, 5
-    assert chunks == ["a b c", "c d e", "e"]
+    # stride 2: starts 1, 3 — a start at 5 would yield 'e', fully
+    # contained in 'c d e' (duplicated training data; ADVICE r9)
+    assert chunks == ["a b c", "c d e"]
+
+
+def test_chunk_documents_no_fully_contained_trailing_window(spark):
+    """Every window must contribute at least one token not covered by
+    its predecessor, for every (n, max_tokens, overlap) combination —
+    and the union of windows still covers the whole document."""
+    from pycypher_nmetl_spark.llmops import chunk_documents
+
+    docs = [(n, " ".join(f"t{i}" for i in range(1, n + 1))) for n in range(1, 13)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for max_tokens, overlap in [(3, 1), (3, 2), (4, 2), (5, 1), (2, 1)]:
+        rows = chunk_documents(
+            df, "doc_id", "text", max_tokens=max_tokens, overlap=overlap
+        ).collect()
+        by_doc: dict[int, list[str]] = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+            by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+        assert set(by_doc) == {n for n, _ in docs}
+        for n, chunks in by_doc.items():
+            prev_end = 0
+            covered: set[str] = set()
+            step = max_tokens - overlap
+            for i, c in enumerate(chunks):
+                toks = c.split()
+                start = 1 + i * step
+                end = start + len(toks) - 1
+                assert end > prev_end, (n, max_tokens, overlap, chunks)
+                prev_end = end
+                covered.update(toks)
+            assert covered == {f"t{i}" for i in range(1, n + 1)}, (
+                n, max_tokens, overlap, chunks,
+            )
 
 
 def test_chunk_documents_reconstructs_corpus(spark):
@@ -1700,6 +1733,41 @@ def test_minhash_against_finds_cross_corpus_dups(spark):
 
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs_against(new, corpus, "doc_id", "text", num_perm=8, bands=16)
+
+
+def test_minhash_pairs_release_caches(spark):
+    """ADVICE r9: repeated ingest batches must not accumulate cached
+    signature frames — with eager=True (default) the pair functions
+    materialize their result and unpersist everything they persisted;
+    with eager=False the cache is deliberately left to the caller."""
+    from pycypher_nmetl_spark.llmops import (
+        minhash_lsh_pairs, minhash_lsh_pairs_against,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs_against(new, corpus, "doc_id", "text", threshold=0.5)
+    assert out.count() >= 5  # result survives the unpersist (checkpointed)
+    assert cm.isEmpty()
+
+    out2 = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.9)
+    out2.count()
+    assert cm.isEmpty()
+
+    lazy = minhash_lsh_pairs_against(
+        new, corpus, "doc_id", "text", threshold=0.5, eager=False
+    )
+    lazy.count()
+    assert not cm.isEmpty()  # caller-managed mode keeps the caches
+    spark.catalog.clearCache()
 
 
 def test_minhash_against_consistent_with_full_rerun(spark):
