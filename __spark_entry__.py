@@ -123,16 +123,12 @@ _CYPHER_QUERIES: dict[str, str] = {
     "call_db_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label"
     ),
-    # §2.8 math functions + integer-division/modulo semantics (absorbed
-    # arith_semantics under the 50-gate cap — its grouped-count surface
-    # is covered by agg_pricing_summary/with_having + the agg fuzzer;
-    # the FUNCTION semantics, Cypher int/int truncation and %, live on
-    # here as per-row columns)
-    "math_fns": (
-        "MATCH (s:Supplier) RETURN s.name AS name, "
-        "round(sqrt(abs(s.acctbal)), 3) AS v, sign(s.acctbal) AS sg, "
-        "s.suppkey % 3 AS m, s.suppkey / 10 AS intdiv"
-    ),
+    # (math_fns retired under the 50-gate cap in favor of
+    # asof_join_latest: its surface — round/sqrt/abs/sign scalar fns,
+    # Cypher int/int truncation and % — is covered by the TCK math rows
+    # (round-half-away, float/negative modulo, precedence corners), the
+    # expression differential fuzzer vs DuckDB, and the rounds that
+    # remain inside agg_pricing_summary / stats_percentiles.)
     # §2.4 variable-length paths over the NEXT_LINE chain
     "varlength_path": (
         "MATCH (a:Lineitem)-[:NEXT_LINE*1..3]->(b:Lineitem) "
@@ -184,15 +180,12 @@ _CYPHER_QUERIES: dict[str, str] = {
         "join([x IN range(1,6) WHERE x % 2 = 0 | toString(x)], ',') AS evens "
         "ORDER BY n DESC, cust LIMIT 20"
     ),
-    # §2.2 `=~` full-string regex OR IN-list predicate + string concat
-    # with + and §2.8 hash functions (merged regex_hash_fns + concat_in
-    # under the 50-gate cap)
-    "regex_in_concat_hash": (
-        "MATCH (n:Nation) WHERE n.name =~ 'NATION_1[0-9]' "
-        "OR n.name IN ['NATION_1', 'NATION_2', 'NATION_3'] "
-        "RETURN n.name + '!' AS tagged, md5(n.name) AS h_md5, "
-        "sha256(n.name) AS h_sha256"
-    ),
+    # (regex_in_concat_hash retired under the 50-gate cap in favor of
+    # range_join_windows: `=~` full-string regex stays covered by the
+    # TCK regex rows + string differential fuzzer, IN-list by
+    # param_in_cross_type, `+` concat by collect_quantifier's join()/
+    # toString() and the TCK concat rows, md5/sha256 by the minhash md5
+    # bit-parity oracle in llm_* gates and unit tests.)
     # §2.9 pattern comprehension -> correlated collect_list
     "pattern_comprehension": (
         "MATCH (n:Nation) RETURN n.name AS nation, "
@@ -322,12 +315,6 @@ _ORACLE: dict[str, str] = {
         "('Event'), ('Lineitem'), ('Nation'), ('Order'), ('Part'), "
         "('Region'), ('Supplier')) AS t(label) ORDER BY label"
     ),
-    "math_fns": (
-        "SELECT s_name AS name, round(sqrt(abs(s_acctbal)), 3) AS v, "
-        "CAST(sign(s_acctbal) AS BIGINT) AS sg, "
-        "s_suppkey % 3 AS m, "
-        "CAST(TRUNC(s_suppkey / 10.0) AS BIGINT) AS intdiv FROM supplier"
-    ),
     "varlength_path": (
         "WITH RECURSIVE pairs AS ("
         "  SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln FROM lineitem"
@@ -370,12 +357,6 @@ _ORACLE: dict[str, str] = {
         "10 AS rtotal, '2,4,6' AS evens "
         "FROM customer JOIN orders ON o_custkey = c_custkey "
         "GROUP BY c_name ORDER BY n DESC, cust LIMIT 20"
-    ),
-    "regex_in_concat_hash": (
-        "SELECT n_name || '!' AS tagged, md5(n_name) AS h_md5, "
-        "sha256(n_name) AS h_sha256 FROM nation "
-        "WHERE regexp_full_match(n_name, 'NATION_1[0-9]') "
-        "OR n_name IN ('NATION_1', 'NATION_2', 'NATION_3')"
     ),
     "pattern_comprehension": (
         "SELECT n_name AS nation, "
@@ -1149,12 +1130,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return _cypher(_CYPHER_QUERIES["two_hop_filter"])(spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------- #
+# Temporal joins (round 10): operators Spark lacks natively
+# --------------------------------------------------------------------- #
+def _q_asof_join_latest(spark, sf_dir):
+    """Latest error at-or-before each click, per user — asof_join's
+    union-window compilation (1 exchange, 0 joins; plan-pinned in
+    tests/test_temporal_joins.py). Oracle: DuckDB's native ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.temporal_joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "ts", "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join(clicks, errors, on="ts", by="user_id")
+    return out.select("event_id", "err_id", F.round("err_value", 2).alias("err_value"))
+
+
+def _q_range_join_windows(spark, sf_dir):
+    """Clicks falling inside [view, view+30min) windows per user —
+    range_join's bin-bucketed equi-join (no BroadcastNestedLoopJoin;
+    plan-pinned). Oracle: plain SQL BETWEEN join."""
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.temporal_joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    windows = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        F.col("event_id").alias("w_id"),
+    )
+    out = range_join(clicks, windows, "ts", "w_start", "w_end", by="user_id")
+    return out.select("event_id", "w_id")
+
+
 _EXTRA_QUERIES = {
     "mutation_roundtrip": _q_mutation_roundtrip,
     "merge_on_match": _q_merge_on_match,
     "stream_window_agg": _q_stream_window,
     "stream_session_window": _q_stream_session_window,
     "stream_static_join": _q_stream_static_join,
+    "asof_join_latest": _q_asof_join_latest,
+    "range_join_windows": _q_range_join_windows,
 }
 
 _EXTRA_ORACLE = {
@@ -1192,6 +1221,26 @@ _EXTRA_ORACLE = {
         "       round(sum(e.value), 2) AS total "
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
         "GROUP BY 1"
+    ),
+    "asof_join_latest": (
+        "WITH clicks AS (SELECT event_id, ts, user_id FROM events "
+        "                WHERE event_type = 'click'), "
+        "     errors AS (SELECT ts, user_id, event_id AS err_id, "
+        "                       value AS err_value FROM events "
+        "                WHERE event_type = 'error') "
+        "SELECT c.event_id, e.err_id, round(e.err_value, 2) AS err_value "
+        "FROM clicks c ASOF LEFT JOIN errors e "
+        "  ON c.user_id = e.user_id AND c.ts >= e.ts"
+    ),
+    "range_join_windows": (
+        "WITH clicks AS (SELECT event_id, ts, user_id FROM events "
+        "                WHERE event_type = 'click'), "
+        "     win AS (SELECT user_id, ts AS w_start, "
+        "                    ts + INTERVAL 30 MINUTE AS w_end, "
+        "                    event_id AS w_id FROM events "
+        "             WHERE event_type = 'view') "
+        "SELECT c.event_id, w.w_id FROM clicks c JOIN win w "
+        "  ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end"
     ),
 }
 
