@@ -14,7 +14,8 @@ from pycypher_nmetl_spark.llmops.decontam import (
     contamination_pairs, decontaminate,
 )
 from pycypher_nmetl_spark.llmops.dedup import (
-    cut_duplicate_paragraphs, exact_dedup, explode_paragraphs,
+    content_hashes, cut_duplicate_paragraphs, exact_dedup,
+    exact_dedup_against, explode_paragraphs,
     minhash_lsh_pairs, minhash_lsh_pairs_against, minhash_signatures,
     ngram_jaccard_pairs, paragraph_near_dup_pairs,
     shingles, simhash, simhash_buckets,
@@ -46,7 +47,8 @@ from pycypher_nmetl_spark.llmops.classifier import (
 
 __all__ = [
     "contamination_pairs", "decontaminate",
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
+    "exact_dedup", "exact_dedup_against", "content_hashes",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs", "shingles",
     "minhash_signatures", "minhash_lsh_pairs_against",
     "simhash", "simhash_buckets",
     "brute_force_topk", "brute_force_topk_many", "cosine_col", "ivf_build", "ivf_topk",

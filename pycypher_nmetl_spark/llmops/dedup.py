@@ -48,6 +48,60 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def content_hashes(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The persistable exact-dedup index: one ``_h`` (xxhash64 over the
+    content columns) per distinct content. Write this once for the
+    standing corpus; every ingest batch then dedups against it via
+    :func:`exact_dedup_against` without touching corpus content."""
+    if not cols:
+        raise ValueError("content_hashes: cols must be non-empty")
+    return df.select(F.xxhash64(*cols).alias("_h")).dropDuplicates()
+
+
+def exact_dedup_against(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    cols: list[str],
+    corpus_is_hashes: bool = False,
+) -> DataFrame:
+    """Exact ingest dedup: drop every NEW row whose content columns
+    already occur in the EXISTING corpus (within-batch duplicates are
+    :func:`exact_dedup` — run both for a full ingest pass).
+
+    Scale shape, the point of this operator: the (small) batch hash set
+    broadcasts into a map-side semi join against the corpus index, so
+    the 100 TB corpus is scanned once and NEVER shuffled — the same
+    "batch moves, corpus doesn't" contract as
+    :func:`minhash_lsh_pairs_against`, here for byte-exact duplicates.
+    The matched hash set (bounded by the batch size) broadcasts back
+    into an anti join on the batch. Pass the persisted
+    :func:`content_hashes` frame with ``corpus_is_hashes=True`` to skip
+    recomputing corpus hashes.
+
+    Collision note: xxhash64 equality stands in for content equality
+    (2^-64 per pair — the standard trade at corpus scale; the exact
+    variant would re-verify matched rows on the raw columns, forcing a
+    corpus-side payload scan this operator exists to avoid).
+    """
+    if not cols:
+        raise ValueError("exact_dedup_against: cols must be non-empty")
+    missing = [c for c in cols if c not in new_df.columns]
+    if missing:
+        raise ValueError(f"exact_dedup_against: {missing} missing from new_df")
+    corpus_h = (
+        corpus.select("_h")
+        if corpus_is_hashes
+        else corpus.select(F.xxhash64(*cols).alias("_h"))
+    )
+    new_h = new_df.select(F.xxhash64(*cols).alias("_h")).dropDuplicates()
+    matched = corpus_h.join(F.broadcast(new_h), "_h", "left_semi")
+    return new_df.join(
+        F.broadcast(matched),
+        F.xxhash64(*[new_df[c] for c in cols]) == matched["_h"],
+        "left_anti",
+    )
+
+
 def _pair_jaccard(
     df: DataFrame,
     id_col: str,

@@ -232,6 +232,20 @@ def _dedup_against(engine, args) -> DataFrame:
     return minhash_lsh_pairs_against(new_df, corpus, "id", prop, threshold=thr)
 
 
+def _dedup_exact_against(engine, args) -> DataFrame:
+    """llm.dedupExactAgainst(newLabel, corpusLabel, prop)
+    -> surviving (id, text): NEW rows whose prop content does not occur
+    byte-exactly in the standing corpus (batch side broadcasts; the
+    corpus is scanned map-side, never shuffled)."""
+    from pycypher_nmetl_spark.llmops.dedup import exact_dedup_against
+
+    new_df = _nodes(engine, _str_arg(args, 0, "newLabel"))
+    corpus = _nodes(engine, _str_arg(args, 1, "corpusLabel"))
+    prop = _str_arg(args, 2, "prop")
+    kept = exact_dedup_against(new_df, corpus, cols=[prop])
+    return kept.select("id", F.col(prop).alias("text"))
+
+
 def _dsir_weights(engine, args) -> DataFrame:
     """llm.dsirWeights(rawLabel, prop, targetLabel, buckets=10000)
     -> (id, n_features, logw): DSIR importance weights of every raw doc
@@ -290,6 +304,7 @@ LLM_PROCEDURES = {
     "llm.dsirweights": _dsir_weights,
     "llm.dsirresample": _dsir_resample,
     "llm.dedupagainst": _dedup_against,
+    "llm.dedupexactagainst": _dedup_exact_against,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

@@ -295,3 +295,27 @@ def test_llm_dedup_against_proc(spark):
         "YIELD new_id, corpus_id RETURN new_id, corpus_id"
     )
     assert sorted(map(tuple, rows)) == [(101, 1)]
+
+
+def test_llm_dedup_exact_against_proc(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, "alpha beta gamma"),        # byte-exact dup: dropped
+         (102, "alpha beta gamma!"),       # near but not exact: kept
+         (103, "completely fresh text")],
+        "id long, text string",
+    )
+    cat.register_nodes("Corpus", corpus)
+    cat.register_nodes("NewBatch", new)
+    eng = CypherEngine(cat)
+    rows = eng.run(
+        "CALL llm.dedupExactAgainst('NewBatch', 'Corpus', 'text') "
+        "YIELD id RETURN id ORDER BY id"
+    )
+    assert [r[0] for r in rows] == [102, 103]

@@ -1798,3 +1798,74 @@ def test_minhash_against_consistent_with_full_rerun(spark):
         ).collect()
     }
     assert inc == cross_full and len(inc) > 0
+
+
+def test_exact_dedup_against_basic_and_index(spark):
+    """Ingest exact dedup vs a standing corpus: duplicate content is
+    dropped, fresh content survives, the precomputed content_hashes
+    index gives identical results, and the result matches a DuckDB
+    NOT-EXISTS oracle on the raw columns."""
+    import duckdb
+
+    from pycypher_nmetl_spark.llmops import (
+        content_hashes, exact_dedup_against,
+    )
+
+    corpus_rows = [(i, f"doc body {i % 10}") for i in range(30)]
+    new_rows = [(100, "doc body 3"),      # exact dup of corpus content
+                (101, "doc body 999"),    # fresh
+                (102, "doc body 7"),      # dup
+                (103, "unseen entirely")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    kept = exact_dedup_against(new, corpus, cols=["text"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [101, 103]
+
+    idx = content_hashes(corpus, ["text"])
+    kept2 = exact_dedup_against(new, idx, cols=["text"], corpus_is_hashes=True)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [101, 103]
+
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    con.register("new", new.toPandas())
+    oracle = sorted(
+        t[0] for t in con.execute(
+            "SELECT doc_id FROM new n WHERE NOT EXISTS "
+            "(SELECT 1 FROM corpus c WHERE c.text = n.text)"
+        ).fetchall()
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == oracle
+
+
+def test_exact_dedup_against_corpus_never_shuffled(spark):
+    """The scale contract: both joins broadcast the batch-derived side —
+    the corpus scan reaches the semi join with NO Exchange above it."""
+    from pycypher_nmetl_spark.llmops import exact_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(1, "t3")], "doc_id long, text string")
+    plan = (
+        exact_dedup_against(new, corpus, cols=["text"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # exactly ONE hash exchange: the batch's own hash dedup — the corpus
+    # scan feeds the semi join directly with no Exchange above it
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_exact_dedup_against_validation(spark):
+    from pycypher_nmetl_spark.llmops import content_hashes, exact_dedup_against
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        exact_dedup_against(df, df, cols=[])
+    with _pt.raises(ValueError, match="missing from new_df"):
+        exact_dedup_against(df, df, cols=["nope"])
+    with _pt.raises(ValueError, match="non-empty"):
+        content_hashes(df, [])
