@@ -319,3 +319,48 @@ def test_llm_dedup_exact_against_proc(spark):
         "YIELD id RETURN id ORDER BY id"
     )
     assert [r[0] for r in rows] == [102, 103]
+
+
+def test_temporal_asof_and_range_procs(spark):
+    import datetime as dt
+
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "Trade",
+        spark.createDataFrame(
+            [(1, "A", ts(1), 100.0), (2, "A", ts(5), 101.0)],
+            "id long, sym string, ts timestamp, price double",
+        ),
+    )
+    cat.register_nodes(
+        "Quote",
+        spark.createDataFrame(
+            [(10, "A", ts(0), 99.5), (11, "A", ts(4), 100.5)],
+            "id long, sym string, ts timestamp, bid double",
+        ),
+    )
+    cat.register_nodes(
+        "Window",
+        spark.createDataFrame(
+            [(20, "A", ts(0), ts(2))],
+            "id long, sym string, w_start timestamp, w_end timestamp",
+        ),
+    )
+    eng = CypherEngine(cat)
+    rows = eng.run(
+        "CALL temporal.asofJoin('Trade', 'Quote', 'ts', 'sym') "
+        "YIELD left_id, bid RETURN left_id, bid ORDER BY left_id"
+    )
+    assert [tuple(r) for r in rows] == [(1, 99.5), (2, 100.5)]
+    rows = eng.run(
+        "CALL temporal.rangeJoin('Trade', 'Window', 'ts', 'w_start', "
+        "'w_end', 'sym') YIELD left_id, right_id RETURN left_id, right_id"
+    )
+    assert [tuple(r) for r in rows] == [(1, 20)]

@@ -188,6 +188,48 @@ def _ops():
         sh = global_shuffle(train, key="doc_id", num_partitions=32)
         return pack_sequences(sh, "doc_id", "n_chars", max_tokens=8000).count()
 
+    def asof(spark, d):
+        # latest error at-or-before each click, per user (union-window:
+        # 1 exchange, 0 joins)
+        from pycypher_nmetl_spark.temporal_joins import asof_join
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "ts", "user_id", F.col("value").alias("err_v")
+        )
+        return asof_join(clicks, errors, on="ts", by="user_id").count()
+
+    def range_windows(spark, d):
+        # clicks inside [view, view+30min) windows (bin-bucketed equi-join)
+        from pycypher_nmetl_spark.temporal_joins import range_join
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id"
+        )
+        win = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+        return range_join(
+            clicks, win, "ts", "w_start", "w_end", by="user_id",
+            bin_width=1800.0,
+        ).count()
+
+    def exact_against(spark, d):
+        # byte-exact ingest dedup: 10% batch vs 90% corpus (broadcast-semi)
+        from pycypher_nmetl_spark.llmops import exact_dedup_against
+
+        docs = _docs(spark, d)
+        return exact_dedup_against(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            cols=["text"],
+        ).count()
+
     return [
         ("exact_dedup", exact),
         ("minhash_lsh_pairs", minhash),
@@ -205,6 +247,9 @@ def _ops():
         ("dsir_weights", dsir),
         ("quality_classifier", quality_classifier),
         ("export_split_shuffle_pack", export_pipeline),
+        ("asof_join", asof),
+        ("range_join", range_windows),
+        ("exact_dedup_against", exact_against),
     ]
 
 
