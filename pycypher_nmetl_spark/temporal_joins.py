@@ -286,15 +286,22 @@ def range_join(
         F.explode(F.sequence(F.floor(rs_ord / w), F.floor(re_ord / w))),
     )
 
-    cond = [l_df["__bin"] == r_df["__bin"]] + [
-        l_df[c] == r_df[c] for c in by
-    ]
-    joined = l_df.join(r_df, cond, "inner").filter(
-        (_ordinal_on(l_df, left_on) >= _ordinal_on(r_df, right_start))
-        & (_ordinal_on(l_df, left_on) <= _ordinal_on(r_df, right_end))
+    # right-side join keys get unambiguous names: both sides often
+    # derive from the SAME source frame (self-range-joins), where
+    # l_df[c] == r_df[c] carries identical expression ids and only
+    # Spark's fragile self-join disambiguation heuristic saves it
+    for c in [*by, "__bin"]:
+        r_df = r_df.withColumnRenamed(c, f"__rj_{c}")
+    cond = F.col("__bin") == F.col("__rj___bin")
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"__rj_{c}"))
+    joined = l_df.join(r_df, cond, "inner")
+    joined = joined.filter(
+        (_ordinal_on(joined, left_on) >= _ordinal_on(joined, right_start))
+        & (_ordinal_on(joined, left_on) <= _ordinal_on(joined, right_end))
     )
-    out_cols = [l_df[c] for c in left.columns] + [
-        r_df[c] for c in right.columns if c not in by
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(c) for c in right.columns if c not in by
     ]
     matched = joined.select(*out_cols)
     if how == "inner":
