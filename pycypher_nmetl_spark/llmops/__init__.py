@@ -23,6 +23,7 @@ from pycypher_nmetl_spark.llmops.dedup import (
 from pycypher_nmetl_spark.llmops.similarity import (
     brute_force_topk, brute_force_topk_many, cosine_col, ivf_build,
     ivf_topk, ivf_topk_many, near_dup_components, near_dup_pairs,
+    semantic_dedup, semantic_dedup_pairs,
 )
 from pycypher_nmetl_spark.llmops.textstats import (
     add_fingerprint, add_lang_id, add_quality, add_repetition_signals,
@@ -52,7 +53,7 @@ __all__ = [
     "minhash_signatures", "minhash_lsh_pairs_against",
     "simhash", "simhash_buckets",
     "brute_force_topk", "brute_force_topk_many", "cosine_col", "ivf_build", "ivf_topk",
-    "ivf_topk_many",
+    "ivf_topk_many", "semantic_dedup", "semantic_dedup_pairs",
     "near_dup_components", "near_dup_pairs",
     "tokens", "add_token_count", "add_quality", "add_lang_id", "add_fingerprint",
     "add_repetition_signals", "scrub_pii", "add_url_canonical",

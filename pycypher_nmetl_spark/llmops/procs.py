@@ -232,6 +232,21 @@ def _dedup_against(engine, args) -> DataFrame:
     return minhash_lsh_pairs_against(new_df, corpus, "id", prop, threshold=thr)
 
 
+def _semantic_dedup(engine, args) -> DataFrame:
+    """llm.semanticDedup(label, vecProp, nClusters=16, threshold=0.9)
+    -> surviving (id): SemDeDup (Abbas et al. 2023) — k-means-bounded
+    embedding dedup keeping the farthest-from-centroid member per
+    duplicate group."""
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup
+
+    df = _nodes(engine, _str_arg(args, 0, "label"))
+    prop = _str_arg(args, 1, "vecProp")
+    n_clusters = int(_num_arg(args, 2, 16))
+    thr = float(_num_arg(args, 3, 0.9))
+    kept = semantic_dedup(df, prop, n_clusters=n_clusters, threshold=thr)
+    return kept.select("id")
+
+
 def _dedup_exact_against(engine, args) -> DataFrame:
     """llm.dedupExactAgainst(newLabel, corpusLabel, prop)
     -> surviving (id, text): NEW rows whose prop content does not occur
@@ -305,6 +320,7 @@ LLM_PROCEDURES = {
     "llm.dsirresample": _dsir_resample,
     "llm.dedupagainst": _dedup_against,
     "llm.dedupexactagainst": _dedup_exact_against,
+    "llm.semanticdedup": _semantic_dedup,
     "llm.exactduplicates": _exact_duplicates,
     "llm.jaccardpairs": _jaccard_pairs,
     "llm.minhashpairs": _minhash_pairs,

@@ -698,3 +698,120 @@ def ivf_topk_many(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+# k-means clustering — candidate pairs are confined to a cluster, so the
+# quadratic term is sum(cluster_size^2) and n_clusters is the knob that
+# bounds it (the paper's own scale argument; they run k=50k on LAION).
+# --------------------------------------------------------------------- #
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "id",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    sample: int = 10_000,
+    iters: int = 10,
+):
+    """Within-cluster semantic-duplicate pairs: (id1, id2, cosine,
+    cluster) for every same-cluster pair with cosine >= threshold.
+
+    Returns ``(pairs, assigned, centroids)`` so callers (semantic_dedup,
+    tests) reuse the clustering without re-fitting. Scale shape: cluster
+    assignment is a narrow map (broadcast argmin over the driver-fit
+    centroids, see ivf_build); the pair join shuffles both sides once by
+    cluster id and fans out only within a cluster. Cross-cluster near
+    dups are invisible by design — that recall trade (vs the banded-LSH
+    near_dup_pairs, which has no such blind spot) is the paper's
+    documented cost for the hard work bound."""
+    assigned, centroids = ivf_build(
+        df, vec_col, n_clusters, sample, iters, id_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id1"),
+        F.col("_cluster").alias("cluster"),
+        F.col(vec_col).alias("_v1"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id2"),
+        F.col("_cluster").alias("_c2"),
+        F.col(vec_col).alias("_v2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("_c2")) & (F.col("id1") < F.col("id2")),
+        )
+        .withColumn(
+            "cosine",
+            cosine_col(
+                F.col("_v1").cast("array<double>"),
+                F.col("_v2").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"), "cluster")
+    )
+    return pairs, assigned, centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "id",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    sample: int = 10_000,
+    iters: int = 10,
+    keep: str = "farthest",
+) -> DataFrame:
+    """SemDeDup corpus filter: drop all but ONE member of every semantic-
+    duplicate group (connected component of within-cluster pairs).
+
+    keep='farthest' is the paper's rule — keep the member with the LOWEST
+    cosine similarity to its cluster centroid (the least redundant
+    example; Abbas et al. §3). keep='min_id' keeps the smallest id
+    (deterministic canonical copy). Singleton vectors always survive.
+    """
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    from ..algorithms import connected_components
+
+    pairs, assigned, centroids = semantic_dedup_pairs(
+        df, vec_col, id_col, n_clusters, threshold, sample, iters
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    comp = connected_components(edges)  # only ids that appear in a pair
+
+    if keep == "farthest":
+        # cosine(v, centroid(_cluster)) via a centroid lookup array —
+        # a literal indexed by the (driver-fit) cluster id, no join
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ])
+        score = cosine_col(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_arr, F.col("_cluster") + 1),
+        )
+    else:
+        score = F.lit(0.0)
+    scored = assigned.select(
+        F.col(id_col).alias("_sid"), score.alias("_cent_sim")
+    )
+    members = comp.join(scored, comp["id"] == scored["_sid"]).select(
+        "id", "component", "_cent_sim"
+    )
+    # one survivor per component: min centroid-similarity ('farthest'),
+    # id as the deterministic tiebreak (also the whole rule for min_id)
+    winners = members.groupBy("component").agg(
+        F.min_by("id", F.struct(F.col("_cent_sim"), F.col("id"))).alias("_keep")
+    )
+    losers = members.join(
+        winners, members["id"] == winners["_keep"], "left_anti"
+    ).select(F.col("id").alias("_drop"))
+    # no broadcast hint: a duplicate-heavy corpus can make the drop set
+    # O(n) (SemDeDup removes ~50% of LAION); AQE broadcasts when small
+    return df.join(losers, df[id_col] == F.col("_drop"), "left_anti")

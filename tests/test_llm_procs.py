@@ -364,3 +364,24 @@ def test_temporal_asof_and_range_procs(spark):
         "'w_end', 'sym') YIELD left_id, right_id RETURN left_id, right_id"
     )
     assert [tuple(r) for r in rows] == [(1, 20)]
+
+
+def test_llm_semantic_dedup_proc(spark):
+    from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+    cat = GraphCatalog(spark)
+    rows = [
+        (0, [10.0, 0.0, 0.0]), (1, [10.001, 0.0, 0.0]),   # near-dup pair
+        (2, [0.0, 10.0, 0.0]), (3, [0.0, 0.0, 10.0]),
+    ]
+    cat.register_nodes(
+        "Vec", spark.createDataFrame(rows, "id long, embedding array<double>")
+    )
+    eng = CypherEngine(cat)
+    got = eng.run(
+        "CALL llm.semanticDedup('Vec', 'embedding', 2, 0.999) "
+        "YIELD id RETURN id ORDER BY id"
+    )
+    kept = [r[0] for r in got]
+    assert len(kept) == 3 and {2, 3} <= set(kept)
+    assert len({0, 1} & set(kept)) == 1

@@ -1869,3 +1869,90 @@ def test_exact_dedup_against_validation(spark):
         exact_dedup_against(df, df, cols=["nope"])
     with _pt.raises(ValueError, match="non-empty"):
         content_hashes(df, [])
+
+
+# ------------------------- SemDeDup (semantic dedup) -------------------------
+
+def _clustered_vecs(spark, seed=7):
+    """3 well-separated clusters; ids 0-2 near-identical in cluster A,
+    ids 10-11 near-identical in cluster B, the rest distinct."""
+    import random
+
+    rng = random.Random(seed)
+
+    def vec(base, jitter):
+        return [b + rng.uniform(-jitter, jitter) for b in base]
+
+    A = [10.0, 0.0, 0.0, 1.0]
+    B = [0.0, 10.0, 0.0, -1.0]
+    C = [0.0, 0.0, 10.0, 3.0]
+    rows = [
+        (0, vec(A, 0.01)), (1, vec(A, 0.01)), (2, vec(A, 0.01)),
+        (3, vec(A, 3.0)),                      # same cluster, not a dup
+        (10, vec(B, 0.01)), (11, vec(B, 0.01)),
+        (12, vec(B, 3.0)),
+        (20, vec(C, 3.0)), (21, vec(C, 3.0)),  # distinct C members
+    ]
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_semantic_dedup_pairs_match_within_cluster_exact(spark):
+    """SemDeDup pairs == brute-force exact cosine pairs restricted to
+    same-cluster membership (the paper's candidate structure)."""
+    from pycypher_nmetl_spark.llmops import near_dup_pairs
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+    df = _clustered_vecs(spark)
+    pairs, assigned, _ = semantic_dedup_pairs(
+        df, "embedding", n_clusters=3, threshold=0.995
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    exact = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(
+            df, "embedding", threshold=0.995, exact=True
+        ).collect()
+    }
+    cluster = {r["id"]: r["_cluster"] for r in
+               assigned.selectExpr("id", "_cluster").collect()}
+    exact_same_cluster = {
+        (a, b) for a, b in exact if cluster[a] == cluster[b]
+    }
+    assert got == exact_same_cluster
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from pycypher_nmetl_spark.llmops import semantic_dedup
+
+    df = _clustered_vecs(spark)
+    for keep in ("farthest", "min_id"):
+        kept = sorted(
+            r["id"]
+            for r in semantic_dedup(
+                df, "embedding", n_clusters=3, threshold=0.995, keep=keep
+            ).collect()
+        )
+        # groups {0,1,2} and {10,11} each collapse to one survivor;
+        # singletons 3, 12, 20, 21 always survive
+        assert len(kept) == 6, (keep, kept)
+        assert {3, 12, 20, 21} <= set(kept)
+        assert len({0, 1, 2} & set(kept)) == 1
+        assert len({10, 11} & set(kept)) == 1
+    # min_id keep rule is fully deterministic: lowest id per group
+    kept = sorted(
+        r["id"]
+        for r in semantic_dedup(
+            df, "embedding", n_clusters=3, threshold=0.995, keep="min_id"
+        ).collect()
+    )
+    assert kept == [0, 3, 10, 12, 20, 21]
+
+
+def test_semantic_dedup_validation(spark):
+    from pycypher_nmetl_spark.llmops import semantic_dedup
+
+    df = _clustered_vecs(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep"):
+        semantic_dedup(df, "embedding", keep="random")
