@@ -486,20 +486,60 @@ def ivf_build(
     centroids = [list(map(float, c)) for c in cents]
 
     v = F.col(vec_col).cast("array<double>")
-    dists = [
-        _dot(v, v)
-        - 2 * _dot(v, F.array(*[F.lit(x) for x in c]).cast("array<double>"))
-        for c in centroids
-    ]  # ||v-c||^2 up to the constant ||c||^2, corrected below
-    dists = [
-        d + F.lit(sum(x * x for x in c)) for d, c in zip(dists, centroids)
-    ]
-    best = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(dists)):
-        cond = dists[i] < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    # argmin over a centroid-literal array with ONE transform + one
+    # array_position(array_min) — the expression tree is O(k) in literal
+    # size and O(1) in operator structure. The previous chained-when
+    # argmin nested each step's comparison inside the next (best_d_i
+    # contains two copies of best_d_{i-1}), so analysis cost grew
+    # exponentially in k: k=8 (the gate) was fine, k=16 over 64-dim
+    # vectors hung the analyzer for minutes — found wiring SemDeDup,
+    # whose paper-shaped k grows with corpus size.
+    if len(centroids) <= 32:
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ])
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # array_position is 1-based; a null INPUT vector yields null
+        # dists, where the old chain fell through to cluster 0: keep
+        # that contract
+        best = F.coalesce(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            F.lit(0),
+        )
+    else:
+        # large k (SemDeDup-style k ~ sqrt(n)): higher-order-function
+        # expressions are interpreted, so per-row cost k*d drags; a
+        # vectorized Arrow batch does the whole assignment as one
+        # (batch x d) @ (d x k) matmul
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array(centroids, dtype="float64")
+        c2 = (C * C).sum(axis=1)
+
+        @pandas_udf("int")
+        def _assign(vs):  # no type hints: the module's future-annotations
+            # turn them into strings pyspark cannot resolve (pd is local)
+            nulls = vs.isna().to_numpy()
+            M = np.stack([
+                np.zeros(C.shape[1]) if nulls[i]
+                else np.asarray(vs.iloc[i], dtype="float64")
+                for i in range(len(vs))
+            ]) if len(vs) else np.zeros((0, C.shape[1]))
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+            out = d2.argmin(axis=1).astype("int32")
+            out[nulls] = 0  # null vector -> cluster 0, the column-path contract
+            return pd.Series(out, dtype="int32")
+
+        best = _assign(v)
     assigned = df.withColumn("_cluster", best)
     return assigned, centroids
 
@@ -714,46 +754,83 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     sample: int = 10_000,
     iters: int = 10,
+    block: int = 2048,
 ):
     """Within-cluster semantic-duplicate pairs: (id1, id2, cosine,
     cluster) for every same-cluster pair with cosine >= threshold.
 
     Returns ``(pairs, assigned, centroids)`` so callers (semantic_dedup,
-    tests) reuse the clustering without re-fitting. Scale shape: cluster
-    assignment is a narrow map (broadcast argmin over the driver-fit
-    centroids, see ivf_build); the pair join shuffles both sides once by
-    cluster id and fans out only within a cluster. Cross-cluster near
+    tests) reuse the clustering without re-fitting.
+
+    Scale shape — the paper's, re-expressed for Spark: cluster
+    assignment is a narrow map (see ivf_build); then ONE groupBy-cluster
+    shuffle feeds an ``applyInPandas`` that computes each cluster's
+    cosine matrix as numpy block matmuls (``block`` rows at a time, so
+    executor memory holds block x cluster_size doubles, never the full
+    m x m matrix) and emits only the above-threshold pairs. No pair
+    materialization before the threshold — a join-based shape would
+    push n^2/k candidate rows through the engine. Cross-cluster near
     dups are invisible by design — that recall trade (vs the banded-LSH
     near_dup_pairs, which has no such blind spot) is the paper's
-    documented cost for the hard work bound."""
+    documented cost for the hard work bound.
+    """
+    import numpy as np
+    import pandas as pd
+
     assigned, centroids = ivf_build(
         df, vec_col, n_clusters, sample, iters, id_col
     )
-    a = assigned.select(
-        F.col(id_col).alias("id1"),
-        F.col("_cluster").alias("cluster"),
-        F.col(vec_col).alias("_v1"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id2"),
-        F.col("_cluster").alias("_c2"),
-        F.col(vec_col).alias("_v2"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("_c2")) & (F.col("id1") < F.col("id2")),
+    thr = float(threshold)
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_dt}, id2 {id_dt}, cosine double, cluster int"
+
+    def _cluster_pairs(key, pdf):
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id1": pd.Series([], dtype=pdf[id_col].dtype),
+                "id2": pd.Series([], dtype=pdf[id_col].dtype),
+                "cosine": pd.Series([], dtype="float64"),
+                "cluster": pd.Series([], dtype="int32"),
+            }
         )
-        .withColumn(
-            "cosine",
-            cosine_col(
-                F.col("_v1").cast("array<double>"),
-                F.col("_v2").cast("array<double>"),
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", F.round("cosine", 6).alias("cosine"), "cluster")
-    )
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        M = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        outs = []
+        for s in range(0, m, block):
+            S = Mn[s : s + block] @ Mn.T  # block x m
+            ii, jj = np.nonzero(S >= thr)
+            gi = ii + s
+            keep = jj > gi  # upper triangle only: each pair once
+            gi, jj = gi[keep], jj[keep]
+            if len(gi):
+                a, b = ids[gi], ids[jj]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id1": pd.Series(lo, dtype=pdf[id_col].dtype),
+                            "id2": pd.Series(hi, dtype=pdf[id_col].dtype),
+                            "cosine": np.round(S[ii[keep], jj], 6),
+                            "cluster": np.full(
+                                len(gi), int(key[0]), dtype="int32"
+                            ),
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    base = assigned.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        F.col("_cluster").cast("int").alias("_cluster"),
+    ).filter(F.col(vec_col).isNotNull())
+    pairs = base.groupBy("_cluster").applyInPandas(_cluster_pairs, out_schema)
     return pairs, assigned, centroids
 
 

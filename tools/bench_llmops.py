@@ -219,6 +219,22 @@ def _ops():
             bin_width=1800.0,
         ).count()
 
+    def semdedup(spark, d):
+        # SemDeDup pairs with the paper's k ~ sqrt(n) cluster scaling:
+        # per-cluster pair work is (n/k)^2 * k = n^2/k, so k ~ sqrt(n)
+        # keeps total candidate volume ~ n^1.5 while assignment stays
+        # n*k*d. threshold 0.35 ~ the p99 of the synthetic corpus's
+        # within-cluster cosine (it has no planted semantic dups).
+        from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+        e = _embs(spark, d)
+        n = e.count()
+        k = max(16, min(256, int((n / 8) ** 0.5)))
+        pairs, _, _ = semantic_dedup_pairs(
+            e, "embedding", id_col="vec_id", n_clusters=k, threshold=0.35
+        )
+        return pairs.count()
+
     def exact_against(spark, d):
         # byte-exact ingest dedup: 10% batch vs 90% corpus (broadcast-semi)
         from pycypher_nmetl_spark.llmops import exact_dedup_against
@@ -250,6 +266,7 @@ def _ops():
         ("asof_join", asof),
         ("range_join", range_windows),
         ("exact_dedup_against", exact_against),
+        ("semantic_dedup_pairs", semdedup),
     ]
 
 
