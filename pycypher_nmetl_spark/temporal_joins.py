@@ -141,6 +141,13 @@ def asof_join(
     for c in right_cols:
         out_names[c] = c + suffix if c in left.columns else c
     on_r = on + suffix
+    emitted = [*left.columns, on_r, *out_names.values()]
+    dupes = sorted({c for c in emitted if emitted.count(c) > 1})
+    if dupes:
+        raise ValueError(
+            f"asof_join: output column collision {dupes}; rename the "
+            f"right columns or pass a different suffix than {suffix!r}"
+        )
 
     pay, side, ordn = "__asof_pay", "__asof_side", "__asof_ord"
     l_ord = _ordinal(left, on)

@@ -320,3 +320,11 @@ def test_range_join_validation(points_intervals):
             points, ivals.withColumnRenamed("iid", "pid"),
             "ts", "start", "stop", by="k",
         )
+
+
+def test_asof_output_collision_raises(spark, quotes_trades=None):
+    left = spark.createDataFrame([(1, 5)], "x long, x_r long")
+    right = spark.createDataFrame([(0, 1.0)], "x long, v double")
+    with pytest.raises(ValueError, match="collision"):
+        # right x rides along as x_r, which left already has
+        asof_join(left, right, on="x")
