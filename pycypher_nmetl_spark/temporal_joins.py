@@ -136,6 +136,14 @@ def asof_join(
     missing = [c for c in right_cols if c not in right.columns]
     if missing:
         raise ValueError(f"asof_join: right_cols {missing} missing from right")
+    reserved = [
+        c for c in {*left.columns, *right.columns} if c.startswith("__asof_")
+    ]
+    if reserved:
+        raise ValueError(
+            f"asof_join: column name(s) {sorted(reserved)} collide with "
+            "reserved internal names (prefix '__asof_'); rename them first"
+        )
 
     out_names = {}
     for c in right_cols:
@@ -264,19 +272,25 @@ def range_join(
             f"range_join: overlapping non-key columns {sorted(overlap)}; "
             "rename one side first"
         )
+    reserved = [
+        c
+        for c in {*left.columns, *right.columns}
+        if c == "__bin" or c.startswith("__rj")
+    ]
+    if reserved:
+        raise ValueError(
+            f"range_join: column name(s) {sorted(reserved)} collide with "
+            "reserved internal names ('__bin' / '__rj*'); rename them first"
+        )
 
     l_ord = _ordinal(left, left_on)
     rs_ord = _ordinal(right, right_start)
     re_ord = _ordinal(right, right_end)
 
     if bin_width is None:
-        import math
-
-        spans = right.select((re_ord - rs_ord).cast("double").alias("_s"))
-        q = spans.approxQuantile("_s", [0.9], 0.05)
-        width = float(q[0]) if q else 1.0
-        if not math.isfinite(width) or width < 1.0:
-            width = 1.0
+        width = _auto_bin_width(
+            right, left.schema[left_on].dataType, rs_ord, re_ord
+        )
     else:
         width = float(_tolerance_units(left.schema[left_on].dataType, bin_width))
         if width <= 0:
@@ -314,9 +328,18 @@ def range_join(
     if how == "inner":
         return matched
     # left outer: left rows with no exact-containment match (including
-    # rows whose bin collided but every candidate failed the filter)
-    matched_keys = matched.select(*[F.col(c) for c in left.columns]).dropDuplicates()
-    lonely2 = left.join(matched_keys, left.columns, "left_anti")
+    # rows whose bin collided but every candidate failed the filter).
+    # The anti-join must be NULL-SAFE: a matched left row carrying a null
+    # payload value never equals itself under `=`, so a plain column-list
+    # anti-join would re-emit it with an all-null right side.
+    matched_keys = matched.select(
+        *[F.col(c).alias(f"__rjk_{c}") for c in left.columns]
+    ).dropDuplicates()
+    anti_cond = None
+    for c in left.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"__rjk_{c}"))
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    lonely2 = left.join(matched_keys, anti_cond, "left_anti")
     null_right = [
         F.lit(None).cast(right.schema[c].dataType).alias(c)
         for c in right.columns
@@ -325,6 +348,46 @@ def range_join(
     return matched.unionByName(
         lonely2.select(*[F.col(c) for c in left.columns], *null_right)
     )
+
+
+def _auto_bin_width(
+    right: DataFrame, left_dt: T.DataType, rs_ord: Column, re_ord: Column
+) -> float:
+    """Default range_join bin width: the 90th-percentile right interval
+    span (so a typical interval explodes to ~1-2 bins), floored so the
+    bucketing never degenerates.
+
+    The floor is TYPE-AWARE: temporal ordinals are integral (micros for
+    timestamps, days for dates) so 1 unit is the finest representable
+    bin; numeric domains can be arbitrarily scaled (e.g. [0, 1]-
+    normalized scores), where an absolute 1.0 floor would collapse the
+    whole domain into one bin (quadratic join work). Numerics instead
+    floor RELATIVE to the observed right-domain extent (~4096 bins max),
+    keeping both per-interval fan-out and global bin count bounded.
+    """
+    import math
+
+    # one job: 90th-pct span + domain extent (extent feeds the floor)
+    row = right.agg(
+        F.percentile_approx(
+            (re_ord - rs_ord).cast("double"), F.lit(0.9)
+        ).alias("_q"),
+        F.min(rs_ord.cast("double")).alias("_lo"),
+        F.max(re_ord.cast("double")).alias("_hi"),
+    ).first()
+    width = float(row["_q"]) if row["_q"] is not None else 0.0
+    if isinstance(left_dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        floor_w = 1.0
+    else:
+        span = (
+            float(row["_hi"]) - float(row["_lo"])
+            if row["_lo"] is not None and row["_hi"] is not None
+            else 0.0
+        )
+        floor_w = span / 4096.0 if span > 0 else 1.0
+    if not math.isfinite(width) or width < floor_w:
+        width = floor_w
+    return width
 
 
 def _ordinal_on(df: DataFrame, col: str) -> Column:

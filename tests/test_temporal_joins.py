@@ -328,3 +328,117 @@ def test_asof_output_collision_raises(spark, quotes_trades=None):
     with pytest.raises(ValueError, match="collision"):
         # right x rides along as x_r, which left already has
         asof_join(left, right, on="x")
+
+
+# --------------------------------------------------------------------- #
+# round 11: ADVICE fixes — null-safe left anti-join, reserved internal
+# names, domain-relative numeric bin floor
+
+
+def test_range_join_left_with_null_payload_no_phantom(spark):
+    """A matched left row carrying a NULL payload column must appear
+    exactly once — the old column-list anti-join used null-unsafe
+    equality, so the row never matched its own key and was ALSO emitted
+    with an all-null right side (ADVICE r10)."""
+    left = spark.createDataFrame(
+        [(1, 10.0, None), (2, 99.0, "tag"), (3, 10.0, None)],
+        "pid long, x double, note string",
+    )
+    right = spark.createDataFrame(
+        [(100, 5.0, 15.0)], "iid long, lo double, hi double"
+    )
+    rows = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(left, right, "x", "lo", "hi", how="left").collect()
+    )
+    # pid 1 and 3 (null note) match iid 100 ONCE; pid 2 is unmatched
+    assert rows == [(1, 100), (2, None), (3, 100)]
+
+
+def test_range_join_left_duplicate_left_rows(spark):
+    """Fully duplicate matched left rows each keep their match (and
+    unmatched duplicates each emit one null-right row)."""
+    left = spark.createDataFrame(
+        [(10.0,), (10.0,), (99.0,), (99.0,)], "x double"
+    )
+    right = spark.createDataFrame([(1, 5.0, 15.0)], "iid long, lo double, hi double")
+    rows = sorted(
+        (r["x"], r["iid"])
+        for r in range_join(left, right, "x", "lo", "hi", how="left").collect()
+    )
+    assert rows == [(10.0, 1), (10.0, 1), (99.0, None), (99.0, None)]
+
+
+def test_reserved_internal_names_raise(spark):
+    l1 = spark.createDataFrame([(1.0, 2)], "x double, __bin long")
+    r1 = spark.createDataFrame([(0.0, 5.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(l1, r1, "x", "lo", "hi")
+    l2 = spark.createDataFrame([(1.0,)], "x double")
+    r2 = spark.createDataFrame([(0.0, 5.0, 1)], "lo double, hi double, __rj_k int")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(l2, r2, "x", "lo", "hi")
+    l3 = spark.createDataFrame([(1.0, "p")], "x double, __asof_pay string")
+    r3 = spark.createDataFrame([(0.0, 9.9)], "x double, bid double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l3, r3, on="x")
+
+
+def test_range_join_subunit_numeric_bin_floor(spark):
+    """[0, 1]-normalized numeric intervals: the auto bin width must be
+    domain-relative (old absolute floor 1.0 collapsed the whole domain
+    into ONE bin => |left| x |right| join work), and results must match
+    the BETWEEN oracle."""
+    import random as _rnd
+
+    from pycypher_nmetl_spark.temporal_joins import _auto_bin_width, _ordinal
+
+    rng = _rnd.Random(11)
+    ivals = [
+        (i, lo := rng.random() * 0.9, lo + rng.random() * 0.05)
+        for i in range(200)
+    ]
+    pts = [(j, rng.random()) for j in range(300)]
+    right = spark.createDataFrame(ivals, "iid long, lo double, hi double")
+    left = spark.createDataFrame(pts, "pid long, x double")
+
+    width = _auto_bin_width(
+        right, left.schema["x"].dataType, _ordinal(right, "lo"), _ordinal(right, "hi")
+    )
+    # q90 span ~0.045 — far below 1.0; the floor must NOT kick it up
+    assert 0.0 < width < 0.2
+    # bounded fan-out: each interval explodes to at most span/width + 2 bins
+    max_span = max(hi - lo for _, lo, hi in ivals)
+    assert max_span / width + 2 < 64
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(left, right, "x", "lo", "hi").collect()
+    )
+    oracle = sorted(
+        (j, i) for j, x in pts for i, lo, hi in ivals if lo <= x <= hi
+    )
+    assert got == oracle
+
+
+def test_range_join_degenerate_point_intervals_numeric(spark):
+    """All-zero-span intervals over a sub-unit domain: width falls back
+    to domain/4096, not 1.0, and exact matches still come through."""
+    from pycypher_nmetl_spark.temporal_joins import _auto_bin_width, _ordinal
+
+    right = spark.createDataFrame(
+        [(i, v, v) for i, v in enumerate([0.1, 0.25, 0.25, 0.7])],
+        "iid long, lo double, hi double",
+    )
+    left = spark.createDataFrame(
+        [(0, 0.25), (1, 0.5)], "pid long, x double"
+    )
+    width = _auto_bin_width(
+        right, left.schema["x"].dataType, _ordinal(right, "lo"), _ordinal(right, "hi")
+    )
+    assert width == pytest.approx((0.7 - 0.1) / 4096.0)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(left, right, "x", "lo", "hi", how="left").collect()
+    )
+    assert got == [(0, 1), (0, 2), (1, None)]
