@@ -48,6 +48,76 @@ def _join_comparable(dt) -> bool:
     return True
 
 
+def _canon_key(col, dt):
+    """A join-comparable canonical form of ``col``: maps (not comparable
+    in Spark at any nesting depth) become their entry array sorted by
+    key — injective up to map equality because map keys are unique — and
+    containers recurse. Identity for everything else."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        kt, vt = dt.keyType, dt.valueType
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                _canon_key(e["key"], kt).alias("key"),
+                _canon_key(e["value"], vt).alias("value"),
+            ),
+        )
+        return F.sort_array(entries)
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda e: _canon_key(e, dt.elementType))
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[_canon_key(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+    return col
+
+
+def _plan_deterministic(df) -> bool:
+    """True when every node of the frame's analyzed logical plan holds
+    only deterministic expressions. A frame containing rand()/uuid()
+    columns is evaluated INDEPENDENTLY on the two sides of a self-join,
+    so any derived 'deterministic' carry key silently mismatches — such
+    frames must go through the checkpointed-id path instead."""
+    try:
+        def walk(node) -> bool:
+            if not node.deterministic():
+                return False
+            ch = node.children()
+            return all(walk(ch.apply(i)) for i in range(ch.size()))
+
+        return walk(df._jdf.queryExecution().analyzed())
+    except Exception:  # Spark Connect / py4j API drift: assume the worst
+        return False
+
+
+def _ast_nondeterministic(obj) -> bool:
+    """True when the AST (clause / expression / any nesting) calls a
+    non-deterministic function (rand, randomUUID). Used to decide CALL {}
+    invocation granularity: a non-deterministic body must evaluate once
+    per invoking ROW (Neo4j), never once per deduped invocation class."""
+    import dataclasses
+
+    from pycypher_nmetl_spark.cypher.ast_nodes import FuncCall
+
+    stack = [obj]
+    while stack:
+        o = stack.pop()
+        if isinstance(o, FuncCall) and str(o.name).lower() in (
+            "rand",
+            "randomuuid",
+        ):
+            return True
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            stack.extend(getattr(o, f.name) for f in dataclasses.fields(o))
+        elif isinstance(o, (list, tuple, set)):
+            stack.extend(o)
+        elif isinstance(o, dict):
+            stack.extend(o.values())
+    return False
+
+
 class CypherEngine:
     """Executes Cypher text against a GraphCatalog.
 
@@ -958,10 +1028,14 @@ class CypherEngine:
           the key and each invocation class is evaluated once; an
           uncorrelated ``CALL { ... }`` therefore runs exactly once).
           Struct equality in Spark treats null fields as equal, which
-          gives the null-safe join the re-join needs. Only when an
-          import's type is not join-comparable (contains a MapType)
-          does it fall back to monotonically_increasing_id over a
-          localCheckpoint;
+          gives the null-safe join the re-join needs. Map-typed imports
+          (not join-comparable in Spark) are serialized to a canonical
+          sorted-entries array inside the key. Only when the outer frame
+          or the body is NON-DETERMINISTIC (rand()/randomUUID()) does it
+          fall back to monotonically_increasing_id over a
+          localCheckpoint — the id keys each invoking ROW, which is also
+          exactly Neo4j's per-row granularity for non-deterministic
+          bodies;
         * the subquery's clauses compile against a frame holding ONLY the
           carry key + imported variables — compile_projection recognises
           ``__cq*`` vars and (a) always carries them through WITH/RETURN,
@@ -1005,22 +1079,39 @@ class CypherEngine:
         enclosing = [v for v in bindings.vars if v.startswith("__cq")]
         key_src = list(dict.fromkeys(import_cols + enclosing))
         schema = {f.name: f.dataType for f in bindings.df.schema.fields}
-        if not key_src:
+        # Both the outer frame and the subquery body must be deterministic
+        # for the shared-key design (outer_df is evaluated independently
+        # on the two sides of the re-join; dedup of invocation classes
+        # assumes the body yields identical results for identical
+        # imports). rand()/uuid() on either side -> checkpointed-id path.
+        nondet = _ast_nondeterministic(body) or not _plan_deterministic(
+            bindings.df
+        )
+        if nondet:
+            key_col = None
+        elif not key_src:
             # uncorrelated subquery: one invocation class for the whole
             # frame — it will be evaluated exactly once
             key_col = F.lit(0)
-        elif all(_join_comparable(schema[c]) for c in key_src):
-            key_col = F.struct(*[F.col(c) for c in key_src])
         else:
-            key_col = None  # map-typed import: no comparable key exists
+            # map-typed imports get a canonical (sorted-entries) form so
+            # the key stays join-comparable — no checkpoint needed
+            key_col = F.struct(
+                *[
+                    _canon_key(F.col(c), schema[c]).alias(f"_k{i}")
+                    for i, c in enumerate(key_src)
+                ]
+            )
         if key_col is not None:
             outer_df = bindings.df.withColumn(key, key_col)
+            self._last_subquery_path = "struct-key"
         else:
             # fallback: synthetic per-row id; checkpoint so both sides of
             # the re-join see the same (non-deterministic) ids
             outer_df = bindings.df.withColumn(
                 key, F.monotonically_increasing_id()
             ).localCheckpoint()
+            self._last_subquery_path = "checkpoint"
         outer = Bindings(
             outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
         )
@@ -1036,8 +1127,11 @@ class CypherEngine:
             inner_vars[v] = bindings.vars[v]
         inner_df = outer_df.select(*dict.fromkeys(keep_cols))
         if key_col is not None:
-            # deterministic key: evaluate each invocation class once
-            inner_df = inner_df.distinct()
+            # deterministic key: evaluate each invocation class once.
+            # Dedup on the KEY alone (it canonically covers every other
+            # inner column) — distinct() would choke on map-typed
+            # satellite columns, which Spark cannot compare directly.
+            inner_df = inner_df.dropDuplicates([key])
         inner = Bindings(inner_df, inner_vars)
 
         # run the body; final RETURN becomes a WITH so the carry key and

@@ -724,9 +724,10 @@ def test_call_subquery_duplicate_invoking_rows(golden):
                    (30, "Dave")]
 
 
-def test_call_subquery_map_import_falls_back(golden):
-    """A map-typed import has no join-comparable key; the compiler falls
-    back to the checkpointed synthetic id and still answers correctly."""
+def test_call_subquery_map_import_canonical_key(golden):
+    """A map-typed import is serialized to a canonical sorted-entries
+    array inside the carry key (round-11): correct answers AND no
+    localCheckpoint / synthetic-id fallback in the plan."""
     df = golden.execute(
         "MATCH (n:Person) WITH n.name AS name, properties(n) AS p "
         "CALL { WITH p RETURN size(keys(p)) AS k } RETURN name, k"
@@ -734,6 +735,42 @@ def test_call_subquery_map_import_falls_back(golden):
     got = {r["name"]: r["k"] for r in df.collect()}
     assert set(got) == {"Alice", "Bob", "Carol", "Dave"}
     assert all(v >= 3 for v in got.values())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan
+    assert golden._last_subquery_path == "struct-key"
+
+
+def test_call_subquery_nondeterministic_outer_frame(golden):
+    """Round-10 advice (medium): a rand() column in the OUTER frame made
+    the struct carry key mismatch across the two evaluations of the
+    re-join (null/wrong subquery results). The compiler must detect the
+    non-determinism and take the checkpointed-id path."""
+    df = golden.execute(
+        "MATCH (n:Person) WITH n, rand() AS lucky "
+        "CALL { WITH n MATCH (n)-[:KNOWS]->(m) RETURN count(m) AS k } "
+        "RETURN n.name AS name, lucky, k"
+    )
+    rows = df.collect()
+    got = {r["name"]: r["k"] for r in rows}
+    # the pure-agg left join must see MATCHING keys: k is the true count,
+    # never null / 0-for-everyone
+    assert got == {"Alice": 2, "Bob": 1, "Carol": 0, "Dave": 0}
+    assert all(r["lucky"] is not None for r in rows)
+    assert golden._last_subquery_path == "checkpoint"  # fallback taken
+
+
+def test_call_subquery_nondeterministic_body_per_row(golden):
+    """A non-deterministic BODY evaluates once per invoking row (Neo4j),
+    not once per deduped invocation class: duplicate invoking rows get
+    independent rand() draws."""
+    df = golden.execute(
+        "UNWIND [1, 1, 1, 1, 1, 1, 1, 1] AS x "
+        "CALL { WITH x RETURN rand() AS r } RETURN x, r"
+    )
+    vals = [r["r"] for r in df.collect()]
+    assert len(vals) == 8
+    # 8 independent uniform draws collide with probability ~0
+    assert len(set(vals)) > 1
 
 
 def test_call_subquery_uncorrelated_single_evaluation(golden):
