@@ -339,10 +339,16 @@ class CallProc(Clause):
 class CallSubquery(Clause):
     """CALL { [WITH imports] ... RETURN items } — executed per incoming
     row with only the imported variables in scope; the result rows join
-    back onto the invoking rows."""
+    back onto the invoking rows.
+
+    UNION [ALL] inside the braces parses to ``branches`` (one
+    CallSubquery per branch, each with its OWN importing WITH) plus
+    ``alls``; ``clauses``/``imports`` are then unused on the parent."""
     clauses: list[Clause]
     imports: tuple[str, ...] = ()    # importing WITH variables (may be empty)
     has_import_with: bool = False    # distinguishes `WITH a` from no WITH
+    branches: Optional[list["CallSubquery"]] = None  # UNION inside { }
+    alls: tuple[bool, ...] = ()      # len = branches-1; True => UNION ALL
 
 
 @dataclass

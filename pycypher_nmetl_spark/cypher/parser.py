@@ -215,11 +215,29 @@ class Parser:
 
     def parse_call_subquery(self) -> CallSubquery:
         """CALL { [WITH var[, var]*] clause* RETURN ... } — the importing
-        WITH (Neo4j 4.x rules) must list PLAIN variables, first."""
+        WITH (Neo4j 4.x rules) must list PLAIN variables, first. UNION
+        [ALL] between branches is allowed; each branch carries its OWN
+        importing WITH (Neo4j post-union-processing idiom)."""
         self.expect_sym("{")
+        branches = [self._parse_subquery_branch()]
+        alls: list[bool] = []
+        while self.at_kw("UNION"):
+            self.advance()
+            alls.append(self.eat_kw("ALL"))
+            branches.append(self._parse_subquery_branch())
+        self.expect_sym("}")
+        if len(branches) == 1:
+            return branches[0]
+        return CallSubquery(
+            [], (), False, branches=branches, alls=tuple(alls)
+        )
+
+    def _parse_subquery_branch(self) -> CallSubquery:
+        """One CALL { } branch: optional importing WITH + clauses, up to
+        '}' or a UNION separator."""
         imports: tuple[str, ...] = ()
         has_import_with = False
-        # importing WITH: only if the subquery starts with WITH of plain
+        # importing WITH: only if the branch starts with WITH of plain
         # vars (no aliases/expressions/modifiers) — peek-parse it
         if self.at_kw("WITH"):
             save = self.i
@@ -246,11 +264,10 @@ class Parser:
             else:
                 self.i = save
         clauses: list[Clause] = []
-        while not self.at_sym("}"):
+        while not self.at_sym("}") and not self.at_kw("UNION"):
             if self.peek().kind == "EOF":
                 self.err("unterminated CALL { subquery")
             clauses.append(self.parse_clause())
-        self.expect_sym("}")
         if not clauses:
             self.err("empty CALL { } subquery")
         return CallSubquery(clauses, imports, has_import_with)

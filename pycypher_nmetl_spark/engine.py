@@ -1014,6 +1014,160 @@ class CypherEngine:
         raise NotImplementedError(f"clause {type(clause).__name__}")
 
     # ------------------------------------------------------------------ #
+    def _compile_call_subquery_union(
+        self, bindings: Bindings, clause: CallSubquery, params: dict, mutations
+    ) -> Bindings:
+        """CALL { branch UNION [ALL] branch ... } — the Neo4j
+        post-union-processing idiom. Each branch carries its OWN
+        importing WITH; the carry key is built over the UNION of all
+        branches' imports (plus enclosing keys), every branch body is
+        compiled against the same deduped inner frame, branch results
+        are ``unionByName``-ed (deduped per invocation unless every
+        separator is UNION ALL) and re-joined onto the invoking rows.
+
+        A pure-aggregate branch over zero rows still aggregates
+        (Neo4j): such branches are left-joined FROM the key universe
+        with the empty-aggregate identities (count -> 0, sum -> 0,
+        collect -> []) applied BEFORE the union, so the final re-join
+        can always be inner.
+        """
+        import dataclasses
+
+        from pycypher_nmetl_spark.compiler.projection import contains_aggregate
+
+        branches = clause.branches or []
+        for br in branches:
+            for c in br.clauses:
+                if isinstance(c, MUTATION_CLAUSES):
+                    raise NotImplementedError(
+                        "writes inside CALL { } subqueries are not supported"
+                    )
+            last = br.clauses[-1]
+            if not (isinstance(last, Projection) and last.is_return):
+                raise ValueError("CALL { } subquery must end with RETURN")
+
+        depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
+        key = f"__cq{depth}"
+        all_imports = list(
+            dict.fromkeys(v for br in branches for v in br.imports)
+        )
+        missing = [v for v in all_imports if v not in bindings.vars]
+        if missing:
+            raise ValueError(
+                f"CALL subquery imports undefined variable(s): {missing}"
+            )
+        import_cols = [
+            c for v in all_imports for c in bindings.var_columns(v)
+        ]
+        enclosing = [v for v in bindings.vars if v.startswith("__cq")]
+        key_src = list(dict.fromkeys(import_cols + enclosing))
+        schema = {f.name: f.dataType for f in bindings.df.schema.fields}
+        nondet = any(
+            _ast_nondeterministic(br.clauses) for br in branches
+        ) or not _plan_deterministic(bindings.df)
+        if nondet:
+            key_col = None
+        elif not key_src:
+            key_col = F.lit(0)
+        else:
+            key_col = F.struct(
+                *[
+                    _canon_key(F.col(c), schema[c]).alias(f"_k{i}")
+                    for i, c in enumerate(key_src)
+                ]
+            )
+        if key_col is not None:
+            outer_df = bindings.df.withColumn(key, key_col)
+            self._last_subquery_path = "struct-key"
+        else:
+            outer_df = bindings.df.withColumn(
+                key, F.monotonically_increasing_id()
+            ).localCheckpoint()
+            self._last_subquery_path = "checkpoint"
+        outer = Bindings(
+            outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
+        )
+
+        keep_cols = [key] + import_cols
+        for v in enclosing:
+            keep_cols.append(v)
+        inner_df = outer_df.select(*dict.fromkeys(keep_cols))
+        if key_col is not None:
+            inner_df = inner_df.dropDuplicates([key])
+        key_universe = inner_df.select(key)
+
+        exported0: list[str] | None = None
+        cols0: list[str] | None = None
+        union_df = None
+        first_vars: dict = {}
+        for br in branches:
+            inner_vars = {key: VarInfo("value", anon=True)}
+            for v in br.imports:
+                inner_vars[v] = outer.vars[v]
+            for v in enclosing:
+                inner_vars[v] = bindings.vars[v]
+            body = list(br.clauses)
+            last = body[-1]
+            body[-1] = dataclasses.replace(last, is_return=False)
+            b = Bindings(inner_df, inner_vars)
+            for c in body:
+                b, result = self._run_clause(c, b, params, mutations)
+                if result is not None:  # pragma: no cover
+                    raise AssertionError("subquery RETURN escaped the rewrite")
+            exported = [(it.alias or it.text) for it in last.items]
+            b_df = b.df.drop(
+                *[c for c in b.df.columns if c.startswith("__cq") and c != key]
+            )
+            if exported0 is None:
+                exported0, cols0 = exported, b_df.columns
+                for v in exported:
+                    first_vars[v] = b.vars.get(v, VarInfo("value"))
+            elif sorted(b_df.columns) != sorted(cols0):
+                raise ValueError(
+                    "UNION branches inside CALL { } must return the same "
+                    f"columns: {sorted(cols0)} vs {sorted(b_df.columns)}"
+                )
+            pure_agg = bool(last.items) and all(
+                contains_aggregate(it.expr) for it in last.items
+            )
+            if pure_agg:
+                # zero-row invocation still aggregates: restore the key
+                # then apply the empty-aggregate identities
+                b_df = key_universe.join(b_df, key, "left")
+                for it, name in zip(last.items, exported):
+                    fn = getattr(it.expr, "name", "")
+                    fn = fn.lower() if isinstance(fn, str) else ""
+                    dt = b_df.schema[name].dataType
+                    if (
+                        fn in ("count", "countstar")
+                        or type(it.expr).__name__ == "CountStar"
+                    ):
+                        b_df = b_df.withColumn(
+                            name, F.coalesce(F.col(name), F.lit(0))
+                        )
+                    elif fn == "sum":
+                        b_df = b_df.withColumn(
+                            name, F.coalesce(F.col(name), F.lit(0).cast(dt))
+                        )
+                    elif fn == "collect":
+                        b_df = b_df.withColumn(
+                            name, F.coalesce(F.col(name), F.array().cast(dt))
+                        )
+            union_df = b_df if union_df is None else union_df.unionByName(b_df)
+        if not all(clause.alls):
+            union_df = union_df.dropDuplicates()
+
+        clash = [v for v in (exported0 or []) if v in bindings.vars]
+        if clash:
+            raise ValueError(
+                f"CALL subquery returns variable(s) already in scope: {clash}"
+            )
+        joined = outer_df.join(union_df, key, "inner")
+        out_vars = {**bindings.vars}
+        for v in exported0 or []:
+            out_vars[v] = first_vars[v]
+        return Bindings(joined.drop(key), out_vars)
+
     def _compile_call_subquery(
         self, bindings: Bindings, clause: CallSubquery, params: dict, mutations
     ) -> Bindings:
@@ -1048,9 +1202,13 @@ class CypherEngine:
           aggregates — count() coalesces to 0); anything else joins INNER
           (zero subquery rows eliminate the invoking row, per Neo4j).
 
-        Writes inside the subquery are not supported (raise); neither is
-        UNION (the parser rejects it inside the braces).
+        Writes inside the subquery are not supported (raise); UNION
+        between branches dispatches to _compile_call_subquery_union.
         """
+        if clause.branches:
+            return self._compile_call_subquery_union(
+                bindings, clause, params, mutations
+            )
         import dataclasses
 
         from pycypher_nmetl_spark.compiler.projection import contains_aggregate

@@ -271,23 +271,26 @@ class SemanticValidator:
         if isinstance(clause, CallSubquery):
             # imports must exist outside; the body validates in its own
             # scope seeded ONLY by the imports; exports define into the
-            # invoking scope (Neo4j 4.x subquery scoping)
-            inner = VariableScope()
-            for v in clause.imports:
-                self._use_expr(Var(v), scope)
-                inner.define(v)
-            sub = inner
-            for c in clause.clauses:
-                sub = self._clause(c, sub)
-            last = clause.clauses[-1] if clause.clauses else None
-            if isinstance(last, Projection):
-                for item in last.items:
-                    if item.alias:
-                        scope.define(item.alias)
-                    elif isinstance(item.expr, Var):
-                        scope.define(item.expr.name)
-                    else:
-                        scope.define(item.text)
+            # invoking scope (Neo4j 4.x subquery scoping). With UNION
+            # inside the braces, each branch validates independently
+            # (its own importing WITH) and every branch's exports define.
+            for branch in clause.branches or [clause]:
+                inner = VariableScope()
+                for v in branch.imports:
+                    self._use_expr(Var(v), scope)
+                    inner.define(v)
+                sub = inner
+                for c in branch.clauses:
+                    sub = self._clause(c, sub)
+                last = branch.clauses[-1] if branch.clauses else None
+                if isinstance(last, Projection):
+                    for item in last.items:
+                        if item.alias:
+                            scope.define(item.alias)
+                        elif isinstance(item.expr, Var):
+                            scope.define(item.expr.name)
+                        else:
+                            scope.define(item.text)
             return scope
         if isinstance(clause, Projection):
             return self._projection(clause, scope)

@@ -360,6 +360,57 @@ SCENARIOS: list[TCK] = [
     TCK("call-subquery-undefined-import",
         "MATCH (n:Person) CALL { WITH zz RETURN 1 AS a } RETURN a",
         error="not defined"),
+    # round 11: UNION [ALL] inside CALL { } — the Neo4j post-union-
+    # processing idiom (VERDICT r10 #2)
+    TCK("call-subquery-union-all-per-invocation",
+        "UNWIND [1, 2] AS x CALL { WITH x RETURN x*10 AS v "
+        "UNION ALL WITH x RETURN x*100 AS v } RETURN x, v "
+        "ORDER BY x, v",
+        [(1, 10), (1, 100), (2, 20), (2, 200)], ordered=True),
+    TCK("call-subquery-union-dedups-per-invocation",
+        "UNWIND [1, 2] AS x CALL { WITH x RETURN x AS v "
+        "UNION WITH x RETURN x AS v } RETURN x, v ORDER BY x",
+        [(1, 1), (2, 2)], ordered=True),
+    TCK("call-subquery-union-all-keeps-duplicates",
+        "UNWIND [1] AS x CALL { WITH x RETURN x AS v "
+        "UNION ALL WITH x RETURN x AS v } RETURN x, v",
+        [(1, 1), (1, 1)]),
+    TCK("call-subquery-union-aggregate-with-empty-branch",
+        # count-branches over zero rows (Alice: nobody older — Carol's
+        # age is null; Carol: null compares to nothing) must still yield
+        # their identity row per invocation
+        "MATCH (p:Person) CALL { WITH p MATCH (q:Person) "
+        "WHERE q.age < p.age RETURN count(q) AS c "
+        "UNION ALL WITH p MATCH (q:Person) WHERE q.age > p.age "
+        "RETURN count(q) AS c } "
+        "RETURN p.name AS name, c ORDER BY name, c",
+        [("Alice", 0), ("Alice", 1), ("Bob", 0), ("Bob", 1),
+         ("Carol", 0), ("Carol", 0)], ordered=True),
+    TCK("call-subquery-union-different-imports",
+        "UNWIND [1, 2] AS x UNWIND [10] AS y CALL { "
+        "WITH x RETURN x AS v UNION ALL WITH y RETURN y AS v } "
+        "RETURN x, v ORDER BY x, v",
+        [(1, 1), (1, 10), (2, 2), (2, 10)], ordered=True),
+    TCK("call-subquery-union-uncorrelated-with-correlated",
+        "MATCH (n:Person) CALL { WITH n MATCH (n)-[:KNOWS]->(m) "
+        "RETURN m.name AS v UNION ALL MATCH (t:Person) "
+        "WHERE t.age IS NULL RETURN t.name AS v } "
+        "RETURN n.name AS name, v ORDER BY name, v",
+        [("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol"),
+         ("Bob", "Carol"), ("Carol", "Carol")], ordered=True),
+    TCK("call-subquery-union-mismatched-columns",
+        "UNWIND [1] AS x CALL { WITH x RETURN x AS a "
+        "UNION ALL WITH x RETURN x AS b } RETURN a",
+        error="same .*columns|same return"),
+    TCK("call-subquery-union-write-rejected",
+        "UNWIND [1] AS x CALL { CREATE (:X) RETURN 1 AS o "
+        "UNION ALL RETURN 2 AS o } RETURN o",
+        error="not supported"),
+    TCK("call-subquery-union-then-aggregate-outside",
+        "MATCH (p:Person) CALL { WITH p RETURN p.age AS v "
+        "UNION ALL WITH p RETURN p.age * 2 AS v } "
+        "RETURN sum(v) AS s",
+        [(165,)]),
     TCK("quantified-path-pattern",
         "MATCH ((a:Person)-[:KNOWS]->(b:Person)){1,2} RETURN count(*) AS c",
         [(3,)],
