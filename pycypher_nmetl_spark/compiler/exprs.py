@@ -58,6 +58,10 @@ _INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
 def _dtype_kind(dt: T.DataType) -> str | None:
     """Spark type -> static kind bucket (None = don't reason about it)."""
+    from pycypher_nmetl_spark.compiler.dynval import is_dyn
+
+    if is_dyn(dt):
+        return "dyn"
     if isinstance(dt, _INT_TYPES):
         return "int"
     if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
@@ -130,6 +134,8 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | str | None:
     """
     if lk is None or rk is None:
         return None
+    if "dyn" in (lk, rk):
+        return None  # dynamic values: callers take the _dyn_cmp path
     if "struct" in (lk, rk):
         return None  # field-wise rules; rare — probe
     if "map" in (lk, rk):
@@ -225,7 +231,38 @@ class ExprCompiler:
     def _c_ListLit(self, e: ListLit) -> Column:
         if not e.items:
             return F.array()
-        return F.array(*[self.col(x) for x in e.items])
+        cols = [self.col(x) for x in e.items]
+        # heterogeneous SCALAR lists (e.g. [1, 'a']) get the dynamic-
+        # value encoding so openCypher global orderability holds; mono-
+        # typed lists (the hot path) stay native Spark arrays untouched
+        if not self.lambda_vars:
+            from pycypher_nmetl_spark.compiler.dynval import (
+                ENCODABLE_KINDS, encode_kind,
+            )
+
+            kinds = [self._static_kind(x) for x in e.items]
+            if any(k is None for k in kinds):
+                try:
+                    sch = self.bindings.df.select(
+                        *[c.alias(f"_e{i}") for i, c in enumerate(cols)]
+                    ).schema
+                    kinds = [
+                        k if k is not None else _dtype_kind(sch[i].dataType)
+                        for i, k in enumerate(kinds)
+                    ]
+                except Exception:  # noqa: BLE001 — unanalyzable: native
+                    kinds = [None]
+            if all(k in ENCODABLE_KINDS or k == "dyn" for k in kinds):
+                buckets = {
+                    "num" if k in ("int", "float") else k
+                    for k in kinds
+                    if k not in (None, "null")
+                }
+                if len(buckets) > 1 or "dyn" in buckets:
+                    return F.array(
+                        *[encode_kind(c, k) for c, k in zip(cols, kinds)]
+                    )
+        return F.array(*cols)
 
     def _c_MapLit(self, e: MapLit) -> Column:
         return F.struct(*[self.col(v).alias(k) for k, v in e.pairs])
@@ -662,6 +699,8 @@ class ExprCompiler:
                             edec = False
                     if edec is False:
                         cond = self._incomparable_list_cmp(op, left, right)
+                elif "dyn" in (lk, rk):
+                    cond = self._dyn_cmp(op, left, right, lk, rk)
                 else:
                     dec = _statically_comparable(lk, rk)
                     if dec == "cross":
@@ -669,14 +708,60 @@ class ExprCompiler:
                     elif dec is False:
                         cond = F.lit(None).cast("boolean")
                     elif dec is None:
-                        try:
-                            self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
-                        except Exception:  # noqa: BLE001
-                            cond = F.lit(None).cast("boolean")
+                        # unknown static kind(s): one analyzer probe for
+                        # BOTH dtypes — a dynamic-value column hiding
+                        # behind an untracked expression (min(x), x[0])
+                        # must take the dyn path, not native struct order
+                        lk2, rk2 = self._probe_pair_kinds(left, right, lk, rk)
+                        if "dyn" in (lk2, rk2):
+                            cond = self._dyn_cmp(op, left, right, lk2, rk2)
+                        else:
+                            try:
+                                self.bindings.df.select(cond.alias("_t")).schema  # noqa: B018
+                            except Exception:  # noqa: BLE001
+                                cond = F.lit(None).cast("boolean")
             conds.append(cond)
             left = right
             left_ast = rhs_ast
         return functools.reduce(lambda a, b: a & b, conds)
+
+    def _probe_pair_kinds(self, left: Column, right: Column, lk, rk):
+        """Resolve unknown kinds with ONE analyzer probe over both
+        compiled columns (schema only — no job)."""
+        if lk is not None and rk is not None:
+            return lk, rk
+        try:
+            sch = self.bindings.df.select(
+                left.alias("_l"), right.alias("_r")
+            ).schema
+            return (
+                lk if lk is not None else _dtype_kind(sch[0].dataType),
+                rk if rk is not None else _dtype_kind(sch[1].dataType),
+            )
+        except Exception:  # noqa: BLE001
+            return lk, rk
+
+    def _dyn_cmp(self, op: str, l: Column, r: Column, lk, rk) -> Column:
+        """Comparison where at least one side is a dynamic value: encode
+        the other side, then native struct equality (cross-rank = false,
+        exactly Cypher's cross-type rule) or rank-guarded ordering
+        (cross-rank ordering = null). A side whose kind can't encode
+        (map/array/entity/temporal) is a different VALUE TYPE from any
+        runtime scalar the dynamic side can hold -> cross-type rules."""
+        from pycypher_nmetl_spark.compiler.dynval import (
+            dyn_order_cmp, encode_kind,
+        )
+
+        lk, rk = self._probe_pair_kinds(l, r, lk, rk)
+        le = encode_kind(l, lk or "")
+        re_ = encode_kind(r, rk or "")
+        if le is None or re_ is None:
+            return self._cross_type_cmp(op, l, r)
+        if op == "=":
+            return le == re_
+        if op == "<>":
+            return le != re_
+        return dyn_order_cmp(op, le, re_)
 
     @staticmethod
     def _cross_type_cmp(op: str, l: Column, r: Column) -> Column:
@@ -820,6 +905,8 @@ class ExprCompiler:
         if vals is not None:
             if not vals:
                 return F.lit(False)  # openCypher: x IN [] is false, even null x
+            if ik == "dyn":
+                return self._dyn_in_literals(item, vals)
             if ik is not None:
                 keep, unknown = [], False
                 for v in vals:
@@ -848,6 +935,27 @@ class ExprCompiler:
             cdt = self.bindings.dtype(coll)
             if isinstance(cdt, T.ArrayType):
                 ek = _dtype_kind(cdt.elementType)
+        if "dyn" in (ik, ek):
+            from pycypher_nmetl_spark.compiler.dynval import encode_kind
+
+            if ek == "dyn":
+                probe = encode_kind(item, ik or "")
+                if probe is not None:
+                    return F.array_contains(coll, probe)
+            elif ek not in (None, "null") and encode_kind(F.lit(None), ek) is not None:
+                # dynamic item vs mono-typed collection: lift the
+                # elements into the dynamic encoding
+                return F.array_contains(
+                    F.transform(coll, lambda x: encode_kind(x, ek)), item
+                )
+            # unencodable pairing: the dynamic side can never equal a
+            # map/list/entity element — incomparable semantics below
+            null = F.lit(None).cast("boolean")
+            return (
+                F.when(item.isNull() | coll.isNull(), null)
+                .when(F.exists(coll, lambda x: x.isNull()), null)
+                .otherwise(F.lit(False))
+            )
         if ek not in (None, "null") and _elem_match(ik, ek) is False:
             null = F.lit(None).cast("boolean")
             return (
@@ -856,6 +964,25 @@ class ExprCompiler:
                 .otherwise(F.lit(False))
             )
         return F.array_contains(coll, item)
+
+    def _dyn_in_literals(self, item: Column, vals: list) -> Column:
+        """`x IN [literals]` for a dynamic x: encode each literal and
+        use null-tail IN semantics (match -> true; no match -> null if
+        the list holds null, else false; null x -> null)."""
+        from pycypher_nmetl_spark.compiler.dynval import encode_py
+
+        null = F.lit(None).cast("boolean")
+        enc = [encode_py(v) for v in vals if v is not None]
+        enc = [c for c in enc if c is not None]
+        has_null = any(v is None for v in vals)
+        matched = (
+            F.array_contains(F.array(*enc), item) if enc else F.lit(False)
+        )
+        return (
+            F.when(item.isNull(), null)
+            .when(matched, F.lit(True))
+            .otherwise(null if has_null else F.lit(False))
+        )
 
     @staticmethod
     def _runtime_in_literals(item: Column, vals: list) -> Column:

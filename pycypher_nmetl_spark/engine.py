@@ -437,6 +437,7 @@ class CypherEngine:
             else:
                 result = self._execute_query(ast, params, prefix=_prefix)
                 mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
+            result = self._decode_dyn_outputs(result)
         except Exception as e:
             self.metrics.inc("queries_failed")
             audit_event(
@@ -457,6 +458,41 @@ class CypherEngine:
             # compile; reads stay distributed (reference: result_cache.py)
             self.cache.put(key, result, self.catalog.data_epoch)
         return result
+
+    def _decode_dyn_outputs(self, df: DataFrame) -> DataFrame:
+        """Decode dynamic (mixed-type) result columns back to plain Spark
+        types. Dynamic values exist only inside queries that used
+        heterogeneous literals (compiler/dynval.py); schemas without them
+        — every production query — return immediately, paying one free
+        schema inspection. When a dynamic column IS present, one small
+        Spark job observes which rank(s) its values carry: a single-rank
+        column decodes to that type (numbers: long when every value is
+        integral, else double); a genuinely mixed output column raises —
+        a DataFrame column cannot hold two types."""
+        from pycypher_nmetl_spark.compiler.dynval import decoded, is_dyn
+
+        dyn_cols = [f.name for f in df.schema.fields if is_dyn(f.dataType)]
+        if not dyn_cols or getattr(df, "isStreaming", False):
+            return df
+        aggs = []
+        for c in dyn_cols:
+            aggs.append(
+                F.collect_set(F.col(c)["__cyr"]).alias(f"{c}__ranks")
+            )
+            aggs.append(
+                F.max(
+                    F.col(c)["__cyd"] != F.floor(F.col(c)["__cyd"])
+                ).alias(f"{c}__frac")
+            )
+        row = df.agg(*aggs).first()
+        for c in dyn_cols:
+            dec = decoded(
+                F.col(c),
+                set(row[f"{c}__ranks"] or []),
+                not bool(row[f"{c}__frac"]),
+            )
+            df = df.withColumn(c, dec)
+        return df
 
     def profile(self, cypher: str, parameters: dict[str, Any] | None = None):
         """Execute the query under the profiler; returns a ProfileReport

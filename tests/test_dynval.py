@@ -1,0 +1,168 @@
+"""Dynamic (mixed-type) value encoding — differential fuzz + units.
+
+openCypher global sort order reference implemented in plain Python; the
+engine's dynval struct encoding (compiler/dynval.py) must agree on
+min/max aggregate orderability for random heterogeneous literal lists,
+and on ORDER BY positions probed one slice at a time (a mixed OUTPUT
+column is undecodable by design, so positions are observed through
+SKIP/LIMIT windows whose single value decodes).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+RANK = {str: 10, bool: 20, int: 30, float: 30}
+
+
+def _key(v):
+    """openCypher ascending global sort order key (scalars subset)."""
+    r = RANK[type(v)]
+    if r == 30:
+        return (30, float(v), "")
+    if r == 20:
+        return (20, 1.0 if v else 0.0, "")
+    return (10, 0.0, v)
+
+
+def _cy(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    cat = GraphCatalog(spark)
+    cat.register_nodes(
+        "P", spark.createDataFrame([(1,)], "id long")
+    )
+    return CypherEngine(cat)
+
+
+def _gen_value(rng: random.Random):
+    k = rng.randrange(5)
+    if k == 0:
+        return rng.randint(-50, 50)
+    if k == 1:
+        return round(rng.uniform(-50, 50), 3)
+    if k == 2:
+        return rng.choice(["", "a", "b", "zz", "Ab", "0", "10"])
+    if k == 3:
+        return rng.choice([True, False])
+    return None
+
+
+def test_minmax_differential_vs_python_reference(eng):
+    rng = random.Random(1101)
+    for trial in range(40):
+        vals = [_gen_value(rng) for _ in range(rng.randint(1, 8))]
+        non_null = [v for v in vals if v is not None]
+        kinds = {
+            "num" if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else type(v).__name__
+            for v in non_null
+        }
+        if len(kinds) < 2:
+            continue  # homogeneous lists take the native path
+        lit = "[" + ", ".join(_cy(v) for v in vals) + "]"
+        row = eng.execute(
+            f"UNWIND {lit} AS x RETURN min(x) AS mn, max(x) AS mx"
+        ).collect()[0]
+        want_mn = min(non_null, key=_key)
+        want_mx = max(non_null, key=_key)
+
+        def same(got, want):
+            if isinstance(want, bool) or isinstance(got, bool):
+                return got is want
+            if isinstance(want, (int, float)):
+                return (
+                    isinstance(got, (int, float))
+                    and math.isclose(float(got), float(want))
+                )
+            return got == want
+
+        assert same(row["mn"], want_mn), (trial, vals, row["mn"], want_mn)
+        assert same(row["mx"], want_mx), (trial, vals, row["mx"], want_mx)
+
+
+def test_order_by_positions_differential(eng):
+    rng = random.Random(2026)
+    for _ in range(6):
+        vals = [
+            v for v in (_gen_value(rng) for _ in range(6)) if v is not None
+        ]
+        kinds = {
+            "num" if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else type(v).__name__
+            for v in vals
+        }
+        if len(kinds) < 2:
+            vals += ["pad", 7]  # force heterogeneity
+        lit = "[" + ", ".join(_cy(v) for v in vals) + "]"
+        expect = sorted(vals, key=_key)
+        for i, want in enumerate(expect):
+            got = eng.execute(
+                f"UNWIND {lit} AS x WITH x ORDER BY x SKIP {i} LIMIT 1 "
+                "RETURN x AS v"
+            ).collect()[0]["v"]
+            if isinstance(want, bool) or isinstance(got, bool):
+                assert got is want, (vals, i, got, want)
+            elif isinstance(want, (int, float)):
+                assert math.isclose(float(got), float(want)), (vals, i, got)
+            else:
+                assert got == want, (vals, i, got, want)
+
+
+def test_encode_decode_units(spark):
+    from pyspark.sql import functions as F
+
+    from pycypher_nmetl_spark.compiler.dynval import (
+        DYN_TYPE, RANK_BOOL, RANK_NUMBER, RANK_STRING, decoded, encode_py,
+        is_dyn,
+    )
+
+    assert is_dyn(DYN_TYPE)
+    df = spark.range(1).select(
+        encode_py("a").alias("s"),
+        encode_py(True).alias("b"),
+        encode_py(2).alias("i"),
+        encode_py(2.5).alias("f"),
+        encode_py(None).alias("n"),
+    )
+    row = df.select(
+        decoded(F.col("s"), {RANK_STRING}, True).alias("s"),
+        decoded(F.col("b"), {RANK_BOOL}, True).alias("b"),
+        decoded(F.col("i"), {RANK_NUMBER}, True).alias("i"),
+        decoded(F.col("f"), {RANK_NUMBER}, False).alias("f"),
+        decoded(F.col("n"), set(), True).alias("n"),
+    ).collect()[0]
+    assert (row["s"], row["b"], row["i"], row["f"], row["n"]) == (
+        "a", True, 2, 2.5, None,
+    )
+    with pytest.raises(NotImplementedError, match="multiple types"):
+        decoded(F.col("s"), {RANK_STRING, RANK_NUMBER}, True)
+    # 1 and 1.0 encode identically (cross-numeric equality)
+    eq = spark.range(1).select(
+        (encode_py(1) == encode_py(1.0)).alias("e")
+    ).collect()[0]["e"]
+    assert eq is True
+
+
+def test_homogeneous_lists_stay_native(eng):
+    """The hot path must not pay the encoding: a mono-typed literal list
+    compiles to a plain Spark array (no __cyr struct in the plan)."""
+    df = eng.execute("UNWIND [3, 1, 2] AS x RETURN min(x) AS m")
+    assert "__cyr" not in df._jdf.queryExecution().analyzed().toString()
+    assert df.collect()[0]["m"] == 1

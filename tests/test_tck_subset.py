@@ -315,12 +315,39 @@ SCENARIOS: list[TCK] = [
         error="unterminated"),
     TCK("empty-param-name", "RETURN $ AS x", error="parameter"),
     TCK("bare-garbage", "FROB 1", error="clause|syntax|expected"),
-    # ---------------- documented-unsupported (strict xfail) ----------
+    # ---------------- mixed-type orderability (r11: dynval encoding) --
     TCK("mixed-type-min-orderability",
-        "UNWIND [1, 'a'] AS x RETURN min(x) AS m", [("a",)],
-        xfail="cross-type aggregate orderability (Number < String global "
-              "order) not implemented — Spark coerces within one column "
-              "type; documented divergence"),
+        "UNWIND [1, 'a'] AS x RETURN min(x) AS m", [("a",)]),
+    TCK("mixed-type-max-orderability",
+        "UNWIND [1, 'a', true, 2.5] AS x RETURN max(x) AS m", [(2.5,)]),
+    TCK("mixed-type-order-by-global-order",
+        # openCypher ascending: STRING < BOOLEAN < NUMBER — position 2
+        # of ['a','b',true,1,2] is the boolean
+        "UNWIND [2, 'b', true, 1, 'a'] AS x WITH x ORDER BY x "
+        "SKIP 2 LIMIT 1 RETURN x AS v", [(True,)]),
+    TCK("mixed-type-order-by-desc",
+        "UNWIND [2, 'b', true, 1, 'a'] AS x WITH x ORDER BY x DESC "
+        "LIMIT 1 RETURN x AS v", [(2,)]),
+    TCK("mixed-type-order-by-null-last",
+        "UNWIND [1, 'a', null] AS x WITH x ORDER BY x SKIP 2 LIMIT 1 "
+        "RETURN x IS NULL AS last_is_null", [(True,)]),
+    TCK("mixed-type-where-comparability",
+        # comparability stays per-type: 1 < 'b' is null, 'a' < 'b' true
+        "UNWIND [1, 'a'] AS x WITH x WHERE x < 'b' "
+        "RETURN count(*) AS c", [(1,)]),
+    TCK("mixed-type-equality-cross-type-false",
+        "UNWIND [1, 'a'] AS x WITH x WHERE x <> 1 RETURN x AS v",
+        [("a",)]),
+    TCK("mixed-type-in-list",
+        "RETURN 1 IN [1, 'a'] AS a, 'a' IN [1, 'a'] AS b, "
+        "'b' IN [1, 'a'] AS c, 1.0 IN [1, 'a'] AS d",
+        [(True, True, False, True)]),
+    TCK("mixed-type-collect-min-through-with",
+        "UNWIND [1, 'a'] AS x WITH min(x) AS m RETURN m = 'a' AS r",
+        [(True,)]),
+    TCK("mixed-type-output-column-raises",
+        "UNWIND [1, 'a'] AS x RETURN x",
+        error="multiple types|mono-typed"),
     TCK("call-subquery",
         "MATCH (p:Person) CALL { RETURN 1 AS one } RETURN count(*) AS c",
         [(3,)]),
@@ -1145,8 +1172,10 @@ def test_manifest_has_no_silent_gaps():
     # round 9: call-subquery left this list too — CALL { } compiles
     # relationally (hidden carry key; per-invocation grouping/DISTINCT/
     # LIMIT; LEFT join for pure-aggregate returns)
+    # round 11: mixed-type-min-orderability left this list — dynamic
+    # values encode as a rank-tagged struct (compiler/dynval.py) whose
+    # native struct ordering IS the openCypher global sort order
     assert unsupported == [
-        "mixed-type-min-orderability",
         "quantified-path-pattern",
     ]
 
