@@ -746,6 +746,67 @@ def ivf_topk_many(
 # quadratic term is sum(cluster_size^2) and n_clusters is the knob that
 # bounds it (the paper's own scale argument; they run k=50k on LAION).
 # --------------------------------------------------------------------- #
+#: per-group memory budget for the block x m similarity slab (bytes);
+#: the block height adapts so blk * m doubles never exceed it
+_PAIR_SLAB_BYTES = 256 * 1024 * 1024
+
+
+def _effective_block(m: int, block: int) -> int:
+    """Block height whose m-wide float64 similarity slab fits the
+    budget: a hot cluster (m in the millions) would otherwise allocate
+    block x m doubles — 2048 x 10M = 160 GB — in one executor."""
+    cap = max(64, _PAIR_SLAB_BYTES // (8 * max(1, m)))
+    return int(min(block, cap))
+
+
+def _split_hot_clusters(
+    assigned: DataFrame,
+    centroids: list,
+    vec_col: str,
+    id_col: str,
+    cap: int,
+    sample: int,
+    iters: int,
+):
+    """One recursive k-means round over clusters larger than ``cap``:
+    each hot cluster is re-clustered (ivf_build on just its rows) into
+    ~cap/2-sized sub-clusters appended after the existing centroid ids.
+    A semantically dense blob that k-means cannot separate (near-
+    identical vectors) may stay hot — _effective_block bounds the
+    executor memory for that residual case."""
+    import math
+
+    hot = (
+        assigned.groupBy("_cluster")
+        .count()
+        .filter(F.col("count") > cap)
+        .collect()
+    )
+    if not hot:
+        return assigned, centroids
+    cents = list(centroids)
+    hot_ids = [int(r["_cluster"]) for r in hot]
+    parts = [assigned.filter(~F.col("_cluster").isin(hot_ids))]
+    for r in hot:
+        cid, m = int(r["_cluster"]), int(r["count"])
+        sub = assigned.filter(F.col("_cluster") == cid).drop("_cluster")
+        k_sub = max(2, min(int(math.ceil(m / max(1, cap // 2))), 4096))
+        sub_assigned, sub_cents = ivf_build(
+            sub, vec_col, k_sub, sample, iters, id_col
+        )
+        off = len(cents)
+        parts.append(
+            sub_assigned.withColumn(
+                "_cluster", (F.col("_cluster") + F.lit(off)).cast("int")
+            )
+        )
+        cents.extend(sub_cents)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, cents
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -755,6 +816,8 @@ def semantic_dedup_pairs(
     sample: int = 10_000,
     iters: int = 10,
     block: int = 2048,
+    max_cluster_size: int | None = 200_000,
+    nprobe: int = 1,
 ):
     """Within-cluster semantic-duplicate pairs: (id1, id2, cosine,
     cluster) for every same-cluster pair with cosine >= threshold.
@@ -769,17 +832,35 @@ def semantic_dedup_pairs(
     executor memory holds block x cluster_size doubles, never the full
     m x m matrix) and emits only the above-threshold pairs. No pair
     materialization before the threshold — a join-based shape would
-    push n^2/k candidate rows through the engine. Cross-cluster near
-    dups are invisible by design — that recall trade (vs the banded-LSH
-    near_dup_pairs, which has no such blind spot) is the paper's
-    documented cost for the hard work bound.
+    push n^2/k candidate rows through the engine.
+
+    Skew defenses (round 11): clusters larger than ``max_cluster_size``
+    get one recursive k-means split before the matmul (a semantically
+    dense blob at 100x otherwise concentrates O(m^2) work — and a
+    block x m slab — in one executor), and the block height shrinks so
+    the slab never exceeds ~256 MB even for a residual hot cluster.
+
+    ``nprobe=2`` additionally lands every vector in its SECOND-nearest
+    cluster (pairs deduped), recovering boundary-straddling duplicates
+    the paper's hard assignment misses — ~2x the candidate work, off by
+    default. Cross-cluster near dups beyond that remain invisible by
+    design — the recall trade (vs banded-LSH near_dup_pairs, which has
+    no such blind spot) is the paper's documented cost for the work
+    bound.
     """
     import numpy as np
     import pandas as pd
 
+    if nprobe not in (1, 2):
+        raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     assigned, centroids = ivf_build(
         df, vec_col, n_clusters, sample, iters, id_col
     )
+    if max_cluster_size is not None:
+        assigned, centroids = _split_hot_clusters(
+            assigned, centroids, vec_col, id_col,
+            int(max_cluster_size), sample, iters,
+        )
     thr = float(threshold)
     id_dt = df.schema[id_col].dataType.simpleString()
     out_schema = f"id1 {id_dt}, id2 {id_dt}, cosine double, cluster int"
@@ -802,8 +883,9 @@ def semantic_dedup_pairs(
         norms[norms == 0] = 1.0
         Mn = M / norms[:, None]
         outs = []
-        for s in range(0, m, block):
-            S = Mn[s : s + block] @ Mn.T  # block x m
+        blk = _effective_block(m, block)
+        for s in range(0, m, blk):
+            S = Mn[s : s + blk] @ Mn.T  # blk x m, slab-bounded
             ii, jj = np.nonzero(S >= thr)
             gi = ii + s
             keep = jj > gi  # upper triangle only: each pair once
@@ -830,7 +912,34 @@ def semantic_dedup_pairs(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         F.col("_cluster").cast("int").alias("_cluster"),
     ).filter(F.col(vec_col).isNotNull())
+    if nprobe == 2 and len(centroids) > 1:
+        from pyspark.sql.functions import pandas_udf
+
+        C2 = np.array(centroids, dtype="float64")
+        cc2 = (C2 * C2).sum(axis=1)
+
+        @pandas_udf("int")
+        def _second(vs):  # no type hints: future-annotations trap
+            if not len(vs):
+                return pd.Series([], dtype="int32")
+            nulls = vs.isna().to_numpy()
+            M = np.stack([
+                np.zeros(C2.shape[1]) if nulls[i]
+                else np.asarray(vs.iloc[i], dtype="float64")
+                for i in range(len(vs))
+            ])
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C2.T) + cc2[None, :]
+            # 2nd-smallest distance = the runner-up cluster
+            second = np.argpartition(d2, 1, axis=1)[:, 1].astype("int32")
+            second[nulls] = 0
+            return pd.Series(second, dtype="int32")
+
+        extra = base.withColumn("_cluster", _second(F.col(vec_col)))
+        base = base.unionByName(extra).dropDuplicates([id_col, "_cluster"])
     pairs = base.groupBy("_cluster").applyInPandas(_cluster_pairs, out_schema)
+    if nprobe == 2:
+        # a pair whose members share BOTH probed clusters is found twice
+        pairs = pairs.dropDuplicates(["id1", "id2"])
     return pairs, assigned, centroids
 
 
@@ -843,6 +952,8 @@ def semantic_dedup(
     sample: int = 10_000,
     iters: int = 10,
     keep: str = "farthest",
+    max_cluster_size: int | None = 200_000,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup corpus filter: drop all but ONE member of every semantic-
     duplicate group (connected component of within-cluster pairs).
@@ -857,7 +968,8 @@ def semantic_dedup(
     from ..algorithms import connected_components
 
     pairs, assigned, centroids = semantic_dedup_pairs(
-        df, vec_col, id_col, n_clusters, threshold, sample, iters
+        df, vec_col, id_col, n_clusters, threshold, sample, iters,
+        max_cluster_size=max_cluster_size, nprobe=nprobe,
     )
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     comp = connected_components(edges)  # only ids that appear in a pair

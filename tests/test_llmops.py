@@ -1956,3 +1956,120 @@ def test_semantic_dedup_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="keep"):
         semantic_dedup(df, "embedding", keep="random")
+
+
+# --------------- SemDeDup skew hardening + nprobe=2 (round 11) ---------------
+
+def test_effective_block_bounds_slab_memory():
+    from pycypher_nmetl_spark.llmops.similarity import (
+        _PAIR_SLAB_BYTES, _effective_block,
+    )
+
+    for m in (1, 100, 2048, 200_000, 1_000_000, 50_000_000):
+        blk = _effective_block(m, 2048)
+        assert 1 <= blk <= 2048
+        # the blk x m float64 slab never exceeds the budget (except the
+        # hard floor of 64 rows, whose slab is bounded by 64*m)
+        assert blk * m * 8 <= max(_PAIR_SLAB_BYTES, 64 * m * 8)
+    assert _effective_block(100, 2048) == 2048           # small m: full block
+    assert _effective_block(200_000, 2048) == 167        # 256MB / 1.6MB-per-row
+    assert _effective_block(10_000_000, 2048) == 64      # hard floor
+
+
+def test_semantic_dedup_hot_cluster_split(spark):
+    """Planted skew: >=80% of the vectors in ONE dense region. With
+    max_cluster_size the hot cluster is re-clustered before the matmul,
+    and pairs still equal brute force restricted to the FINAL cluster
+    structure; planted near-identical dups stay co-clustered."""
+    import random
+
+    from pycypher_nmetl_spark.llmops import near_dup_pairs
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+    rng = random.Random(11)
+    rows = []
+    # 800 vectors spread across one dense-but-splittable region
+    for i in range(800):
+        base = [rng.uniform(5.0, 15.0), rng.uniform(-5.0, 5.0), 0.0, 1.0]
+        rows.append((i, base))
+    # planted near-identical duplicate pairs inside the hot region
+    for j, anchor in enumerate((100, 300, 500)):
+        v = rows[anchor][1]
+        rows.append((2000 + j, [x + rng.uniform(-1e-4, 1e-4) for x in v]))
+    # 100 vectors far away (the cold cluster)
+    for i in range(3000, 3100):
+        rows.append((i, [-50.0 + rng.uniform(-1, 1), 50.0, 9.0, -3.0]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    pairs, assigned, cents = semantic_dedup_pairs(
+        df, "embedding", n_clusters=2, threshold=0.99999,
+        max_cluster_size=200, sample=2000,
+    )
+    sizes = {
+        r["_cluster"]: r["count"]
+        for r in assigned.groupBy("_cluster").count().collect()
+    }
+    # the 800+-vector hot cluster was split: >2 final clusters exist and
+    # centroid list grew past the original k
+    assert len(sizes) > 2
+    assert len(cents) > 2
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    # differential: brute-force pairs restricted to final clusters
+    cluster = {r["id"]: r["_cluster"] for r in assigned.select("id", "_cluster").collect()}
+    exact = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs(
+            df, "embedding", threshold=0.99999, exact=True
+        ).collect()
+        if cluster[r["id1"]] == cluster[r["id2"]]
+    }
+    assert got == exact
+    # the planted near-identical pairs survive the split (they co-assign)
+    assert {(100, 2000), (300, 2001), (500, 2002)} <= got
+
+
+def test_semantic_dedup_nprobe2_boundary_recall(spark):
+    """nprobe=2: a near-identical duplicate pair straddling a cluster
+    boundary is invisible to hard assignment but recovered when each
+    vector also probes its second-nearest cluster."""
+    import random
+
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+    rng = random.Random(3)
+    rows = []
+    # a large shared z-component keeps the boundary pair near-identical
+    # in COSINE while their x-signs decide opposite k-means assignment
+    for i in range(40):  # blob L
+        rows.append((i, [-10.0 + rng.uniform(-0.5, 0.5), 0.0, 100.0]))
+    for i in range(50, 90):  # blob R
+        rows.append((i, [10.0 + rng.uniform(-0.5, 0.5), 0.0, 100.0]))
+    # boundary pair: nudged to opposite sides of the midplane
+    rows.append((900, [-0.3, 0.0, 100.0]))
+    rows.append((901, [0.3, 0.0, 100.0]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    kw = dict(n_clusters=2, threshold=0.999, sample=500, iters=25)
+    p1, a1, _ = semantic_dedup_pairs(df, "embedding", nprobe=1, **kw)
+    got1 = {(r["id1"], r["id2"]) for r in p1.collect()}
+    cl = {r["id"]: r["_cluster"] for r in a1.select("id", "_cluster").collect()}
+    if cl[900] == cl[901]:
+        import pytest as _pt
+
+        _pt.skip("k-means co-assigned the boundary pair this seed")
+    assert (900, 901) not in got1  # the paper's blind spot
+    p2, _, _ = semantic_dedup_pairs(df, "embedding", nprobe=2, **kw)
+    got2 = {(r["id1"], r["id2"]) for r in p2.collect()}
+    assert (900, 901) in got2      # recovered by the second probe
+    assert got1 <= got2            # strictly more recall, no losses
+    # no duplicate pair rows despite double probing
+    assert p2.count() == p2.dropDuplicates(["id1", "id2"]).count()
+
+
+def test_semantic_dedup_nprobe_validation(spark):
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, embedding array<double>")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="nprobe"):
+        semantic_dedup_pairs(df, "embedding", nprobe=3)
