@@ -63,6 +63,7 @@ def exact_dedup_against(
     corpus: DataFrame,
     cols: list[str],
     corpus_is_hashes: bool = False,
+    verify: bool = False,
 ) -> DataFrame:
     """Exact ingest dedup: drop every NEW row whose content columns
     already occur in the EXISTING corpus (within-batch duplicates are
@@ -79,21 +80,52 @@ def exact_dedup_against(
     recomputing corpus hashes.
 
     Collision note: xxhash64 equality stands in for content equality
-    (2^-64 per pair — the standard trade at corpus scale; the exact
-    variant would re-verify matched rows on the raw columns, forcing a
-    corpus-side payload scan this operator exists to avoid).
+    (2^-64 per pair — the standard trade at corpus scale). Pass
+    ``verify=True`` (needs the corpus CONTENT frame, so incompatible
+    with ``corpus_is_hashes``) to re-check every hash match on the raw
+    columns before dropping a batch row: the matched corpus rows —
+    bounded by the batch size, found by a broadcast semi filter that
+    still never shuffles the corpus — broadcast back into a null-safe
+    content anti join, so a colliding-but-different new document
+    survives.
     """
+    import functools
+
     if not cols:
         raise ValueError("exact_dedup_against: cols must be non-empty")
     missing = [c for c in cols if c not in new_df.columns]
     if missing:
         raise ValueError(f"exact_dedup_against: {missing} missing from new_df")
+    if verify and corpus_is_hashes:
+        raise ValueError(
+            "exact_dedup_against: verify=True re-checks matched rows on "
+            "content and needs the corpus frame, not corpus_is_hashes"
+        )
+    new_h = new_df.select(F.xxhash64(*cols).alias("_h")).dropDuplicates()
+    if verify:
+        # matched CONTENT (not hashes): corpus rows whose hash occurs in
+        # the batch — map-side broadcast filter, corpus still unshuffled;
+        # the surviving set is bounded by the batch row count (+ any
+        # colliding rows), so it broadcasts
+        matched_content = (
+            corpus.join(
+                F.broadcast(new_h),
+                F.xxhash64(*[corpus[c] for c in cols]) == new_h["_h"],
+                "left_semi",
+            )
+            .select(*[F.col(c).alias(f"__xd_{c}") for c in cols])
+            .dropDuplicates()
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [new_df[c].eqNullSafe(F.col(f"__xd_{c}")) for c in cols],
+        )
+        return new_df.join(F.broadcast(matched_content), cond, "left_anti")
     corpus_h = (
         corpus.select("_h")
         if corpus_is_hashes
         else corpus.select(F.xxhash64(*cols).alias("_h"))
     )
-    new_h = new_df.select(F.xxhash64(*cols).alias("_h")).dropDuplicates()
     matched = corpus_h.join(F.broadcast(new_h), "_h", "left_semi")
     return new_df.join(
         F.broadcast(matched),

@@ -2073,3 +2073,46 @@ def test_semantic_dedup_nprobe_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="nprobe"):
         semantic_dedup_pairs(df, "embedding", nprobe=3)
+
+
+def test_exact_dedup_against_verify_content(spark):
+    """verify=True re-checks every hash match on the raw columns (a
+    64-bit collision can no longer drop a genuinely new document);
+    results match the DuckDB NOT-EXISTS oracle, null content dedups
+    null-safely, and the corpus still reaches its joins unshuffled."""
+    import duckdb
+
+    from pycypher_nmetl_spark.llmops import exact_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i % 10}") for i in range(30)] + [(90, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "doc body 3"), (101, "doc body 999"), (103, None)],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup_against(new, corpus, cols=["text"], verify=True)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    con.register("new", new.toPandas())
+    oracle = sorted(
+        t[0] for t in con.execute(
+            "SELECT doc_id FROM new n WHERE NOT EXISTS (SELECT 1 FROM "
+            "corpus c WHERE c.text IS NOT DISTINCT FROM n.text)"
+        ).fetchall()
+    )
+    assert got == oracle == [101]
+
+    plan = (
+        exact_dedup_against(new, corpus, cols=["text"], verify=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan  # everything broadcasts
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="verify"):
+        exact_dedup_against(
+            new, corpus, cols=["text"], corpus_is_hashes=True, verify=True
+        )
