@@ -854,5 +854,14 @@ class Parser:
 @lru_cache(maxsize=512)
 def parse(text: str) -> Query | UnionQuery:
     """Parse with an LRU cache, mirroring the reference's AST cache
-    (reference: ast_converter.py:186-271, LRU-512)."""
-    return Parser(text).parse()
+    (reference: ast_converter.py:186-271, LRU-512).
+
+    Pathologically nested input (thousands of open parens/brackets)
+    exhausts the recursive-descent stack; surface that as a positioned
+    syntax error, never a raw RecursionError."""
+    try:
+        return Parser(text).parse()
+    except RecursionError:
+        raise CypherSyntaxError(
+            "query too deeply nested", text, 0
+        ) from None

@@ -1,0 +1,183 @@
+"""Parser robustness fuzz campaign (VERDICT r10 #8).
+
+The hand-written Pratt parser (cypher/parser.py) is the one component
+with no differential oracle — round 9 found two tokenizer bugs by hand.
+This campaign throws >=10k adversarial inputs per run at `parse` and
+asserts the contract: every input either parses to an AST or raises a
+POSITIONED CypherSyntaxError — never any other exception type, never a
+hang, never a RecursionError escaping raw.
+
+Three generator families:
+  * mutated valid queries (delete/insert/swap/duplicate/truncate/splice)
+  * random token soup from the full token vocabulary
+  * raw unicode garbage (including lone surrogate-adjacent codepoints,
+    RTL marks, combining characters, NULs)
+
+Purely driver-side (no SparkSession) — the whole campaign runs in a few
+seconds.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+from pycypher_nmetl_spark.cypher.parser import parse
+from pycypher_nmetl_spark.cypher.tokenizer import CypherSyntaxError
+
+SEED_QUERIES = [
+    "MATCH (n:Person) RETURN n.name AS name",
+    "MATCH (a)-[r:KNOWS*1..3]->(b) WHERE a.age > 30 RETURN b, length(r) AS l",
+    "MATCH (n) WHERE n.name STARTS WITH 'A' RETURN count(*) AS c",
+    "OPTIONAL MATCH (a:X {k: 1})-[:R]->(b) RETURN a.v + b.v AS s ORDER BY s DESC LIMIT 5",
+    "UNWIND [1, 2.5, 'x', true, null] AS v RETURN v, v IS NULL AS isn",
+    "WITH $p AS p MATCH (n {id: p}) RETURN properties(n) AS m",
+    "MATCH p = shortestPath((a)-[*..5]-(b)) RETURN nodes(p), relationships(p)",
+    "MATCH (n) RETURN CASE WHEN n.a > 1 THEN 'hi' ELSE 'lo' END AS c",
+    "MATCH (n) RETURN [x IN n.list WHERE x > 0 | x * 2] AS doubled",
+    "MATCH (n) RETURN reduce(acc = 0, x IN n.xs | acc + x) AS total",
+    "CREATE (a:L {x: 1})-[:R {w: 2.5}]->(b:L) RETURN a",
+    "MERGE (n:K {id: 3}) ON CREATE SET n.c = 1 ON MATCH SET n.m = 1",
+    "MATCH (n) DETACH DELETE n",
+    "MATCH (n) SET n += {a: 1, b: 'two'} REMOVE n.old RETURN n",
+    "MATCH (n) WITH n.d AS d, collect(n) AS ns WHERE d > 2 RETURN d, size(ns) AS k",
+    "MATCH (a) RETURN a.x = 1 XOR NOT a.y <> 2 AS t",
+    "RETURN 0x1F AS h, 0o17 AS o, 1e-3 AS sci, .5 AS half",
+    "RETURN 'esc \\' quote' AS q, \"double \\\" too\" AS d",
+    "RETURN `weird name`, `a``b` LIMIT 1",
+    "MATCH (n) RETURN n ORDER BY n.a ASC, n.b DESC SKIP 2 LIMIT 3",
+    "MATCH (n) WHERE n.s =~ '(?i)a.*' OR n.t IN [1, 2, 3] RETURN n",
+    "MATCH (a) CALL { WITH a MATCH (a)-[:R]->(b) RETURN count(b) AS c } RETURN c",
+    "MATCH (a) CALL { WITH a RETURN 1 AS v UNION ALL WITH a RETURN 2 AS v } RETURN v",
+    "CALL db.labels() YIELD label RETURN label",
+    "MATCH (n) WHERE EXISTS { MATCH (n)-[:R]->() } RETURN n",
+    "FOREACH (x IN [1, 2] | CREATE (:T {v: x}))",
+    "MATCH (n) RETURN DISTINCT n.a AS a UNION MATCH (m) RETURN m.b AS a",
+    "RETURN datetime('2024-01-02T03:04:05') AS ts, duration('P1DT2H') AS du",
+    "MATCH (n) RETURN n['dyn' + 'amic'] AS v, n.list[0..2] AS sl",
+    "RETURN all(x IN [1,2] WHERE x > 0) AS a, none(x IN [] WHERE true) AS n",
+    "/* block */ MATCH (n) // line\nRETURN n",
+    "RETURN 'üñïçödé' + \"文字\" AS mixed",
+]
+
+TOKEN_VOCAB = [
+    "MATCH", "RETURN", "WHERE", "WITH", "UNWIND", "CREATE", "MERGE",
+    "DELETE", "DETACH", "SET", "REMOVE", "OPTIONAL", "CALL", "YIELD",
+    "UNION", "ALL", "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "AS",
+    "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "CASE", "WHEN",
+    "THEN", "ELSE", "END", "EXISTS", "FOREACH", "ON", "STARTS", "ENDS",
+    "CONTAINS",
+    "(", ")", "[", "]", "{", "}", ",", ":", ";", ".", "|", "=", "<>",
+    "<", ">", "<=", ">=", "=~", "->", "<-", "--", "..", "+=", "+", "-",
+    "*", "/", "%", "^", "$",
+    "n", "m", "r", "p", "x", "foo", "`tick`", "`a``b`",
+    "0", "1", "42", "3.14", ".5", "1e9", "0xFF", "0o7",
+    "'s'", '"d"', "'unterminated", '"also unterminated',
+    "$param", "$", "count", "size", "collect",
+]
+
+GARBAGE_ALPHABET = (
+    "abzAZ09 ()[]{}$.,:;|<>=+-*/%^'\"`\\\n\t"
+    "é中\u202e\u0301\x00\ufeff\U0001f600"
+)
+
+
+def _check(q: str) -> None:
+    try:
+        parse(q)
+    except CypherSyntaxError as e:
+        # positioned: pos within the text, message carries line/col
+        assert isinstance(e.pos, int), q
+        assert 0 <= e.pos <= len(q) + 1, (q, e.pos)
+        assert "line" in str(e) and "col" in str(e), (q, str(e))
+    # any other exception type propagates and fails the test
+
+
+def test_fuzz_mutated_valid_queries():
+    rng = random.Random(0xC0FFEE)
+    n = 0
+    for _ in range(5000):
+        q = rng.choice(SEED_QUERIES)
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.randrange(6)
+            if not q:
+                break
+            i = rng.randrange(len(q))
+            j = rng.randrange(len(q))
+            if kind == 0:      # delete a char
+                q = q[:i] + q[i + 1:]
+            elif kind == 1:    # insert a random char
+                q = q[:i] + rng.choice(GARBAGE_ALPHABET) + q[i:]
+            elif kind == 2:    # swap two chars
+                lo, hi = min(i, j), max(i, j)
+                if lo != hi:
+                    q = q[:lo] + q[hi] + q[lo + 1:hi] + q[lo] + q[hi + 1:]
+            elif kind == 3:    # duplicate a slice
+                lo, hi = min(i, j), max(i, j)
+                q = q[:hi] + q[lo:hi] + q[hi:]
+            elif kind == 4:    # truncate
+                q = q[:i]
+            else:              # splice in another query's fragment
+                other = rng.choice(SEED_QUERIES)
+                lo, hi = sorted((rng.randrange(len(other) + 1),
+                                 rng.randrange(len(other) + 1)))
+                q = q[:i] + other[lo:hi] + q[i:]
+        _check(q)
+        n += 1
+    assert n == 5000
+
+
+def test_fuzz_token_soup():
+    rng = random.Random(20260816)
+    for _ in range(4000):
+        q = " ".join(
+            rng.choice(TOKEN_VOCAB) for _ in range(rng.randint(1, 25))
+        )
+        _check(q)
+
+
+def test_fuzz_unicode_garbage():
+    rng = random.Random(7)
+    for _ in range(1500):
+        q = "".join(
+            rng.choice(GARBAGE_ALPHABET) for _ in range(rng.randint(0, 60))
+        )
+        _check(q)
+
+
+def test_fuzz_pathological_nesting():
+    """Deep nesting must raise a syntax error, not RecursionError."""
+    for probe in (
+        "RETURN " + "(" * 20000 + "1" + ")" * 20000,
+        "RETURN " + "[" * 20000,
+        "MATCH (n) WHERE " + "NOT " * 20000 + "true RETURN n",
+        "RETURN " + "{a: " * 5000 + "1" + "}" * 5000,
+    ):
+        _check(probe)
+
+
+def test_fuzz_campaign_is_fast_enough():
+    """The whole-campaign budget: >=10k inputs under 60s (VERDICT done
+    condition). Re-runs a condensed mix and times it."""
+    rng = random.Random(1)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(10_000):
+        roll = rng.randrange(3)
+        if roll == 0:
+            q = rng.choice(SEED_QUERIES)
+            i = rng.randrange(len(q))
+            q = q[:i] + rng.choice(GARBAGE_ALPHABET) + q[i:]
+        elif roll == 1:
+            q = " ".join(
+                rng.choice(TOKEN_VOCAB) for _ in range(rng.randint(1, 12))
+            )
+        else:
+            q = "".join(
+                rng.choice(GARBAGE_ALPHABET) for _ in range(rng.randint(0, 40))
+            )
+        _check(q)
+        n += 1
+    elapsed = time.perf_counter() - t0
+    assert n == 10_000
+    assert elapsed < 60, f"campaign too slow: {elapsed:.1f}s"
