@@ -97,10 +97,15 @@ _CYPHER_QUERIES: dict[str, str] = {
     ),
     # §2.7 DISTINCT
     "distinct_segments": "MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS seg",
-    # §2.7 UNION
-    "union_names": (
-        "MATCH (n:Nation) RETURN n.name AS name "
-        "UNION MATCH (r:Region) RETURN r.name AS name"
+    # §2.7 UNION + §2.10 CALL { } — UNION [not-ALL] between subquery
+    # branches with per-branch imports (round 11; replaces the plain
+    # top-level union_names gate under the 50-gate cap — that surface
+    # stays covered by the union differential fuzzer, TCK union rows,
+    # and _union_result's column checks)
+    "call_union_branches": (
+        "MATCH (r:Region) CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) "
+        "RETURN n.name AS name UNION WITH r RETURN r.name AS name } "
+        "RETURN r.regionkey AS rk, name"
     ),
     # §2.10 UNWIND + correlated match
     "unwind_match": (
@@ -228,7 +233,7 @@ _CYPHER_QUERIES: dict[str, str] = {
     # undirected relationship from the target side UNION ALL a
     # right-to-left arrow with source-side filter (merged undirected_hop
     # + reverse_hop under the 50-gate cap; also exercises UNION ALL —
-    # union_names covers the deduplicating UNION)
+    # call_union_branches covers the deduplicating UNION)
     "undirected_reverse_hops": (
         "MATCH (r:Region)-[:IN_REGION]-(n) "
         "RETURN r.name AS name, count(*) AS cnt "
@@ -294,8 +299,12 @@ _ORACLE: dict[str, str] = {
         "count(*) AS cnt FROM part GROUP BY 1, 2, 3, 4"
     ),
     "distinct_segments": "SELECT DISTINCT c_mktsegment AS seg FROM customer",
-    "union_names": (
-        "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region"
+    "call_union_branches": (
+        "SELECT rk, name FROM ("
+        "SELECT r_regionkey AS rk, n_name AS name FROM region "
+        "JOIN nation ON n_regionkey = r_regionkey "
+        "UNION "
+        "SELECT r_regionkey AS rk, r_name AS name FROM region)"
     ),
     "unwind_match": (
         "SELECT s AS s, count(*) AS cnt FROM (VALUES (1),(5),(10),(25)) t(s) "
