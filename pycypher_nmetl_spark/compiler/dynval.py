@@ -129,6 +129,27 @@ def dyn_order_cmp(op: str, left: Column, right: Column) -> Column:
     return F.when(same, ops[op](left, right))
 
 
+def dyn_to_string(col: Column) -> Column:
+    """toString() over a dynamic value: rank-dispatched formatting
+    (strings pass through, booleans print true/false, numbers print
+    without a trailing .0 when integral — ints lose their int-ness in
+    the double-normalized encoding, so 2.0 also prints '2'; documented
+    divergence). Null in -> null out."""
+    d = col["__cyd"]
+    as_long = d.try_cast("long")
+    num = F.when(
+        (d == F.floor(d)) & as_long.isNotNull(), as_long.cast("string")
+    ).otherwise(d.cast("string"))
+    return (
+        F.when(col[_MARKER] == RANK_STRING, col["__cys"])
+        .when(
+            col[_MARKER] == RANK_BOOL,
+            F.when(col["__cyb"], F.lit("true")).otherwise(F.lit("false")),
+        )
+        .when(col[_MARKER] == RANK_NUMBER, num)
+    )
+
+
 def decoded(col: Column, ranks: set[int], integral: bool) -> Column:
     """The plain-typed column for a dynamic column whose runtime values
     all carry one rank (``ranks`` observed, nulls excluded)."""

@@ -405,7 +405,27 @@ def _to_integer(x: Column) -> Column:
     return x.try_cast("double").cast("long")
 
 
-simple("toString", lambda x: x.cast("string"))
+@register("toString")
+def _to_string_fn(cc, args):
+    """toString(x): native string cast, except dynamic (mixed-type)
+    values which rank-dispatch through dyn_to_string — a struct cast
+    would print the encoding, not the value. Static kinds decide for
+    free; only an unknown kind pays one analyzer probe."""
+    if len(args) != 1:
+        raise ValueError(f"toString() takes 1 arg, got {len(args)}")
+    c = cc.col(args[0])
+    from pycypher_nmetl_spark.compiler.dynval import dyn_to_string, is_dyn
+
+    k = cc._static_kind(args[0]) if not cc.lambda_vars else "string"
+    if k == "dyn":
+        return dyn_to_string(c)
+    if k is None:
+        try:
+            if is_dyn(cc.bindings.dtype(c)):
+                return dyn_to_string(c)
+        except Exception:  # noqa: BLE001 — unanalyzable: native cast
+            pass
+    return c.cast("string")
 simple("toInteger", _to_integer)
 simple("toIntegerOrNull", _to_integer)
 simple("toFloat", lambda x: x.try_cast("double"))

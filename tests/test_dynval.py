@@ -166,3 +166,19 @@ def test_homogeneous_lists_stay_native(eng):
     df = eng.execute("UNWIND [3, 1, 2] AS x RETURN min(x) AS m")
     assert "__cyr" not in df._jdf.queryExecution().analyzed().toString()
     assert df.collect()[0]["m"] == 1
+
+
+def test_tostring_over_dynamic_values(eng):
+    """toString() rank-dispatches over dynamic values, giving users the
+    documented escape hatch for projecting a mixed column."""
+    rows = eng.execute(
+        "UNWIND [1, 'a', true, 2.5, null] AS x WITH x ORDER BY x "
+        "RETURN collect(toString(x)) AS out"
+    ).collect()
+    # global order: 'a' < true < 1 < 2.5; null dropped by collect
+    assert rows[0]["out"] == ["a", "true", "1", "2.5"]
+    # native inputs keep the plain cast path
+    r = eng.execute(
+        "RETURN toString(42) AS a, toString('s') AS b, toString(2.5) AS c"
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == ("42", "s", "2.5")
