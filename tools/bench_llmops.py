@@ -235,6 +235,23 @@ def _ops():
         )
         return pairs.count()
 
+    def semdedup_capped(spark, d):
+        # the round-11 skew path: max_cluster_size BELOW the mean
+        # cluster size forces every cluster through the recursive
+        # k-means split before the matmul — measures the capped path's
+        # overhead and exponent (the skew defense at 100 TB)
+        from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+        e = _embs(spark, d)
+        n = e.count()
+        k = max(16, min(256, int((n / 8) ** 0.5)))
+        cap = max(500, n // (k * 2))
+        pairs, _, _ = semantic_dedup_pairs(
+            e, "embedding", id_col="vec_id", n_clusters=k, threshold=0.35,
+            max_cluster_size=cap,
+        )
+        return pairs.count()
+
     def exact_against(spark, d):
         # byte-exact ingest dedup: 10% batch vs 90% corpus (broadcast-semi)
         from pycypher_nmetl_spark.llmops import exact_dedup_against
@@ -267,6 +284,7 @@ def _ops():
         ("range_join", range_windows),
         ("exact_dedup_against", exact_against),
         ("semantic_dedup_pairs", semdedup),
+        ("semantic_dedup_capped", semdedup_capped),
     ]
 
 
