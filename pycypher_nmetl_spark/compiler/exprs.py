@@ -185,8 +185,29 @@ def _array_elems_comparable(lek: str | None, rek: str | None) -> bool | None:
 
 
 def lit_value(value: Any) -> Column:
-    """Python value -> literal Column (lists/maps supported, for params)."""
+    """Python value -> literal Column (lists/maps supported, for params).
+
+    A heterogeneous SCALAR list parameter ([1, 'a']) gets the dynamic-
+    value encoding (compiler/dynval.py) — same treatment as a
+    heterogeneous list literal, so UNWIND/ORDER BY/min/max over it
+    follow openCypher global orderability instead of crashing on
+    Spark's array type coercion."""
     if isinstance(value, list):
+        buckets = {
+            "num"
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else type(v).__name__
+            for v in value
+            if v is not None
+        }
+        scalar_only = all(
+            v is None or isinstance(v, (str, bool, int, float))
+            for v in value
+        )
+        if len(buckets) > 1 and scalar_only:
+            from pycypher_nmetl_spark.compiler.dynval import encode_py
+
+            return F.array(*[encode_py(v) for v in value])
         return F.array(*[lit_value(v) for v in value])
     if isinstance(value, dict):
         return F.struct(*[lit_value(v).alias(k) for k, v in value.items()])

@@ -182,3 +182,24 @@ def test_tostring_over_dynamic_values(eng):
         "RETURN toString(42) AS a, toString('s') AS b, toString(2.5) AS c"
     ).collect()[0]
     assert (r["a"], r["b"], r["c"]) == ("42", "s", "2.5")
+
+
+def test_heterogeneous_param_list(eng):
+    """A mixed-type list PARAMETER gets the same dynamic encoding as a
+    mixed literal: min/max follow global order; homogeneous params keep
+    the native path."""
+    rows = eng.execute(
+        "UNWIND $vals AS x RETURN min(x) AS mn, max(x) AS mx",
+        {"vals": [3, "b", True, 1.5]},
+    ).collect()
+    assert (rows[0]["mn"], rows[0]["mx"]) == ("b", 3)
+    rows = eng.execute(
+        "RETURN 2 IN $vals AS a, 'b' IN $vals AS b",
+        {"vals": [3, "b", 2.0]},
+    ).collect()
+    assert (rows[0]["a"], rows[0]["b"]) == (True, True)
+    # homogeneous param list: native array, native min
+    rows = eng.execute(
+        "UNWIND $vals AS x RETURN min(x) AS mn", {"vals": [3, 1, 2]}
+    ).collect()
+    assert rows[0]["mn"] == 1
