@@ -767,44 +767,110 @@ def _split_hot_clusters(
     cap: int,
     sample: int,
     iters: int,
+    max_splits: int = 256,
 ):
-    """One recursive k-means round over clusters larger than ``cap``:
-    each hot cluster is re-clustered (ivf_build on just its rows) into
-    ~cap/2-sized sub-clusters appended after the existing centroid ids.
-    A semantically dense blob that k-means cannot separate (near-
-    identical vectors) may stay hot — _effective_block bounds the
-    executor memory for that residual case."""
+    """One recursive k-means round over clusters larger than ``cap``,
+    in TWO Spark jobs total regardless of how many clusters are hot:
+
+    1. per-cluster counts (tiny);
+    2. ONE stratified sample over every hot cluster at once
+       (``sampleBy``) — per-cluster Lloyd fits then run driver-side on
+       numpy, and a single Arrow pandas UDF re-assigns all hot rows
+       against the broadcast per-cluster sub-centroids.
+
+    The earlier shape (ivf_build per hot cluster) issued count+sample
+    jobs and a full re-scan PER cluster — fine for true skew (1-2 hot
+    clusters) but catastrophic when a mis-sized cap marks hundreds hot.
+
+    Only the ``max_splits`` largest hot clusters split per round
+    (bounds driver fit memory); the rest fall back to the slab-bounded
+    matmul. A blob k-means cannot separate (near-identical vectors) may
+    also stay hot — _effective_block bounds executor memory either way.
+    """
     import math
 
-    hot = (
-        assigned.groupBy("_cluster")
-        .count()
-        .filter(F.col("count") > cap)
-        .collect()
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sizes = assigned.groupBy("_cluster").count().collect()
+    hot = sorted(
+        ((int(r["_cluster"]), int(r["count"])) for r in sizes
+         if r["count"] > cap),
+        key=lambda t: -t[1],
+    )[:max_splits]
     if not hot:
         return assigned, centroids
+    dim = len(centroids[0])
+    # per-cluster fit sample: Lloyd needs ~tens of points per sub-centroid
+    k_subs = {
+        cid: max(2, min(int(math.ceil(m / max(1, cap // 2))), 4096))
+        for cid, m in hot
+    }
+    fractions = {
+        cid: min(1.0, max(256, 30 * k_subs[cid]) / m) for cid, m in hot
+    }
+    samp = (
+        assigned.filter(F.col("_cluster").isin(list(k_subs)))
+        .select(F.col("_cluster").cast("int").alias("_cluster"), vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .sampleBy("_cluster", fractions, seed=42)
+        .collect()
+    )
+    by_cluster: dict[int, list] = {cid: [] for cid in k_subs}
+    for r in samp:
+        by_cluster[r["_cluster"]].append(r[vec_col])
+    rng = np.random.RandomState(42)
     cents = list(centroids)
-    hot_ids = [int(r["_cluster"]) for r in hot]
-    parts = [assigned.filter(~F.col("_cluster").isin(hot_ids))]
-    for r in hot:
-        cid, m = int(r["_cluster"]), int(r["count"])
-        sub = assigned.filter(F.col("_cluster") == cid).drop("_cluster")
-        k_sub = max(2, min(int(math.ceil(m / max(1, cap // 2))), 4096))
-        sub_assigned, sub_cents = ivf_build(
-            sub, vec_col, k_sub, sample, iters, id_col
-        )
-        off = len(cents)
-        parts.append(
-            sub_assigned.withColumn(
-                "_cluster", (F.col("_cluster") + F.lit(off)).cast("int")
+    sub_cents: dict[int, "np.ndarray"] = {}
+    offsets: dict[int, int] = {}
+    for cid, _m in hot:
+        X = np.array(by_cluster[cid] or [centroids[cid]], dtype="float64")
+        k = min(k_subs[cid], len(X))
+        C = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            lab = d2.argmin(1)
+            for j in range(len(C)):
+                pts = X[lab == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        sub_cents[cid] = C
+        offsets[cid] = len(cents)
+        cents.extend([list(map(float, c)) for c in C])
+
+    @pandas_udf("int")
+    def _reassign(cl, vs):  # no type hints: future-annotations trap
+        out = cl.to_numpy(dtype="int64", na_value=-1).copy()
+        for cid in np.unique(out):
+            if int(cid) not in sub_cents:
+                continue
+            C = sub_cents[int(cid)]
+            idx = np.nonzero(out == cid)[0]
+            rows = vs.iloc[idx]
+            nulls = rows.isna().to_numpy()
+            M = np.stack([
+                np.zeros(dim) if nulls[i]
+                else np.asarray(rows.iloc[i], dtype="float64")
+                for i in range(len(rows))
+            ])
+            d2 = (
+                (M * M).sum(axis=1)[:, None]
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)[None, :]
             )
-        )
-        cents.extend(sub_cents)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out, cents
+            out[idx] = offsets[int(cid)] + d2.argmin(axis=1)
+        return pd.Series(out, dtype="int32")
+
+    assigned = assigned.withColumn(
+        "_cluster",
+        F.when(
+            F.col("_cluster").isin(list(k_subs)),
+            _reassign(F.col("_cluster").cast("int"),
+                      F.col(vec_col).cast("array<double>")),
+        ).otherwise(F.col("_cluster")).cast("int"),
+    )
+    return assigned, cents
 
 
 def semantic_dedup_pairs(
