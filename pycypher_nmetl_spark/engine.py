@@ -469,10 +469,17 @@ class CypherEngine:
         column decodes to that type (numbers: long when every value is
         integral, else double); a genuinely mixed output column raises —
         a DataFrame column cannot hold two types."""
+        from pyspark.sql import types as T
+
         from pycypher_nmetl_spark.compiler.dynval import decoded, is_dyn
 
         dyn_cols = [f.name for f in df.schema.fields if is_dyn(f.dataType)]
-        if not dyn_cols or getattr(df, "isStreaming", False):
+        arr_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.ArrayType) and is_dyn(f.dataType.elementType)
+        ]
+        if not (dyn_cols or arr_cols) or getattr(df, "isStreaming", False):
             return df
         aggs = []
         for c in dyn_cols:
@@ -484,6 +491,26 @@ class CypherEngine:
                     F.col(c)["__cyd"] != F.floor(F.col(c)["__cyd"])
                 ).alias(f"{c}__frac")
             )
+        for c in arr_cols:
+            # ranks across every element of every row's array (collect
+            # over mixed values yields array<dyn>)
+            aggs.append(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_set(
+                            F.transform(F.col(c), lambda e: e["__cyr"])
+                        )
+                    )
+                ).alias(f"{c}__ranks")
+            )
+            aggs.append(
+                F.max(
+                    F.exists(
+                        F.col(c),
+                        lambda e: e["__cyd"] != F.floor(e["__cyd"]),
+                    )
+                ).alias(f"{c}__frac")
+            )
         row = df.agg(*aggs).first()
         for c in dyn_cols:
             dec = decoded(
@@ -492,6 +519,12 @@ class CypherEngine:
                 not bool(row[f"{c}__frac"]),
             )
             df = df.withColumn(c, dec)
+        for c in arr_cols:
+            ranks = {r for r in (row[f"{c}__ranks"] or []) if r is not None}
+            integral = not bool(row[f"{c}__frac"])
+            df = df.withColumn(
+                c, F.transform(F.col(c), lambda e: decoded(e, ranks, integral))
+            )
         return df
 
     def profile(self, cypher: str, parameters: dict[str, Any] | None = None):

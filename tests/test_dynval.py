@@ -203,3 +203,21 @@ def test_heterogeneous_param_list(eng):
         "UNWIND $vals AS x RETURN min(x) AS mn", {"vals": [3, 1, 2]}
     ).collect()
     assert rows[0]["mn"] == 1
+
+
+def test_collect_over_dynamic_decodes(eng):
+    """collect() over a dynamic column yields array<dyn>; the RETURN-
+    time decode handles array columns too (single runtime rank decodes
+    element-wise, mixed raises)."""
+    rows = eng.execute(
+        "UNWIND [3, 'a', 1] AS x WITH x WHERE x <> 'a' "
+        "RETURN collect(x) AS xs"
+    ).collect()
+    assert sorted(rows[0]["xs"]) == [1, 3]
+    rows = eng.execute(
+        "UNWIND [1, 'a', 2.5] AS x WITH x WHERE x > 0 "
+        "RETURN collect(x) AS xs"
+    ).collect()
+    assert rows[0]["xs"] == [1.0, 2.5]
+    with pytest.raises(NotImplementedError, match="multiple types"):
+        eng.execute("UNWIND [3, 'a'] AS x RETURN collect(x) AS xs")
