@@ -262,6 +262,14 @@ class ExprCompiler:
             )
 
             kinds = [self._static_kind(x) for x in e.items]
+            # entity vars report kind 'int' (their id column) — never
+            # encode a node/rel/path as a number; force the native path
+            # so mixing entities with scalars still fails loudly
+            for i, x in enumerate(e.items):
+                if isinstance(x, Var):
+                    info = self.bindings.vars.get(x.name)
+                    if info is not None and info.kind in ("node", "rel", "path"):
+                        kinds[i] = "entity"
             if any(k is None for k in kinds):
                 try:
                     sch = self.bindings.df.select(
@@ -508,7 +516,27 @@ class ExprCompiler:
             return None
 
         if isinstance(e, _LL):
-            return _unify({self._static_kind(x) for x in e.items})
+            ks = set()
+            for x in e.items:
+                k = self._static_kind(x)
+                if isinstance(x, _V):
+                    info = self.bindings.vars.get(x.name)
+                    if info is not None and info.kind in ("node", "rel", "path"):
+                        k = "entity"
+                ks.add(k)
+            u = _unify(set(ks))
+            if u is None:
+                # heterogeneous SCALAR literal: compiles to the dynamic
+                # encoding (_c_ListLit) — report its element kind so
+                # lambdas (toString etc.) dispatch correctly
+                ks.discard("null")
+                ks.discard(None)
+                buckets = {
+                    "num" if k in ("int", "float") else k for k in ks
+                }
+                if buckets and buckets <= {"num", "string", "bool", "dyn"}:
+                    return "dyn"
+            return u
         if isinstance(e, _P):
             v = self.params.get(e.name)
             if isinstance(v, (list, tuple)):
@@ -533,12 +561,21 @@ class ExprCompiler:
 
         if isinstance(collection, _LL):
             kinds = {self._static_kind(x) for x in collection.items}
-            return kinds.pop() if len(kinds) == 1 else None
+            if len(kinds) == 1:
+                return kinds.pop()
+            # mirror _static_elem_kind: a heterogeneous scalar literal
+            # compiles to the dynamic encoding, so its lambda elements
+            # are 'dyn' (toString etc. dispatch on this)
+            return self._static_elem_kind(collection)
         if isinstance(collection, _FC) and collection.name == "range":
             return "int"
         if not self.lambda_vars:
+            from pycypher_nmetl_spark.compiler.dynval import is_dyn
+
             dt = self.bindings.dtype(self.col(collection))
             if isinstance(dt, T.ArrayType):
+                if is_dyn(dt.elementType):
+                    return "dyn"
                 el = dt.elementType
                 if isinstance(el, T.StringType):
                     return "string"

@@ -481,49 +481,49 @@ class CypherEngine:
         ]
         if not (dyn_cols or arr_cols) or getattr(df, "isStreaming", False):
             return df
+        # an unaliased output like `m.a` is a literal dotted NAME: both
+        # F.col and df[...] parse dots as field access, so quote
+        def _qc(name: str):
+            return F.col("`" + name.replace("`", "``") + "`")
+
         aggs = []
-        for c in dyn_cols:
+        for i, c in enumerate(dyn_cols):
+            aggs.append(F.collect_set(_qc(c)["__cyr"]).alias(f"_r{i}"))
             aggs.append(
-                F.collect_set(F.col(c)["__cyr"]).alias(f"{c}__ranks")
+                F.max(_qc(c)["__cyd"] != F.floor(_qc(c)["__cyd"])).alias(
+                    f"_f{i}"
+                )
             )
-            aggs.append(
-                F.max(
-                    F.col(c)["__cyd"] != F.floor(F.col(c)["__cyd"])
-                ).alias(f"{c}__frac")
-            )
-        for c in arr_cols:
+        for i, c in enumerate(arr_cols):
             # ranks across every element of every row's array (collect
             # over mixed values yields array<dyn>)
             aggs.append(
                 F.array_distinct(
                     F.flatten(
                         F.collect_set(
-                            F.transform(F.col(c), lambda e: e["__cyr"])
+                            F.transform(_qc(c), lambda e: e["__cyr"])
                         )
                     )
-                ).alias(f"{c}__ranks")
+                ).alias(f"_ar{i}")
             )
             aggs.append(
                 F.max(
                     F.exists(
-                        F.col(c),
-                        lambda e: e["__cyd"] != F.floor(e["__cyd"]),
+                        _qc(c), lambda e: e["__cyd"] != F.floor(e["__cyd"])
                     )
-                ).alias(f"{c}__frac")
+                ).alias(f"_af{i}")
             )
         row = df.agg(*aggs).first()
-        for c in dyn_cols:
+        for i, c in enumerate(dyn_cols):
             dec = decoded(
-                F.col(c),
-                set(row[f"{c}__ranks"] or []),
-                not bool(row[f"{c}__frac"]),
+                _qc(c), set(row[f"_r{i}"] or []), not bool(row[f"_f{i}"])
             )
             df = df.withColumn(c, dec)
-        for c in arr_cols:
-            ranks = {r for r in (row[f"{c}__ranks"] or []) if r is not None}
-            integral = not bool(row[f"{c}__frac"])
+        for i, c in enumerate(arr_cols):
+            ranks = {r for r in (row[f"_ar{i}"] or []) if r is not None}
+            integral = not bool(row[f"_af{i}"])
             df = df.withColumn(
-                c, F.transform(F.col(c), lambda e: decoded(e, ranks, integral))
+                c, F.transform(_qc(c), lambda e: decoded(e, ranks, integral))
             )
         return df
 
@@ -1178,7 +1178,14 @@ class CypherEngine:
             body = list(br.clauses)
             last = body[-1]
             body[-1] = dataclasses.replace(last, is_return=False)
-            b = Bindings(inner_df, inner_vars)
+            # each branch sees ONLY the key + its OWN imports (+
+            # enclosing keys): another branch's import columns riding
+            # along would collide when this branch freshly binds a
+            # variable of the same name (legal per Neo4j scoping)
+            own = [key] + [
+                c for v in br.imports for c in bindings.var_columns(v)
+            ] + list(enclosing)
+            b = Bindings(inner_df.select(*dict.fromkeys(own)), inner_vars)
             for c in body:
                 b, result = self._run_clause(c, b, params, mutations)
                 if result is not None:  # pragma: no cover
@@ -1224,7 +1231,20 @@ class CypherEngine:
                         )
             union_df = b_df if union_df is None else union_df.unionByName(b_df)
         if not all(clause.alls):
-            union_df = union_df.dropDuplicates()
+            # dedup via a canonical struct so map-typed exports (which
+            # Spark cannot group by directly) dedup on sorted entries —
+            # same canonicalization as the carry key
+            dd = F.struct(
+                *[
+                    _canon_key(union_df[f.name], f.dataType).alias(f"_d{i}")
+                    for i, f in enumerate(union_df.schema.fields)
+                ]
+            )
+            union_df = (
+                union_df.withColumn("__cu_dd", dd)
+                .dropDuplicates(["__cu_dd"])
+                .drop("__cu_dd")
+            )
 
         clash = [v for v in (exported0 or []) if v in bindings.vars]
         if clash:

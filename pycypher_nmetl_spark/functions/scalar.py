@@ -415,8 +415,16 @@ def _to_string_fn(cc, args):
         raise ValueError(f"toString() takes 1 arg, got {len(args)}")
     c = cc.col(args[0])
     from pycypher_nmetl_spark.compiler.dynval import dyn_to_string, is_dyn
+    from pycypher_nmetl_spark.cypher.ast_nodes import Var as _Var
 
-    k = cc._static_kind(args[0]) if not cc.lambda_vars else "string"
+    if cc.lambda_vars:
+        # inside a lambda the frame can't be probed; the tracked lambda
+        # kind decides (a dyn-encoded list's elements report 'dyn')
+        k = None
+        if isinstance(args[0], _Var):
+            k = cc.lambda_kinds.get(args[0].name)
+        return dyn_to_string(c) if k == "dyn" else c.cast("string")
+    k = cc._static_kind(args[0])
     if k == "dyn":
         return dyn_to_string(c)
     if k is None:

@@ -439,6 +439,16 @@ def near_dup_pairs(
 # --------------------------------------------------------------------- #
 # IVF: sample -> driver k-means -> broadcast centroids -> probe clusters
 # --------------------------------------------------------------------- #
+def _sq_dists(X, C):
+    """Squared euclidean distances (n x k) via the matmul identity —
+    n*k memory, never the n*k*dim broadcast intermediate."""
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
 def ivf_build(
     df: DataFrame,
     vec_col: str,
@@ -477,8 +487,10 @@ def ivf_build(
         X = X[rng.choice(len(X), size=sample, replace=False)]
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        lab = d2.argmin(1)
+        # matmul identity, NOT broadcasting (X[:,None,:]-C).sum: the
+        # broadcast form allocates n*k*dim doubles per iteration —
+        # 10k x 4096 x 64 is 21 GB on the driver; this form is n*k
+        lab = _sq_dists(X, cents).argmin(1)
         for c in range(len(cents)):
             pts = X[lab == c]
             if len(pts):
@@ -754,8 +766,14 @@ _PAIR_SLAB_BYTES = 256 * 1024 * 1024
 def _effective_block(m: int, block: int) -> int:
     """Block height whose m-wide float64 similarity slab fits the
     budget: a hot cluster (m in the millions) would otherwise allocate
-    block x m doubles — 2048 x 10M = 160 GB — in one executor."""
-    cap = max(64, _PAIR_SLAB_BYTES // (8 * max(1, m)))
+    block x m doubles — 2048 x 10M = 160 GB — in one executor.
+
+    The 32-row floor means the strict 256 MB bound holds up to
+    m = 1M vectors per cluster; beyond that the slab grows as 32*m*8
+    (2.5 GB at m = 10M) — reachable only with the hot-cluster split
+    disabled or defeated by a near-identical blob, and per-cluster
+    sizes that large indicate n_clusters is mis-sized anyway."""
+    cap = max(32, _PAIR_SLAB_BYTES // (8 * max(1, m)))
     return int(min(block, cap))
 
 
@@ -800,7 +818,7 @@ def _split_hot_clusters(
         key=lambda t: -t[1],
     )[:max_splits]
     if not hot:
-        return assigned, centroids
+        return assigned, centroids, set()
     dim = len(centroids[0])
     # per-cluster fit sample: Lloyd needs ~tens of points per sub-centroid
     k_subs = {
@@ -829,8 +847,7 @@ def _split_hot_clusters(
         k = min(k_subs[cid], len(X))
         C = X[rng.choice(len(X), size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            lab = d2.argmin(1)
+            lab = _sq_dists(X, C).argmin(1)  # n*k memory, see _sq_dists
             for j in range(len(C)):
                 pts = X[lab == j]
                 if len(pts):
@@ -870,7 +887,9 @@ def _split_hot_clusters(
                       F.col(vec_col).cast("array<double>")),
         ).otherwise(F.col("_cluster")).cast("int"),
     )
-    return assigned, cents
+    # the split parents are now empty clusters; callers (nprobe=2) must
+    # exclude them from probing or the whole hot blob regroups there
+    return assigned, cents, set(k_subs)
 
 
 def semantic_dedup_pairs(
@@ -922,8 +941,9 @@ def semantic_dedup_pairs(
     assigned, centroids = ivf_build(
         df, vec_col, n_clusters, sample, iters, id_col
     )
+    dead: set[int] = set()
     if max_cluster_size is not None:
-        assigned, centroids = _split_hot_clusters(
+        assigned, centroids, dead = _split_hot_clusters(
             assigned, centroids, vec_col, id_col,
             int(max_cluster_size), sample, iters,
         )
@@ -978,10 +998,18 @@ def semantic_dedup_pairs(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         F.col("_cluster").cast("int").alias("_cluster"),
     ).filter(F.col(vec_col).isNotNull())
-    if nprobe == 2 and len(centroids) > 1:
+    if nprobe == 2 and len(centroids) - len(dead) > 1:
         from pyspark.sql.functions import pandas_udf
 
-        C2 = np.array(centroids, dtype="float64")
+        # probe only LIVE centroids: a split hot cluster's parent is
+        # empty, and for every vector of the blob it would be the
+        # second-nearest — re-grouping the whole blob there would undo
+        # the split's O(m^2) defense
+        live = np.array(
+            [i for i in range(len(centroids)) if i not in dead],
+            dtype="int64",
+        )
+        C2 = np.array(centroids, dtype="float64")[live]
         cc2 = (C2 * C2).sum(axis=1)
 
         @pandas_udf("int")
@@ -995,8 +1023,10 @@ def semantic_dedup_pairs(
                 for i in range(len(vs))
             ])
             d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C2.T) + cc2[None, :]
-            # 2nd-smallest distance = the runner-up cluster
-            second = np.argpartition(d2, 1, axis=1)[:, 1].astype("int32")
+            # 2nd-smallest distance = the runner-up live cluster
+            second = live[
+                np.argpartition(d2, 1, axis=1)[:, 1]
+            ].astype("int32")
             second[nulls] = 0
             return pd.Series(second, dtype="int32")
 

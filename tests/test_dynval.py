@@ -221,3 +221,23 @@ def test_collect_over_dynamic_decodes(eng):
     assert rows[0]["xs"] == [1.0, 2.5]
     with pytest.raises(NotImplementedError, match="multiple types"):
         eng.execute("UNWIND [3, 'a'] AS x RETURN collect(x) AS xs")
+
+
+def test_tostring_in_lambda_over_mixed_literal(eng):
+    """Code-review r11: toString inside a list comprehension over a
+    dyn-encoded literal must decode, not print the struct encoding."""
+    rows = eng.execute(
+        "RETURN [x IN [1, 'a', true] | toString(x)] AS s"
+    ).collect()
+    assert rows[0]["s"] == ["1", "a", "true"]
+
+
+def test_decode_handles_dotted_output_name(eng):
+    """Code-review r11: an unaliased dotted output (m.a) holding a
+    dynamic value must decode — F.col would parse the dot as a field
+    access."""
+    rows = eng.execute(
+        "UNWIND [1, 'a'] AS x WITH x WHERE x = 1 "
+        "WITH {a: x} AS m RETURN m.a"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1,)]

@@ -1969,11 +1969,12 @@ def test_effective_block_bounds_slab_memory():
         blk = _effective_block(m, 2048)
         assert 1 <= blk <= 2048
         # the blk x m float64 slab never exceeds the budget (except the
-        # hard floor of 64 rows, whose slab is bounded by 64*m)
-        assert blk * m * 8 <= max(_PAIR_SLAB_BYTES, 64 * m * 8)
+        # hard floor of 32 rows, whose slab is bounded by 32*m)
+        assert blk * m * 8 <= max(_PAIR_SLAB_BYTES, 32 * m * 8)
     assert _effective_block(100, 2048) == 2048           # small m: full block
     assert _effective_block(200_000, 2048) == 167        # 256MB / 1.6MB-per-row
-    assert _effective_block(10_000_000, 2048) == 64      # hard floor
+    assert _effective_block(1_000_000, 2048) == 33       # bound holds to 1M
+    assert _effective_block(10_000_000, 2048) == 32      # hard floor
 
 
 def test_semantic_dedup_hot_cluster_split(spark):
@@ -2116,3 +2117,34 @@ def test_exact_dedup_against_verify_content(spark):
         exact_dedup_against(
             new, corpus, cols=["text"], corpus_is_hashes=True, verify=True
         )
+
+
+def test_semantic_dedup_split_with_nprobe2(spark):
+    """Code-review r11: with a split hot cluster, nprobe=2 must probe
+    only LIVE centroids — the emptied parent would otherwise regroup the
+    whole blob into one O(m^2) group. Planted dups stay found; pair set
+    is a superset of nprobe=1's."""
+    import random
+
+    from pycypher_nmetl_spark.llmops.similarity import semantic_dedup_pairs
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(600):
+        rows.append((i, [rng.uniform(5.0, 15.0), rng.uniform(-5.0, 5.0), 1.0]))
+    for j, anchor in enumerate((50, 150)):
+        v = rows[anchor][1]
+        rows.append((5000 + j, [x + rng.uniform(-1e-4, 1e-4) for x in v]))
+    for i in range(7000, 7050):
+        rows.append((i, [-50.0, 50.0, -3.0]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    kw = dict(n_clusters=2, threshold=0.99999, sample=2000,
+              max_cluster_size=150)
+    p1, a1, _ = semantic_dedup_pairs(df, "embedding", nprobe=1, **kw)
+    p2, a2, _ = semantic_dedup_pairs(df, "embedding", nprobe=2, **kw)
+    g1 = {(r["id1"], r["id2"]) for r in p1.collect()}
+    g2 = {(r["id1"], r["id2"]) for r in p2.collect()}
+    assert {(50, 5000), (150, 5001)} <= g1
+    assert g1 <= g2
+    # the split actually happened (more than the 2 fitted clusters)
+    assert a2.select("_cluster").distinct().count() > 2

@@ -433,6 +433,22 @@ SCENARIOS: list[TCK] = [
         "UNWIND [1] AS x CALL { CREATE (:X) RETURN 1 AS o "
         "UNION ALL RETURN 2 AS o } RETURN o",
         error="not supported"),
+    TCK("call-subquery-union-branch-rebinds-import-name",
+        # branch 2 freshly binds n (legal: non-imported names are free
+        # per branch); its frame must not carry branch 1's n columns
+        "MATCH (n:Person) CALL { WITH n RETURN n.name AS v "
+        "UNION ALL MATCH (n:Person) WHERE n.age < 28 RETURN n.name AS v } "
+        "RETURN n.name AS outer_n, v ORDER BY outer_n, v",
+        [("Alice", "Alice"), ("Alice", "Bob"), ("Bob", "Bob"),
+         ("Bob", "Bob"), ("Carol", "Bob"), ("Carol", "Carol")],
+        ordered=True),
+    TCK("call-subquery-union-map-export-dedup",
+        # UNION (dedup) over a map-typed export: Spark can't group maps
+        # directly — the dedup canonicalizes to sorted entries
+        "MATCH (p:Person) CALL { WITH p RETURN {a: p.age} AS m "
+        "UNION WITH p RETURN {a: p.age} AS m } "
+        "RETURN count(*) AS c",
+        [(3,)]),
     TCK("call-subquery-union-then-aggregate-outside",
         "MATCH (p:Person) CALL { WITH p RETURN p.age AS v "
         "UNION ALL WITH p RETURN p.age * 2 AS v } "
