@@ -1154,9 +1154,11 @@ class ExprCompiler:
     def _c_CaseExpr(self, e: CaseExpr) -> Column:
         result = None
         if e.operand is not None:
-            op = self.col(e.operand)
             for cond_ast, val_ast in e.whens:
-                cond = op == self.col(cond_ast)
+                # route through the full comparison machinery: dynamic
+                # (mixed-type) operands encode, cross-type WHENs are
+                # false instead of an analysis error
+                cond = self._c_Cmp(Cmp(e.operand, [("=", cond_ast)]))
                 val = self.col(val_ast)
                 result = F.when(cond, val) if result is None else result.when(cond, val)
         else:

@@ -241,3 +241,18 @@ def test_decode_handles_dotted_output_name(eng):
         "WITH {a: x} AS m RETURN m.a"
     ).collect()
     assert [tuple(r) for r in rows] == [(1,)]
+
+
+def test_simple_case_over_dynamic_operand(eng):
+    """Simple CASE routes its operand equality through the comparison
+    machinery: a dynamic operand encodes (no analysis crash), and a
+    cross-type WHEN is false rather than an error."""
+    rows = eng.execute(
+        "UNWIND [1, 'a'] AS x RETURN "
+        "CASE x WHEN 1 THEN 'one' ELSE 'other' END AS c ORDER BY c"
+    ).collect()
+    assert [r["c"] for r in rows] == ["one", "other"]
+    r = eng.execute(
+        "RETURN CASE 'a' WHEN 1 THEN 'num' WHEN 'a' THEN 'str' END AS c"
+    ).collect()[0]
+    assert r["c"] == "str"
