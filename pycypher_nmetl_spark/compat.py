@@ -181,9 +181,13 @@ NEO4J_COMPAT_NOTES: dict[str, dict[str, Any]] = {
     "UNION": {"supported": True, "notes": "UNION and UNION ALL; mixing both in one query is rejected."},
     "CALL procedure": {"supported": True, "notes": "Table-valued procedures with YIELD (db.labels, algo.* etc.); user procedures registrable."},
     "CALL subquery": {
-        "supported": False,
-        "notes": "CALL { ... } subqueries are not implemented.",
-        "workaround": "Restructure as WITH-chained clauses or run as separate queries via execute_many.",
+        "supported": True,
+        "notes": (
+            "CALL { [WITH imports] ... RETURN ... } with per-invocation "
+            "aggregation/DISTINCT/SKIP/LIMIT, nesting, and UNION [ALL] "
+            "between branches (each branch with its own importing WITH). "
+            "Writes inside the subquery are not supported."
+        ),
     },
     "shortestPath": {"supported": True, "notes": "shortestPath and allShortestPaths, including lower bounds > 1."},
     "Variable-length paths": {"supported": True, "notes": "[*m..n] with edge-uniqueness; unbounded capped at 20 hops (configurable)."},

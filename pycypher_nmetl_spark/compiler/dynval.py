@@ -9,7 +9,8 @@ Python objects); a Spark-first engine needs an explicit encoding.
 
 Heterogeneous SCALAR values are encoded as a tagged struct::
 
-    struct<__cyr int, __cys string, __cyb boolean, __cyd double>
+    struct<__cyr int, __cys string, __cyb boolean,
+           __cyd double, __cyl long, __cyt timestamp>
 
 whose field order makes Spark's native lexicographic struct comparison
 EXACTLY the openCypher global sort order — so ``ORDER BY``, ``min``,
@@ -23,14 +24,26 @@ never match), while ``<``/``<=``/``>``/``>=`` across value types is
 NULL — :func:`dyn_order_cmp` guards the native struct comparison with a
 same-rank check.
 
-Scope: strings, booleans, numbers, and null. Numbers normalize to
-DOUBLE (so ``1`` and ``1.0`` encode identically, matching Cypher's
-cross-numeric equality; longs beyond 2^53 lose precision — documented
-divergence). Lists/maps/entities/temporals inside a heterogeneous list
-keep today's native-array behavior. Dynamic columns are decoded back to
-plain Spark types at RETURN time (engine._decode_dyn_outputs) when all
-runtime values share one rank; truly mixed OUTPUT columns raise — a
-DataFrame column cannot hold two types.
+Scope: strings, booleans, numbers, temporals (date / datetime), and
+null. Numbers normalize to DOUBLE in ``__cyd`` plus an exact-long
+CORRECTION in ``__cyl`` (``v - long(double(v))``, 0 for floats): two
+numbers compare equal iff numerically equal — including longs beyond
+2^53, whose double images collapse — and the (double, correction) pair
+orders exactly like the real values because round-to-nearest is
+monotone. The only blind spot is |v| within ~2^10 of 2^63, where the
+double image saturates past the long range (the correction is clamped
+to match Spark's saturating double->long cast). Temporals store in
+``__cyt`` (dates cast to midnight timestamps; rank disambiguates
+decode). datetime and localdatetime share one rank — the compiler's
+kind vocabulary does not split them (documented divergence from the
+spec's DATETIME < LOCALDATETIME).
+
+Lists/maps/entities inside a heterogeneous list keep today's
+native-array behavior. Dynamic columns are decoded back to plain Spark
+types at RETURN time (engine._decode_dyn_outputs) when all runtime
+values share one rank; truly mixed OUTPUT columns decode per-row to
+Python objects at action time (engine.run/collect) and raise only for
+callers who demand a typed DataFrame.
 """
 
 from __future__ import annotations
@@ -40,8 +53,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # openCypher ascending global sort order (CIP comparability/orderability):
-# … < STRING < BOOLEAN < NUMBER < null. Gaps allow later insertions
-# (temporals sort before strings in the full spec).
+# … < DATETIME < DATE < STRING < BOOLEAN < NUMBER < null. Gaps allow
+# later insertions (lists/paths sort before temporals in the full spec;
+# 5 is reserved for a localdatetime split).
+RANK_DATETIME = 4
+RANK_DATE = 6
 RANK_STRING = 10
 RANK_BOOL = 20
 RANK_NUMBER = 30
@@ -54,11 +70,18 @@ DYN_TYPE = T.StructType(
         T.StructField("__cys", T.StringType()),
         T.StructField("__cyb", T.BooleanType()),
         T.StructField("__cyd", T.DoubleType()),
+        T.StructField("__cyl", T.LongType()),
+        T.StructField("__cyt", T.TimestampType()),
     ]
 )
 
 #: static kinds (compiler/exprs.py vocabulary) encodable as dynamic
-ENCODABLE_KINDS = frozenset({"string", "bool", "int", "float", "null"})
+ENCODABLE_KINDS = frozenset(
+    {"string", "bool", "int", "float", "null", "date", "timestamp"}
+)
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
 
 
 def is_dyn(dt: T.DataType) -> bool:
@@ -70,18 +93,26 @@ def is_dyn(dt: T.DataType) -> bool:
     )
 
 
-def _pack(rank, s, b, d) -> Column:
+def _pack(rank, s, b, d, l=None, t=None) -> Column:
     return F.struct(
         rank.alias(_MARKER),
         s.alias("__cys"),
         b.alias("__cyb"),
         d.alias("__cyd"),
+        (l if l is not None else _NULL_L).alias("__cyl"),
+        (t if t is not None else _NULL_T).alias("__cyt"),
     )
 
 
 _NULL_S = F.lit(None).cast("string")
 _NULL_B = F.lit(None).cast("boolean")
 _NULL_D = F.lit(None).cast("double")
+_NULL_L = F.lit(None).cast("long")
+_NULL_T = F.lit(None).cast("timestamp")
+
+
+def _num_pack(d: Column, corr: Column) -> Column:
+    return _pack(F.lit(RANK_NUMBER), _NULL_S, _NULL_B, d, l=corr)
 
 
 def encode_kind(col: Column, kind: str) -> Column | None:
@@ -91,8 +122,25 @@ def encode_kind(col: Column, kind: str) -> Column | None:
         enc = _pack(F.lit(RANK_STRING), col, _NULL_B, _NULL_D)
     elif kind == "bool":
         enc = _pack(F.lit(RANK_BOOL), _NULL_S, col, _NULL_D)
-    elif kind in ("int", "float"):
-        enc = _pack(F.lit(RANK_NUMBER), _NULL_S, _NULL_B, col.cast("double"))
+    elif kind == "int":
+        # exact-long correction: double->long cast saturates at the long
+        # range (matches the Python-side clamp in encode_py)
+        d = col.cast("double")
+        enc = _num_pack(d, col.cast("long") - d.cast("long"))
+    elif kind == "float":
+        enc = _num_pack(col.cast("double"), F.lit(0).cast("long"))
+    elif kind == "date":
+        enc = _pack(
+            F.lit(RANK_DATE), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
+    elif kind == "timestamp":
+        # covers datetime AND localdatetime (one rank; NTZ casts are
+        # instant-preserving under the engine's UTC session)
+        enc = _pack(
+            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
     elif kind == "null":
         return F.lit(None).cast(DYN_TYPE)
     elif kind == "dyn":
@@ -104,14 +152,31 @@ def encode_kind(col: Column, kind: str) -> Column | None:
 
 def encode_py(v) -> Column | None:
     """Encode a Python literal as a dynamic value (for IN-list probes)."""
+    import datetime as _dt
+
     if v is None:
         return F.lit(None).cast(DYN_TYPE)
     if isinstance(v, bool):
         return _pack(F.lit(RANK_BOOL), _NULL_S, F.lit(v), _NULL_D)
     if isinstance(v, str):
         return _pack(F.lit(RANK_STRING), F.lit(v), _NULL_B, _NULL_D)
-    if isinstance(v, (int, float)):
-        return _pack(F.lit(RANK_NUMBER), _NULL_S, _NULL_B, F.lit(float(v)))
+    if isinstance(v, int):
+        # mirror encode_kind's saturating correction exactly (Python's
+        # int(float(v)) does NOT saturate — clamp to the long range)
+        t = max(min(int(float(v)), _LONG_MAX), _LONG_MIN)
+        return _num_pack(F.lit(float(v)), F.lit(v - t).cast("long"))
+    if isinstance(v, float):
+        return _num_pack(F.lit(v), F.lit(0).cast("long"))
+    if isinstance(v, _dt.datetime):
+        return _pack(
+            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=F.lit(v).cast("timestamp"),
+        )
+    if isinstance(v, _dt.date):
+        return _pack(
+            F.lit(RANK_DATE), _NULL_S, _NULL_B, _NULL_D,
+            t=F.lit(v).cast("timestamp"),
+        )
     return None
 
 
@@ -134,11 +199,13 @@ def dyn_to_string(col: Column) -> Column:
     (strings pass through, booleans print true/false, numbers print
     without a trailing .0 when integral — ints lose their int-ness in
     the double-normalized encoding, so 2.0 also prints '2'; documented
-    divergence). Null in -> null out."""
+    divergence; temporals use the native string cast, matching the
+    engine's plain toString). Null in -> null out."""
     d = col["__cyd"]
     as_long = d.try_cast("long")
     num = F.when(
-        (d == F.floor(d)) & as_long.isNotNull(), as_long.cast("string")
+        (d == F.floor(d)) & as_long.isNotNull(),
+        (as_long + F.coalesce(col["__cyl"], F.lit(0))).cast("string"),
     ).otherwise(d.cast("string"))
     return (
         F.when(col[_MARKER] == RANK_STRING, col["__cys"])
@@ -147,6 +214,8 @@ def dyn_to_string(col: Column) -> Column:
             F.when(col["__cyb"], F.lit("true")).otherwise(F.lit("false")),
         )
         .when(col[_MARKER] == RANK_NUMBER, num)
+        .when(col[_MARKER] == RANK_DATE, col["__cyt"].cast("date").cast("string"))
+        .when(col[_MARKER] == RANK_DATETIME, col["__cyt"].cast("string"))
     )
 
 
@@ -161,9 +230,49 @@ def decoded(col: Column, ranks: set[int], integral: bool) -> Column:
         return col["__cyb"]
     if ranks == {RANK_NUMBER}:
         d = col["__cyd"]
-        return d.cast("long") if integral else d
+        if integral:
+            # exact long: double image + stored correction
+            return d.cast("long") + F.coalesce(col["__cyl"], F.lit(0))
+        return d
+    if ranks == {RANK_DATE}:
+        return col["__cyt"].cast("date")
+    if ranks == {RANK_DATETIME}:
+        return col["__cyt"]
     raise NotImplementedError(
         "result column holds values of multiple types "
         f"(ranks {sorted(ranks)}); a DataFrame column is mono-typed — "
         "project a single type (e.g. toString(...)) before RETURN"
     )
+
+
+#: rank -> dyn struct field + Python decoder, for per-row decoding of
+#: truly mixed output columns at action time (engine.run/collect)
+def decode_py(row_struct):
+    """Decode one dyn struct (a pyspark Row or None) to its Python value.
+
+    Numbers come back as int when the double image is integral and a
+    correction is stored (exact even beyond 2^53), else float; the
+    int/float split at whole floats mirrors `decoded`'s column-level
+    integral heuristic applied per value (documented divergence: a
+    float-typed 2.0 decodes as 2)."""
+    if row_struct is None:
+        return None
+    rank = row_struct[0]
+    if rank == RANK_STRING:
+        return row_struct[1]
+    if rank == RANK_BOOL:
+        return row_struct[2]
+    if rank == RANK_NUMBER:
+        d = row_struct[3]
+        if d is None:
+            return None
+        corr = row_struct[4] or 0
+        if abs(d) < 2**63 and d == int(d):
+            return int(d) + corr
+        return d
+    if rank == RANK_DATE:
+        t = row_struct[5]
+        return t.date() if t is not None else None
+    if rank == RANK_DATETIME:
+        return row_struct[5]
+    return None

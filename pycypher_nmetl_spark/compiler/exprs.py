@@ -23,6 +23,7 @@ via ``subst`` (an id(ast-node) -> column-name map).
 
 from __future__ import annotations
 
+import datetime
 import functools
 from typing import Any
 
@@ -201,7 +202,8 @@ def lit_value(value: Any) -> Column:
             if v is not None
         }
         scalar_only = all(
-            v is None or isinstance(v, (str, bool, int, float))
+            v is None
+            or isinstance(v, (str, bool, int, float, datetime.date))
             for v in value
         )
         if len(buckets) > 1 and scalar_only:
@@ -534,7 +536,9 @@ class ExprCompiler:
                 buckets = {
                     "num" if k in ("int", "float") else k for k in ks
                 }
-                if buckets and buckets <= {"num", "string", "bool", "dyn"}:
+                if buckets and buckets <= {
+                    "num", "string", "bool", "dyn", "date", "timestamp"
+                }:
                     return "dyn"
             return u
         if isinstance(e, _P):
@@ -741,7 +745,26 @@ class ExprCompiler:
             # from tracked kinds (free); only truly-unknown pairs pay a
             # driver-side analyzer probe — the probe is O(plan size), so
             # per-comparison probing was real latency on deep plans.
-            if not self.lambda_vars:
+            if self.lambda_vars:
+                # lambda scope: the frame can't be analyzer-probed (a
+                # lambda variable is unresolvable outside its HOF), but
+                # the TRACKED kinds still decide — a dyn-encoded element
+                # (e.g. x in [x IN [1,'a'] WHERE x > 0]) compared
+                # natively is an analysis error (struct vs literal), and
+                # cross-type pairs must follow Cypher's rules, not SQL
+                # coercion. Unknown kinds keep the native comparison
+                # (today's behavior); vs a dyn side they fall to
+                # cross-type semantics — the probe-free approximation.
+                lk, rk = self._static_kind(left_ast), self._static_kind(rhs_ast)
+                if "dyn" in (lk, rk):
+                    cond = self._dyn_cmp(op, left, right, lk, rk, probe=False)
+                else:
+                    dec = _statically_comparable(lk, rk)
+                    if dec == "cross":
+                        cond = self._cross_type_cmp(op, left, right)
+                    elif dec is False:
+                        cond = F.lit(None).cast("boolean")
+            else:
                 lk, rk = self._static_kind(left_ast), self._static_kind(rhs_ast)
                 if lk == "array" and rk == "array":
                     # element kinds decide statically where possible;
@@ -799,18 +822,23 @@ class ExprCompiler:
         except Exception:  # noqa: BLE001
             return lk, rk
 
-    def _dyn_cmp(self, op: str, l: Column, r: Column, lk, rk) -> Column:
+    def _dyn_cmp(
+        self, op: str, l: Column, r: Column, lk, rk, probe: bool = True
+    ) -> Column:
         """Comparison where at least one side is a dynamic value: encode
         the other side, then native struct equality (cross-rank = false,
         exactly Cypher's cross-type rule) or rank-guarded ordering
         (cross-rank ordering = null). A side whose kind can't encode
-        (map/array/entity/temporal) is a different VALUE TYPE from any
-        runtime scalar the dynamic side can hold -> cross-type rules."""
+        (map/array/entity) is a different VALUE TYPE from any runtime
+        scalar the dynamic side can hold -> cross-type rules. ``probe``
+        is off inside lambda scope, where the analyzer can't resolve
+        lambda variables."""
         from pycypher_nmetl_spark.compiler.dynval import (
             dyn_order_cmp, encode_kind,
         )
 
-        lk, rk = self._probe_pair_kinds(l, r, lk, rk)
+        if probe:
+            lk, rk = self._probe_pair_kinds(l, r, lk, rk)
         le = encode_kind(l, lk or "")
         re_ = encode_kind(r, rk or "")
         if le is None or re_ is None:
@@ -929,7 +957,10 @@ class ExprCompiler:
         probing can't analyze the expression) a literal element list
         falls back to a runtime `typeof`-guarded ternary OR."""
         item = self.col(e.item)
-        ik = self._static_kind(e.item) if not self.lambda_vars else None
+        # _static_kind is lambda-aware (lambda_kinds), so a dyn-encoded
+        # lambda element (x IN ... inside [x IN [1,'a'] | ...]) routes
+        # through the dyn paths instead of a native struct comparison
+        ik = self._static_kind(e.item)
         if ik is None and not self.lambda_vars:
             probed = _dtype_kind(self.bindings.dtype(item))
             # a failed probe reports NullType -> "null"; the native
@@ -984,11 +1015,7 @@ class ExprCompiler:
                 return self._runtime_in_literals(item, vals)
             return item.isin(vals)
         coll = self.col(e.collection)
-        ek = (
-            self._static_elem_kind(e.collection)
-            if not self.lambda_vars
-            else None
-        )
+        ek = self._static_elem_kind(e.collection)
         if ek is None and not self.lambda_vars:
             cdt = self.bindings.dtype(coll)
             if isinstance(cdt, T.ArrayType):
@@ -1152,8 +1179,44 @@ class ExprCompiler:
         return F.when(length == 0, F.slice(xs, 1, 0)).otherwise(F.slice(xs, lo + 1, length))
 
     def _c_CaseExpr(self, e: CaseExpr) -> Column:
+        from pycypher_nmetl_spark.engine import _ast_nondeterministic
+
         result = None
         if e.operand is not None:
+            if _ast_nondeterministic(e.operand):
+                # CASE rand() WHEN ...: the operand must be evaluated
+                # ONCE per row — expanding it into each WHEN's Cmp would
+                # draw a fresh rand() per branch. Bind it as a HOF
+                # lambda element (array(op) evaluates the operand once;
+                # every reference to the lambda variable sees that one
+                # value), then run the normal WHEN chain over the bound
+                # variable. Interpreted (not codegen) — acceptable for
+                # the rare nondeterministic-operand shape only.
+                opc = self.col(e.operand)
+                ok = self._static_kind(e.operand)
+
+                def _chain(bound: Column) -> Column:
+                    res = None
+                    for cond_ast, val_ast in e.whens:
+                        cond = self._with_lambda(
+                            "__case_op",
+                            bound,
+                            lambda ca=cond_ast: self._c_Cmp(
+                                Cmp(Var("__case_op"), [("=", ca)])
+                            ),
+                            ok,
+                        )
+                        val = self.col(val_ast)
+                        res = (
+                            F.when(cond, val)
+                            if res is None
+                            else res.when(cond, val)
+                        )
+                    if e.default is not None:
+                        res = res.otherwise(self.col(e.default))
+                    return res
+
+                return F.get(F.transform(F.array(opc), _chain), 0)
             for cond_ast, val_ast in e.whens:
                 # route through the full comparison machinery: dynamic
                 # (mixed-type) operands encode, cross-type WHENs are

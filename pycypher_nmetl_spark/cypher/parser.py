@@ -106,6 +106,10 @@ class Parser:
             self.err(f"unexpected trailing input {self.peek().value!r}")
         if len(branches) == 1:
             return branches[0]
+        if any(alls) and not all(alls):
+            # openCypher (and Neo4j) reject a query mixing the two forms
+            # rather than silently picking one dedup behavior
+            self.err("invalid combination of UNION and UNION ALL")
         return UnionQuery(branches, alls)
 
     def parse_single_query(self) -> Query:
@@ -228,6 +232,10 @@ class Parser:
         self.expect_sym("}")
         if len(branches) == 1:
             return branches[0]
+        if any(alls) and not all(alls):
+            # same rule as top-level UNION: mixing the two forms is a
+            # syntax error, never a silent dedup
+            self.err("invalid combination of UNION and UNION ALL")
         return CallSubquery(
             [], (), False, branches=branches, alls=tuple(alls)
         )

@@ -74,12 +74,26 @@ def _canon_key(col, dt):
     return col
 
 
-def _plan_deterministic(df) -> bool:
+#: tri-state per-process cache: can we introspect analyzed plans via
+#: _jdf at all? (False on Spark Connect, where Datasets have no _jdf)
+_PLAN_INTROSPECTION_OK: bool | None = None
+
+
+def _plan_deterministic(df, fallback: bool = False) -> bool:
     """True when every node of the frame's analyzed logical plan holds
     only deterministic expressions. A frame containing rand()/uuid()
     columns is evaluated INDEPENDENTLY on the two sides of a self-join,
     so any derived 'deterministic' carry key silently mismatches — such
-    frames must go through the checkpointed-id path instead."""
+    frames must go through the checkpointed-id path instead.
+
+    When plan introspection is unavailable (Spark Connect has no _jdf;
+    py4j API drift), the answer falls back to ``fallback`` — the
+    caller's AST-level determinism knowledge — instead of pessimizing
+    EVERY subquery onto the checkpointed-id path. The first failure is
+    cached per-process so later calls skip the exception entirely."""
+    global _PLAN_INTROSPECTION_OK
+    if _PLAN_INTROSPECTION_OK is False:
+        return fallback
     try:
         def walk(node) -> bool:
             if not node.deterministic():
@@ -87,9 +101,12 @@ def _plan_deterministic(df) -> bool:
             ch = node.children()
             return all(walk(ch.apply(i)) for i in range(ch.size()))
 
-        return walk(df._jdf.queryExecution().analyzed())
-    except Exception:  # Spark Connect / py4j API drift: assume the worst
-        return False
+        out = walk(df._jdf.queryExecution().analyzed())
+        _PLAN_INTROSPECTION_OK = True
+        return out
+    except Exception:  # Spark Connect / py4j API drift
+        _PLAN_INTROSPECTION_OK = False
+        return fallback
 
 
 def _ast_nondeterministic(obj) -> bool:
@@ -154,6 +171,10 @@ class CypherEngine:
         import threading as _threading
 
         self._deadline_active = _threading.local()
+        # per-thread: did any clause compiled so far in the current query
+        # call a non-deterministic function? (the AST-level fallback for
+        # _plan_deterministic on deployments without plan introspection)
+        self._nondet_seen = _threading.local()
         from pycypher_nmetl_spark.audit import EngineMetrics
 
         self.metrics = EngineMetrics()
@@ -335,7 +356,8 @@ class CypherEngine:
         t0 = _time.perf_counter()
         try:
             if timeout is None:
-                rows = self.execute(cypher, parameters).collect()
+                df = self.execute(cypher, parameters, _mixed_ok=True)
+                rows = self._decode_mixed_rows(df, df.collect())
             else:
                 from pycypher_nmetl_spark.guards import deadline
 
@@ -347,7 +369,8 @@ class CypherEngine:
                 )
                 try:
                     with deadline(self.spark, timeout):
-                        rows = self.execute(cypher, parameters).collect()
+                        df = self.execute(cypher, parameters, _mixed_ok=True)
+                        rows = self._decode_mixed_rows(df, df.collect())
                 finally:
                     self._deadline_active.depth -= 1
         except Exception as e:
@@ -382,6 +405,7 @@ class CypherEngine:
         parameters: dict[str, Any] | None = None,
         *,
         _prefix: "tuple[int, Bindings] | None" = None,
+        _mixed_ok: bool = False,
     ) -> DataFrame:
         """Compile and return the result DataFrame (lazy; caller acts).
 
@@ -437,7 +461,7 @@ class CypherEngine:
             else:
                 result = self._execute_query(ast, params, prefix=_prefix)
                 mutated = any(isinstance(c, MUTATION_CLAUSES) for c in ast.clauses)
-            result = self._decode_dyn_outputs(result)
+            result = self._decode_dyn_outputs(result, mixed_ok=_mixed_ok)
         except Exception as e:
             self.metrics.inc("queries_failed")
             audit_event(
@@ -453,13 +477,52 @@ class CypherEngine:
             "compile", cypher, status="ok",
             elapsed_ms=(_time.perf_counter() - t0) * 1000, parameters=params,
         )
-        if key is not None and not mutated:
+        if (
+            key is not None
+            and not mutated
+            and getattr(result, "_cy_mixed", None) is None
+        ):
             # cache the compiled lazy plan (not rows): hits skip parse +
-            # compile; reads stay distributed (reference: result_cache.py)
+            # compile; reads stay distributed (reference: result_cache.py).
+            # Mixed-output frames are NOT cached: they carry a per-row
+            # decode tag a plain execute() of the same text must not see
             self.cache.put(key, result, self.catalog.data_epoch)
         return result
 
-    def _decode_dyn_outputs(self, df: DataFrame) -> DataFrame:
+    @staticmethod
+    def _decode_mixed_rows(df: DataFrame, rows: list) -> list:
+        """Per-row decode of truly mixed (dyn-encoded) output columns,
+        applied AFTER collect — Python rows hold heterogeneous values
+        happily, so ``UNWIND [1,'a',true] AS x RETURN x`` round-trips
+        like the reference's pandas object columns. No-op (identity,
+        zero cost) unless _decode_dyn_outputs tagged the frame."""
+        mixed = getattr(df, "_cy_mixed", None)
+        if not mixed or not rows:
+            return rows
+        from pyspark.sql import Row
+
+        from pycypher_nmetl_spark.compiler.dynval import decode_py
+
+        fields = list(rows[0].__fields__)
+        maker = Row(*fields)
+        idx = {name: fields.index(name) for name in mixed}
+        out = []
+        for r in rows:
+            vals = list(r)
+            for name, kind in mixed.items():
+                v = vals[idx[name]]
+                if kind == "array":
+                    vals[idx[name]] = (
+                        None if v is None else [decode_py(e) for e in v]
+                    )
+                else:
+                    vals[idx[name]] = decode_py(v)
+            out.append(maker(*vals))
+        return out
+
+    def _decode_dyn_outputs(
+        self, df: DataFrame, mixed_ok: bool = False
+    ) -> DataFrame:
         """Decode dynamic (mixed-type) result columns back to plain Spark
         types. Dynamic values exist only inside queries that used
         heterogeneous literals (compiler/dynval.py); schemas without them
@@ -468,7 +531,12 @@ class CypherEngine:
         Spark job observes which rank(s) its values carry: a single-rank
         column decodes to that type (numbers: long when every value is
         integral, else double); a genuinely mixed output column raises —
-        a DataFrame column cannot hold two types."""
+        a DataFrame column cannot hold two types — unless ``mixed_ok``
+        (the run()/collect() action path, where rows become Python
+        objects anyway and mixed is legal, matching the reference's
+        pandas object columns): the column stays struct-encoded and is
+        tagged on the returned frame (``_cy_mixed``) for per-row decode
+        after collect."""
         from pyspark.sql import types as T
 
         from pycypher_nmetl_spark.compiler.dynval import decoded, is_dyn
@@ -514,17 +582,32 @@ class CypherEngine:
                 ).alias(f"_af{i}")
             )
         row = df.agg(*aggs).first()
+        mixed: dict[str, str] = {}
         for i, c in enumerate(dyn_cols):
-            dec = decoded(
-                _qc(c), set(row[f"_r{i}"] or []), not bool(row[f"_f{i}"])
-            )
+            try:
+                dec = decoded(
+                    _qc(c), set(row[f"_r{i}"] or []), not bool(row[f"_f{i}"])
+                )
+            except NotImplementedError:
+                if not mixed_ok:
+                    raise
+                mixed[c] = "scalar"
+                continue
             df = df.withColumn(c, dec)
         for i, c in enumerate(arr_cols):
             ranks = {r for r in (row[f"_ar{i}"] or []) if r is not None}
             integral = not bool(row[f"_af{i}"])
-            df = df.withColumn(
-                c, F.transform(_qc(c), lambda e: decoded(e, ranks, integral))
-            )
+            try:
+                df = df.withColumn(
+                    c,
+                    F.transform(_qc(c), lambda e: decoded(e, ranks, integral)),
+                )
+            except NotImplementedError:
+                if not mixed_ok:
+                    raise
+                mixed[c] = "array"
+        if mixed:
+            df._cy_mixed = mixed
         return df
 
     def profile(self, cypher: str, parameters: dict[str, Any] | None = None):
@@ -580,7 +663,30 @@ class CypherEngine:
                     if clause.limit is not None:
                         detail += " LIMIT …"
                 lines.append(f"  {name}{detail}")
-        df = self.execute(cypher, parameters)
+        df = self.execute(cypher, parameters, _mixed_ok=True)
+        # result schema header: decode dyn-encoded columns to a readable
+        # type name instead of the raw struct<__cyr,...> encoding — the
+        # first thing a user sees when debugging mixed-type queries
+        from pyspark.sql import types as T
+
+        from pycypher_nmetl_spark.compiler.dynval import is_dyn
+
+        mixed = getattr(df, "_cy_mixed", None) or {}
+
+        def _tyname(f):
+            if f.name in mixed:
+                return "ANY (mixed types; decoded per-row at collect)"
+            if is_dyn(f.dataType):
+                return "ANY (dynamic; decoded at action)"
+            if isinstance(f.dataType, T.ArrayType) and is_dyn(
+                f.dataType.elementType
+            ):
+                return "LIST<ANY> (dynamic elements)"
+            return f.dataType.simpleString()
+
+        lines.append("== Result schema ==")
+        for f in df.schema.fields:
+            lines.append(f"  {f.name}: {_tyname(f)}")
         jqe = df._jdf.queryExecution()
         mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -1042,6 +1148,11 @@ class CypherEngine:
         # clause metrics; here "execution" is lazy so this measures the
         # driver-side compile + any eager mutation actions)
         self.last_compile_report: list[tuple[str, float]] = []
+        if initial is None:
+            # fresh query scope: reset the per-thread AST-nondeterminism
+            # marker (share_scans seeds keep the seeding query's flag —
+            # conservative, and the seed is a MATCH run anyway)
+            self._nondet_seen.flag = False
         bindings = initial if initial is not None else Bindings.unit(self.spark)
         for clause in clauses:
             t0 = time.perf_counter()
@@ -1058,6 +1169,10 @@ class CypherEngine:
 
     def _run_clause(self, clause, bindings, params, mutations):
         """Dispatch one clause; returns (new_bindings, result_df_or_None)."""
+        if not getattr(self._nondet_seen, "flag", False) and (
+            _ast_nondeterministic(clause)
+        ):
+            self._nondet_seen.flag = True
         if isinstance(clause, Match):
             return compile_match(self, bindings, clause, params), None
         if isinstance(clause, Projection):
@@ -1083,6 +1198,102 @@ class CypherEngine:
         raise NotImplementedError(f"clause {type(clause).__name__}")
 
     # ------------------------------------------------------------------ #
+    def _subquery_carry_key(
+        self, bindings: Bindings, imports, body_nondet: bool
+    ):
+        """Shared CALL { } carry-key machinery (single-branch and UNION
+        compilers — round-11 deferred dedup, now extracted): validate
+        imports, then build the hidden per-invocation key ``__cq<depth>``.
+
+        The key is DETERMINISTIC whenever possible — a struct of the
+        imported variables' columns (maps canonicalized to sorted
+        entries) plus enclosing carry keys — so invocation classes dedup
+        and each class evaluates once. Only when the body or the outer
+        frame is non-deterministic does it fall back to
+        monotonically_increasing_id over a localCheckpoint (per-row
+        granularity, Neo4j's semantics for such bodies). On deployments
+        without plan introspection (Spark Connect), outer-frame
+        determinism falls back to the per-thread AST marker instead of
+        pessimizing every subquery onto the checkpoint path.
+
+        Returns (key, outer_df, outer_bindings, import_cols, enclosing,
+        inner_df) where inner_df is the key+imports frame, deduped per
+        invocation class when the key is deterministic."""
+        depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
+        key = f"__cq{depth}"
+        missing = [v for v in imports if v not in bindings.vars]
+        if missing:
+            raise ValueError(
+                f"CALL subquery imports undefined variable(s): {missing}"
+            )
+        import_cols = [c for v in imports for c in bindings.var_columns(v)]
+        enclosing = [v for v in bindings.vars if v.startswith("__cq")]
+        key_src = list(dict.fromkeys(import_cols + enclosing))
+        schema = {f.name: f.dataType for f in bindings.df.schema.fields}
+        nondet = body_nondet or not _plan_deterministic(
+            bindings.df,
+            fallback=not getattr(self._nondet_seen, "flag", False),
+        )
+        if nondet:
+            key_col = None
+        elif not key_src:
+            # uncorrelated subquery: one invocation class for the whole
+            # frame — it will be evaluated exactly once
+            key_col = F.lit(0)
+        else:
+            key_col = F.struct(
+                *[
+                    _canon_key(F.col(c), schema[c]).alias(f"_k{i}")
+                    for i, c in enumerate(key_src)
+                ]
+            )
+        if key_col is not None:
+            outer_df = bindings.df.withColumn(key, key_col)
+            self._last_subquery_path = "struct-key"
+        else:
+            # synthetic per-row id; checkpoint so both sides of the
+            # re-join see the same (non-deterministic) ids
+            outer_df = bindings.df.withColumn(
+                key, F.monotonically_increasing_id()
+            ).localCheckpoint()
+            self._last_subquery_path = "checkpoint"
+        outer = Bindings(
+            outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
+        )
+        keep_cols = [key] + import_cols + list(enclosing)
+        inner_df = outer_df.select(*dict.fromkeys(keep_cols))
+        if key_col is not None:
+            # deterministic key: dedup on the KEY alone (it canonically
+            # covers every other inner column — distinct() would choke
+            # on map-typed satellites, which Spark cannot compare)
+            inner_df = inner_df.dropDuplicates([key])
+        return key, outer_df, outer, import_cols, enclosing, inner_df
+
+    @staticmethod
+    def _apply_empty_agg_identities(df, items, exported):
+        """Neo4j's empty-aggregate identities for a pure-aggregate CALL
+        { } RETURN re-joined from the key universe: an invocation over
+        zero rows still aggregates — count -> 0, sum -> 0, collect -> []
+        (avg/min/max stay null, Neo4j's answer for those)."""
+        for it, name in zip(items, exported):
+            fn = getattr(it.expr, "name", "")
+            fn = fn.lower() if isinstance(fn, str) else ""
+            dt = df.schema[name].dataType
+            if (
+                fn in ("count", "countstar")
+                or type(it.expr).__name__ == "CountStar"
+            ):
+                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+            elif fn == "sum":
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0).cast(dt))
+                )
+            elif fn == "collect":
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.array().cast(dt))
+                )
+        return df
+
     def _compile_call_subquery_union(
         self, bindings: Bindings, clause: CallSubquery, params: dict, mutations
     ) -> Bindings:
@@ -1115,54 +1326,16 @@ class CypherEngine:
             if not (isinstance(last, Projection) and last.is_return):
                 raise ValueError("CALL { } subquery must end with RETURN")
 
-        depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
-        key = f"__cq{depth}"
         all_imports = list(
             dict.fromkeys(v for br in branches for v in br.imports)
         )
-        missing = [v for v in all_imports if v not in bindings.vars]
-        if missing:
-            raise ValueError(
-                f"CALL subquery imports undefined variable(s): {missing}"
+        key, outer_df, outer, _import_cols, enclosing, inner_df = (
+            self._subquery_carry_key(
+                bindings,
+                all_imports,
+                any(_ast_nondeterministic(br.clauses) for br in branches),
             )
-        import_cols = [
-            c for v in all_imports for c in bindings.var_columns(v)
-        ]
-        enclosing = [v for v in bindings.vars if v.startswith("__cq")]
-        key_src = list(dict.fromkeys(import_cols + enclosing))
-        schema = {f.name: f.dataType for f in bindings.df.schema.fields}
-        nondet = any(
-            _ast_nondeterministic(br.clauses) for br in branches
-        ) or not _plan_deterministic(bindings.df)
-        if nondet:
-            key_col = None
-        elif not key_src:
-            key_col = F.lit(0)
-        else:
-            key_col = F.struct(
-                *[
-                    _canon_key(F.col(c), schema[c]).alias(f"_k{i}")
-                    for i, c in enumerate(key_src)
-                ]
-            )
-        if key_col is not None:
-            outer_df = bindings.df.withColumn(key, key_col)
-            self._last_subquery_path = "struct-key"
-        else:
-            outer_df = bindings.df.withColumn(
-                key, F.monotonically_increasing_id()
-            ).localCheckpoint()
-            self._last_subquery_path = "checkpoint"
-        outer = Bindings(
-            outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
         )
-
-        keep_cols = [key] + import_cols
-        for v in enclosing:
-            keep_cols.append(v)
-        inner_df = outer_df.select(*dict.fromkeys(keep_cols))
-        if key_col is not None:
-            inner_df = inner_df.dropDuplicates([key])
         key_universe = inner_df.select(key)
 
         exported0: list[str] | None = None
@@ -1210,25 +1383,9 @@ class CypherEngine:
                 # zero-row invocation still aggregates: restore the key
                 # then apply the empty-aggregate identities
                 b_df = key_universe.join(b_df, key, "left")
-                for it, name in zip(last.items, exported):
-                    fn = getattr(it.expr, "name", "")
-                    fn = fn.lower() if isinstance(fn, str) else ""
-                    dt = b_df.schema[name].dataType
-                    if (
-                        fn in ("count", "countstar")
-                        or type(it.expr).__name__ == "CountStar"
-                    ):
-                        b_df = b_df.withColumn(
-                            name, F.coalesce(F.col(name), F.lit(0))
-                        )
-                    elif fn == "sum":
-                        b_df = b_df.withColumn(
-                            name, F.coalesce(F.col(name), F.lit(0).cast(dt))
-                        )
-                    elif fn == "collect":
-                        b_df = b_df.withColumn(
-                            name, F.coalesce(F.col(name), F.array().cast(dt))
-                        )
+                b_df = self._apply_empty_agg_identities(
+                    b_df, last.items, exported
+                )
             union_df = b_df if union_df is None else union_df.unionByName(b_df)
         if not all(clause.alls):
             # dedup via a canonical struct so map-typed exports (which
@@ -1313,72 +1470,23 @@ class CypherEngine:
         if not (isinstance(last, Projection) and last.is_return):
             raise ValueError("CALL { } subquery must end with RETURN")
 
-        depth = sum(1 for v in bindings.vars if v.startswith("__cq"))
-        key = f"__cq{depth}"
-        missing = [v for v in clause.imports if v not in bindings.vars]
-        if missing:
-            raise ValueError(
-                f"CALL subquery imports undefined variable(s): {missing}"
-            )
-        import_cols = [
-            c for v in clause.imports for c in bindings.var_columns(v)
-        ]
-        enclosing = [v for v in bindings.vars if v.startswith("__cq")]
-        key_src = list(dict.fromkeys(import_cols + enclosing))
-        schema = {f.name: f.dataType for f in bindings.df.schema.fields}
         # Both the outer frame and the subquery body must be deterministic
         # for the shared-key design (outer_df is evaluated independently
         # on the two sides of the re-join; dedup of invocation classes
         # assumes the body yields identical results for identical
         # imports). rand()/uuid() on either side -> checkpointed-id path.
-        nondet = _ast_nondeterministic(body) or not _plan_deterministic(
-            bindings.df
-        )
-        if nondet:
-            key_col = None
-        elif not key_src:
-            # uncorrelated subquery: one invocation class for the whole
-            # frame — it will be evaluated exactly once
-            key_col = F.lit(0)
-        else:
-            # map-typed imports get a canonical (sorted-entries) form so
-            # the key stays join-comparable — no checkpoint needed
-            key_col = F.struct(
-                *[
-                    _canon_key(F.col(c), schema[c]).alias(f"_k{i}")
-                    for i, c in enumerate(key_src)
-                ]
+        key, outer_df, outer, _import_cols, enclosing, inner_df = (
+            self._subquery_carry_key(
+                bindings, clause.imports, _ast_nondeterministic(body)
             )
-        if key_col is not None:
-            outer_df = bindings.df.withColumn(key, key_col)
-            self._last_subquery_path = "struct-key"
-        else:
-            # fallback: synthetic per-row id; checkpoint so both sides of
-            # the re-join see the same (non-deterministic) ids
-            outer_df = bindings.df.withColumn(
-                key, F.monotonically_increasing_id()
-            ).localCheckpoint()
-            self._last_subquery_path = "checkpoint"
-        outer = Bindings(
-            outer_df, {**bindings.vars, key: VarInfo("value", anon=True)}
         )
-
-        # inner scope: carry key + imported vars (with satellite columns)
-        keep_cols = [key] + import_cols
+        # inner scope: carry key + imported vars (with satellite columns);
+        # carry keys of ENCLOSING subqueries ride along too (nesting)
         inner_vars = {key: VarInfo("value", anon=True)}
         for v in clause.imports:
             inner_vars[v] = outer.vars[v]
-        # carry keys of ENCLOSING subqueries ride along too (nesting)
         for v in enclosing:
-            keep_cols.append(v)
             inner_vars[v] = bindings.vars[v]
-        inner_df = outer_df.select(*dict.fromkeys(keep_cols))
-        if key_col is not None:
-            # deterministic key: evaluate each invocation class once.
-            # Dedup on the KEY alone (it canonically covers every other
-            # inner column) — distinct() would choke on map-typed
-            # satellite columns, which Spark cannot compare directly.
-            inner_df = inner_df.dropDuplicates([key])
         inner = Bindings(inner_df, inner_vars)
 
         # run the body; final RETURN becomes a WITH so the carry key and
@@ -1416,23 +1524,9 @@ class CypherEngine:
             # only fire when the carry key has at least one inner row;
             # a key with NO row at all comes back from the left join as
             # all-null, so re-apply Neo4j's empty-aggregate identities
-            # here, typed from the joined column (avg/min/max stay null,
-            # which is Neo4j's answer for those):
-            #   count -> 0, sum -> 0, collect -> []
-            for it, name in zip(last.items, exported):
-                fn = getattr(it.expr, "name", "")
-                fn = fn.lower() if isinstance(fn, str) else ""
-                dt = joined.schema[name].dataType
-                if fn in ("count", "countstar") or type(it.expr).__name__ == "CountStar":
-                    joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
-                elif fn == "sum":
-                    joined = joined.withColumn(
-                        name, F.coalesce(F.col(name), F.lit(0).cast(dt))
-                    )
-                elif fn == "collect":
-                    joined = joined.withColumn(
-                        name, F.coalesce(F.col(name), F.array().cast(dt))
-                    )
+            joined = self._apply_empty_agg_identities(
+                joined, last.items, exported
+            )
         out_vars = {**bindings.vars}
         for v in exported:
             out_vars[v] = b.vars.get(v, VarInfo("value"))

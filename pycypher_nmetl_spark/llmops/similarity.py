@@ -674,6 +674,7 @@ def ivf_topk_many(
     id_col: str = "id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k per query for a SET of queries over an IVF
     index (the batched retrieval shape at scale): each query probes only
@@ -688,12 +689,26 @@ def ivf_topk_many(
     exchange is the same per-query top-k window as brute_force_topk_many.
     For 100 TB, repartition/persist `assigned` by `_cluster` once so
     cluster-pruned scans touch only matching files.
+
+    CONTRACT: ``queries`` is a BATCH, not a second corpus — it is
+    collected to the driver to build the probe map, so its size is
+    bounded (1M rows; raise-with-message above). For larger loads,
+    chunk the batch and call per chunk, or reshape as a corpus-x-corpus
+    join (embedding_near_duplicates).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
+    over = queries.limit(max_queries + 1).count()
+    if over > max_queries:
+        raise ValueError(
+            f"ivf_topk_many: query frame exceeds {max_queries:,} rows; "
+            "queries are collected to the driver to build the probe map "
+            "— chunk the batch, or use embedding_near_duplicates for "
+            "corpus-x-corpus retrieval"
+        )
     qrows = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
     ).collect()
@@ -762,6 +777,10 @@ def ivf_topk_many(
 #: the block height adapts so blk * m doubles never exceed it
 _PAIR_SLAB_BYTES = 256 * 1024 * 1024
 
+#: driver-side budget for the hot-cluster stratified fit sample (bytes,
+#: summed across ALL hot clusters in a round — see _split_hot_clusters)
+_FIT_SAMPLE_BYTES = 256 * 1024 * 1024
+
 
 def _effective_block(m: int, block: int) -> int:
     """Block height whose m-wide float64 similarity slab fits the
@@ -828,6 +847,16 @@ def _split_hot_clusters(
     fractions = {
         cid: min(1.0, max(256, 30 * k_subs[cid]) / m) for cid, m in hot
     }
+    # the stratified sample is collected to the DRIVER: cap total bytes
+    # across all hot clusters, not just the cluster count — one round
+    # over 256 hot clusters at k_subs=4096, dim=4096 would otherwise
+    # pull ~GBs. Scale every fraction down proportionally; the Lloyd
+    # fits below already clamp k to the realized sample size.
+    est_rows = sum(fractions[cid] * m for cid, m in hot)
+    est_bytes = est_rows * dim * 8
+    if est_bytes > _FIT_SAMPLE_BYTES:
+        scale = _FIT_SAMPLE_BYTES / est_bytes
+        fractions = {cid: f * scale for cid, f in fractions.items()}
     samp = (
         assigned.filter(F.col("_cluster").isin(list(k_subs)))
         .select(F.col("_cluster").cast("int").alias("_cluster"), vec_col)

@@ -2148,3 +2148,64 @@ def test_semantic_dedup_split_with_nprobe2(spark):
     assert g1 <= g2
     # the split actually happened (more than the 2 fitted clusters)
     assert a2.select("_cluster").distinct().count() > 2
+
+
+# ------------------------- round-12 scale guards -------------------------
+
+def test_ivf_topk_many_query_batch_guard(spark):
+    """ivf_topk_many collects the query frame to the driver (the probe
+    map is built from local centroids) — the batched-retrieval CONTRACT
+    caps |queries|; above the cap it raises with guidance instead of
+    silently pulling a corpus onto the driver."""
+    from pycypher_nmetl_spark.llmops import ivf_build, ivf_topk_many
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(e, "embedding", n_clusters=4, id_col="vec_id")
+    queries = e.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="exceeds 3"):
+        ivf_topk_many(
+            assigned, cents, "embedding", queries, k=3,
+            id_col="vec_id", max_queries=3,
+        )
+    # at/below the cap the call still works
+    ok = ivf_topk_many(
+        assigned, cents, "embedding", queries.limit(3), k=3,
+        id_col="vec_id", max_queries=3,
+    )
+    assert ok.count() > 0
+
+
+def test_hot_cluster_fit_sample_global_byte_cap(spark, monkeypatch):
+    """The hot-cluster stratified fit sample is driver-collected: its
+    TOTAL bytes are capped across all hot clusters (fractions scale
+    down proportionally). Under a squeezed budget the split still
+    separates the planted-skew region and keeps planted dups
+    co-clustered."""
+    import random
+
+    from pycypher_nmetl_spark.llmops import similarity as S
+
+    # ~100 sampled rows' worth of budget at dim 4 float64
+    monkeypatch.setattr(S, "_FIT_SAMPLE_BYTES", 100 * 4 * 8)
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(800):
+        rows.append((i, [rng.uniform(5.0, 15.0), rng.uniform(-5.0, 5.0), 0.0, 1.0]))
+    for j, anchor in enumerate((100, 300)):
+        v = rows[anchor][1]
+        rows.append((2000 + j, [x + rng.uniform(-1e-4, 1e-4) for x in v]))
+    for i in range(3000, 3100):
+        rows.append((i, [-50.0 + rng.uniform(-1, 1), 50.0, 9.0, -3.0]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    pairs, assigned, cents = S.semantic_dedup_pairs(
+        df, "embedding", n_clusters=2, threshold=0.99999,
+        max_cluster_size=200, sample=2000,
+    )
+    # the split still engaged despite the scaled-down sample
+    assert len(cents) > 2
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert {(100, 2000), (300, 2001)} <= got

@@ -959,9 +959,11 @@ SCENARIOS += [
         [(1,), (1,), (2,)]),
     TCK("union-column-name-mismatch-errors",
         "RETURN 1 AS x UNION RETURN 2 AS y", error="column|name"),
-    TCK("union-mixed-all-and-distinct",
+    TCK("union-mixed-all-and-distinct-errors",
+        # openCypher: mixing UNION and UNION ALL in one query is a
+        # syntax error, never a silent pick of one dedup behavior
         "RETURN 1 AS x UNION ALL RETURN 1 AS x UNION RETURN 1 AS x",
-        [(1,)]),
+        error="combination of UNION"),
     # ---------------- Aggregation corners ------------------------------
     TCK("min-max-strings",
         "MATCH (n:Person) RETURN min(n.name) AS a, max(n.name) AS b",
