@@ -64,8 +64,79 @@ BENCH_QUERIES = [
 ]
 
 
+def _wait_for_idle() -> tuple[float, bool]:
+    """Measurement-protocol guard (VERDICT r11 #2).
+
+    BENCH_r11.json was recorded minutes after a 2-hour 32-thread pytest
+    run and read 2.2 s for a 0.77 s-idle engine; the artifact, not the
+    engine, was wrong.  To stop that recurring silently: if the 1-minute
+    load average exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0 — a
+    32-core box with a few percent background activity sits well under
+    that), sleep in 15 s steps for up to SPARK_GRAFT_BENCH_WAIT_S
+    (default 600 s) until it drops.  Returns (load_at_start_of_timing,
+    degraded_flag); both are stamped into the JSON artifact so a
+    reviewer can see the machine state the numbers were taken under.
+    """
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "600"))
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > max_load and waited < max_wait:
+        print(
+            f"bench: 1-min load {load:.2f} > {max_load:.2f}; "
+            f"waiting for idle ({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        load = os.getloadavg()[0]
+    return load, load > max_load
+
+
+def _cpu_calibration() -> float:
+    """Fixed-work single-core CPU probe: median wall time (ms) of a
+    2M-iteration pure-Python integer loop.  Host-level throttling /
+    noisy-neighbor contention that 1-min loadavg cannot see (observed on
+    this box: identical code swinging 0.92 -> 1.97 s total in
+    back-to-back runs at load < 0.3) shows up directly as a higher probe
+    number, so a reviewer can normalize two artifacts taken under
+    different machine states.  ~240 ms on the build machine when quiet;
+    300+ under the contention that degrades query timings.  Pure Python
+    on purpose — BLAS/thread-pool probes measure scheduler luck, not
+    core speed."""
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[len(samples) // 2] * 1000, 2)
+
+
+def _read_proc_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line, or
+    None where unavailable.  Sampled before/after the timed section;
+    the delta-ratio is stamped as steal_pct — hypervisor-level CPU
+    steal is the one machine-state signal that loadavg (other guests
+    don't raise it) and a single-core probe (steal hits the 32-wide
+    Spark stages hardest) both miss."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_1m, degraded = _wait_for_idle()
+    calib_ms = _cpu_calibration()
+    stat_before = _read_proc_stat()
     from pycypher_nmetl_spark import CypherEngine, GraphCatalog, get_spark
 
     spark = get_spark(app_name="bench")
@@ -106,6 +177,15 @@ def main() -> None:
         rows[name] = len(out)
 
     total = round(sum(timings.values()), 4)
+    stat_after = _read_proc_stat()
+    steal_pct = None
+    if stat_before and stat_after and stat_after[1] > stat_before[1]:
+        steal_pct = round(
+            100.0
+            * (stat_after[0] - stat_before[0])
+            / (stat_after[1] - stat_before[1]),
+            2,
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -118,6 +198,20 @@ def main() -> None:
                 "rows": rows,
                 "reps": reps,
                 "min_max": spread,
+                # machine state at timing start (see _wait_for_idle):
+                # load_1m is os.getloadavg()[0]; degraded=True means the
+                # idle wait timed out and these numbers were taken under
+                # external load — treat them as an upper bound only.
+                "load_1m": round(load_1m, 2),
+                "degraded": degraded,
+                # fixed-work single-core probe (ms); ~240 quiet on the
+                # build box.  Scale query times by (240 / calib_ms) to
+                # compare artifacts across machine states.
+                "calib_ms": calib_ms,
+                # hypervisor CPU steal across the timed section (% of
+                # all-core ticks); >2-3% explains multi-x degradation
+                # that loadavg and calib_ms both miss.
+                "steal_pct": steal_pct,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
