@@ -7,10 +7,11 @@ with null largest). The reference engine gets this for free from its
 per-row Python evaluator (reference: comparison_evaluator.py — raw
 Python objects); a Spark-first engine needs an explicit encoding.
 
-Heterogeneous SCALAR values are encoded as a tagged struct::
+Heterogeneous values are encoded as a tagged struct::
 
     struct<__cyr int, __cys string, __cyb boolean,
-           __cyd double, __cyl long, __cyt timestamp>
+           __cyd double, __cyl long, __cyt timestamp,
+           __cya array<struct<…same scalar slots…>>>
 
 whose field order makes Spark's native lexicographic struct comparison
 EXACTLY the openCypher global sort order — so ``ORDER BY``, ``min``,
@@ -38,8 +39,17 @@ decode). datetime and localdatetime share one rank — the compiler's
 kind vocabulary does not split them (documented divergence from the
 spec's DATETIME < LOCALDATETIME).
 
-Lists/maps/entities inside a heterogeneous list keep today's
-native-array behavior. Dynamic columns are decoded back to plain Spark
+LIST values encode into ``__cya`` (rank ``RANK_LIST``; null elements as
+a ``RANK_NULL`` sentinel struct so they sort LAST element-wise): Spark's
+native array ordering over the element structs — element-wise, shorter
+list first on a common prefix — is exactly openCypher list
+orderability, still JVM-side. Nesting is ONE level (Spark schemas
+cannot recurse): a mixed list whose list-elements themselves contain
+lists or maps is rejected with a clear error. ``=`` between encoded
+lists follows equivalence semantics for inner nulls ([1,null]=[1,null]
+is true, as in DISTINCT/grouping), a documented divergence from the
+ternary ``=`` operator. Maps/entities keep native behavior. Dynamic
+columns are decoded back to plain Spark
 types at RETURN time (engine._decode_dyn_outputs) when all runtime
 values share one rank; truly mixed OUTPUT columns decode per-row to
 Python objects at action time (engine.run/collect) and raise only for
@@ -53,18 +63,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # openCypher ascending global sort order (CIP comparability/orderability):
-# … < DATETIME < DATE < STRING < BOOLEAN < NUMBER < null. Gaps allow
-# later insertions (lists/paths sort before temporals in the full spec;
-# 5 is reserved for a localdatetime split).
+# … LIST < DATETIME < DATE < STRING < BOOLEAN < NUMBER < null. Gaps allow
+# later insertions (maps/entities/paths sort around lists in the full
+# spec; 5 is reserved for a localdatetime split).
+RANK_LIST = 2
 RANK_DATETIME = 4
 RANK_DATE = 6
 RANK_STRING = 10
 RANK_BOOL = 20
 RANK_NUMBER = 30
+#: inner-element null sentinel — a LIST element that is Cypher null.
+#: openCypher orders null LAST among element comparisons ([1,null] >
+#: [1,99]); Spark orders a null struct FIRST inside array comparison,
+#: so null elements encode as a real struct with the largest rank.
+RANK_NULL = 99
 
 _MARKER = "__cyr"
 
-DYN_TYPE = T.StructType(
+#: element struct for values INSIDE an encoded list: the same scalar
+#: slots, no nested array (one level of list nesting is encodable —
+#: Spark schemas cannot recurse)
+DYN_ELEM_TYPE = T.StructType(
     [
         T.StructField(_MARKER, T.IntegerType()),
         T.StructField("__cys", T.StringType()),
@@ -73,6 +92,16 @@ DYN_TYPE = T.StructType(
         T.StructField("__cyl", T.LongType()),
         T.StructField("__cyt", T.TimestampType()),
     ]
+)
+
+# __cya holds LIST values (rank RANK_LIST; scalar slots null). It is
+# the LAST field on purpose: Spark's native struct comparison falls
+# through the equal rank and the all-null scalar slots to the array,
+# and Spark's array ordering — element-wise, shorter-first on a common
+# prefix — over DYN_ELEM_TYPE elements IS openCypher list orderability.
+DYN_TYPE = T.StructType(
+    list(DYN_ELEM_TYPE.fields)
+    + [T.StructField("__cya", T.ArrayType(DYN_ELEM_TYPE))]
 )
 
 #: static kinds (compiler/exprs.py vocabulary) encodable as dynamic
@@ -93,7 +122,19 @@ def is_dyn(dt: T.DataType) -> bool:
     )
 
 
-def _pack(rank, s, b, d, l=None, t=None) -> Column:
+def _pack(rank, s, b, d, l=None, t=None, a=None) -> Column:
+    return F.struct(
+        rank.alias(_MARKER),
+        s.alias("__cys"),
+        b.alias("__cyb"),
+        d.alias("__cyd"),
+        (l if l is not None else _NULL_L).alias("__cyl"),
+        (t if t is not None else _NULL_T).alias("__cyt"),
+        (a if a is not None else _NULL_A).alias("__cya"),
+    )
+
+
+def _pack_elem(rank, s, b, d, l=None, t=None) -> Column:
     return F.struct(
         rank.alias(_MARKER),
         s.alias("__cys"),
@@ -109,6 +150,7 @@ _NULL_B = F.lit(None).cast("boolean")
 _NULL_D = F.lit(None).cast("double")
 _NULL_L = F.lit(None).cast("long")
 _NULL_T = F.lit(None).cast("timestamp")
+_NULL_A = F.lit(None).cast(T.ArrayType(DYN_ELEM_TYPE))
 
 
 def _num_pack(d: Column, corr: Column) -> Column:
@@ -150,6 +192,85 @@ def encode_kind(col: Column, kind: str) -> Column | None:
     return F.when(col.isNotNull(), enc)
 
 
+_NULL_ELEM = F.struct(
+    F.lit(RANK_NULL).alias(_MARKER),
+    _NULL_S.alias("__cys"),
+    _NULL_B.alias("__cyb"),
+    _NULL_D.alias("__cyd"),
+    _NULL_L.alias("__cyl"),
+    _NULL_T.alias("__cyt"),
+)
+
+
+def elem_encode(col: Column, kind: str) -> Column | None:
+    """Encode one LIST ELEMENT of static ``kind`` as a DYN_ELEM struct.
+    Cypher-null elements become the RANK_NULL sentinel (null sorts last
+    among elements; a Spark-null struct would sort first). ``kind`` may
+    be 'dyn' — a scalar dyn value loses its (always-null) ``__cya`` slot;
+    list-ranked dyn elements cannot reach here (nesting is one level,
+    enforced by the compiler's encodability check)."""
+    if kind == "dyn":
+        enc = F.struct(
+            col[_MARKER].alias(_MARKER),
+            col["__cys"].alias("__cys"),
+            col["__cyb"].alias("__cyb"),
+            col["__cyd"].alias("__cyd"),
+            col["__cyl"].alias("__cyl"),
+            col["__cyt"].alias("__cyt"),
+        )
+    elif kind == "string":
+        enc = _pack_elem(F.lit(RANK_STRING), col, _NULL_B, _NULL_D)
+    elif kind == "bool":
+        enc = _pack_elem(F.lit(RANK_BOOL), _NULL_S, col, _NULL_D)
+    elif kind == "int":
+        d = col.cast("double")
+        enc = _pack_elem(
+            F.lit(RANK_NUMBER), _NULL_S, _NULL_B, d,
+            l=col.cast("long") - d.cast("long"),
+        )
+    elif kind == "float":
+        enc = _pack_elem(
+            F.lit(RANK_NUMBER), _NULL_S, _NULL_B, col.cast("double"),
+            l=F.lit(0).cast("long"),
+        )
+    elif kind == "date":
+        enc = _pack_elem(
+            F.lit(RANK_DATE), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
+    elif kind == "timestamp":
+        enc = _pack_elem(
+            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
+    elif kind == "null":
+        return _NULL_ELEM
+    else:
+        return None
+    return F.when(col.isNotNull(), enc).otherwise(_NULL_ELEM)
+
+
+def encode_array(col: Column, elem_kind: str) -> Column | None:
+    """Encode an ``array<scalar>`` / ``array<dyn>`` column as a dynamic
+    LIST value (null in -> null struct out). None when the element kind
+    is not encodable (nested lists, maps, entities — nesting is one
+    level because Spark schemas cannot recurse)."""
+    if elem_kind == "null":
+        # array<void> (e.g. [null, null]): every element is the sentinel
+        enc = _pack(
+            F.lit(RANK_LIST), _NULL_S, _NULL_B, _NULL_D,
+            a=F.transform(col, lambda _x: _NULL_ELEM),
+        )
+        return F.when(col.isNotNull(), enc)
+    if elem_kind not in ENCODABLE_KINDS and elem_kind != "dyn":
+        return None
+    enc = _pack(
+        F.lit(RANK_LIST), _NULL_S, _NULL_B, _NULL_D,
+        a=F.transform(col, lambda x: elem_encode(x, elem_kind)),
+    )
+    return F.when(col.isNotNull(), enc)
+
+
 def encode_py(v) -> Column | None:
     """Encode a Python literal as a dynamic value (for IN-list probes)."""
     import datetime as _dt
@@ -174,6 +295,49 @@ def encode_py(v) -> Column | None:
         )
     if isinstance(v, _dt.date):
         return _pack(
+            F.lit(RANK_DATE), _NULL_S, _NULL_B, _NULL_D,
+            t=F.lit(v).cast("timestamp"),
+        )
+    if isinstance(v, (list, tuple)):
+        elems = [_elem_encode_py(x) for x in v]
+        if any(e is None for e in elems):
+            return None  # nested list / map element: one level only
+        return _pack(
+            F.lit(RANK_LIST), _NULL_S, _NULL_B, _NULL_D,
+            a=F.array(*elems).cast(T.ArrayType(DYN_ELEM_TYPE)),
+        )
+    return None
+
+
+def _elem_encode_py(v) -> Column | None:
+    """Python literal -> DYN_ELEM struct (None = not an encodable
+    element: lists/maps — nesting is one level)."""
+    import datetime as _dt
+
+    if v is None:
+        return _NULL_ELEM
+    if isinstance(v, bool):
+        return _pack_elem(F.lit(RANK_BOOL), _NULL_S, F.lit(v), _NULL_D)
+    if isinstance(v, str):
+        return _pack_elem(F.lit(RANK_STRING), F.lit(v), _NULL_B, _NULL_D)
+    if isinstance(v, int):
+        t = max(min(int(float(v)), _LONG_MAX), _LONG_MIN)
+        return _pack_elem(
+            F.lit(RANK_NUMBER), _NULL_S, _NULL_B, F.lit(float(v)),
+            l=F.lit(v - t).cast("long"),
+        )
+    if isinstance(v, float):
+        return _pack_elem(
+            F.lit(RANK_NUMBER), _NULL_S, _NULL_B, F.lit(v),
+            l=F.lit(0).cast("long"),
+        )
+    if isinstance(v, _dt.datetime):
+        return _pack_elem(
+            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=F.lit(v).cast("timestamp"),
+        )
+    if isinstance(v, _dt.date):
+        return _pack_elem(
             F.lit(RANK_DATE), _NULL_S, _NULL_B, _NULL_D,
             t=F.lit(v).cast("timestamp"),
         )
@@ -219,9 +383,18 @@ def dyn_to_string(col: Column) -> Column:
     )
 
 
-def decoded(col: Column, ranks: set[int], integral: bool) -> Column:
+def decoded(
+    col: Column,
+    ranks: set[int],
+    integral: bool,
+    elem_ranks: set[int] | None = None,
+    elem_integral: bool = True,
+) -> Column:
     """The plain-typed column for a dynamic column whose runtime values
-    all carry one rank (``ranks`` observed, nulls excluded)."""
+    all carry one rank (``ranks`` observed, nulls excluded). A LIST
+    column additionally needs the observed ELEMENT ranks (RANK_NULL
+    excluded) to decode to a typed array; mixed-element lists raise like
+    mixed scalar columns (the action-time per-row path handles them)."""
     if not ranks:
         return F.lit(None)
     if ranks == {RANK_STRING}:
@@ -238,6 +411,31 @@ def decoded(col: Column, ranks: set[int], integral: bool) -> Column:
         return col["__cyt"].cast("date")
     if ranks == {RANK_DATETIME}:
         return col["__cyt"]
+    if ranks == {RANK_LIST}:
+        if elem_ranks is None:
+            # caller did not scan element ranks (e.g. array<dyn> decode
+            # of collect() output) — punt to the per-row action path
+            raise NotImplementedError(
+                "list-valued dynamic column requires element-rank "
+                "observation to decode; collect()/run() decode per-row"
+            )
+        er = {r for r in elem_ranks if r != RANK_NULL}
+        if len(er) > 1:
+            raise NotImplementedError(
+                "result column holds lists with elements of multiple "
+                f"types (element ranks {sorted(er)}); a DataFrame array "
+                "column is mono-typed — collect()/run() decode these "
+                "per-row"
+            )
+        # uniform-element lists decode element-wise via the scalar rule;
+        # the RANK_NULL sentinel decodes back to null
+        return F.transform(
+            col["__cya"],
+            lambda e: F.when(
+                e[_MARKER] != RANK_NULL,
+                decoded(e, er, elem_integral) if er else F.lit(None),
+            ),
+        )
     raise NotImplementedError(
         "result column holds values of multiple types "
         f"(ranks {sorted(ranks)}); a DataFrame column is mono-typed — "
@@ -275,4 +473,14 @@ def decode_py(row_struct):
         return t.date() if t is not None else None
     if rank == RANK_DATETIME:
         return row_struct[5]
+    if rank == RANK_LIST:
+        arr = row_struct[6] if len(row_struct) > 6 else None
+        if arr is None:
+            return None
+        # elements are DYN_ELEM structs; the RANK_NULL sentinel is a
+        # Cypher null element
+        return [
+            None if (e is None or e[0] == RANK_NULL) else decode_py(e)
+            for e in arr
+        ]
     return None

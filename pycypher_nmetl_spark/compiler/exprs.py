@@ -197,19 +197,20 @@ def lit_value(value: Any) -> Column:
         buckets = {
             "num"
             if isinstance(v, (int, float)) and not isinstance(v, bool)
-            else type(v).__name__
+            else ("list" if isinstance(v, (list, tuple)) else type(v).__name__)
             for v in value
             if v is not None
         }
-        scalar_only = all(
-            v is None
-            or isinstance(v, (str, bool, int, float, datetime.date))
-            for v in value
-        )
-        if len(buckets) > 1 and scalar_only:
+        if len(buckets) > 1:
+            # heterogeneous: scalars and one-level lists-of-scalars get
+            # the dynamic encoding; anything deeper (encode_py -> None)
+            # falls through to the native path and its loud coercion
+            # error
             from pycypher_nmetl_spark.compiler.dynval import encode_py
 
-            return F.array(*[encode_py(v) for v in value])
+            enc = [encode_py(v) for v in value]
+            if all(c is not None for c in enc):
+                return F.array(*enc)
         return F.array(*[lit_value(v) for v in value])
     if isinstance(value, dict):
         return F.struct(*[lit_value(v).alias(k) for k, v in value.items()])
@@ -255,12 +256,13 @@ class ExprCompiler:
         if not e.items:
             return F.array()
         cols = [self.col(x) for x in e.items]
-        # heterogeneous SCALAR lists (e.g. [1, 'a']) get the dynamic-
-        # value encoding so openCypher global orderability holds; mono-
-        # typed lists (the hot path) stay native Spark arrays untouched
+        # heterogeneous lists (e.g. [1, 'a'] or [[1,2], 'a']) get the
+        # dynamic-value encoding so openCypher global orderability
+        # holds; mono-typed lists (the hot path) stay native Spark
+        # arrays untouched
         if not self.lambda_vars:
             from pycypher_nmetl_spark.compiler.dynval import (
-                ENCODABLE_KINDS, encode_kind,
+                ENCODABLE_KINDS, encode_array, encode_kind, is_dyn,
             )
 
             kinds = [self._static_kind(x) for x in e.items]
@@ -272,27 +274,66 @@ class ExprCompiler:
                     info = self.bindings.vars.get(x.name)
                     if info is not None and info.kind in ("node", "rel", "path"):
                         kinds[i] = "entity"
-            if any(k is None for k in kinds):
+            dtypes: list | None = None
+            if any(k is None for k in kinds) or "array" in kinds:
                 try:
                     sch = self.bindings.df.select(
                         *[c.alias(f"_e{i}") for i, c in enumerate(cols)]
                     ).schema
+                    dtypes = [f.dataType for f in sch.fields]
                     kinds = [
                         k if k is not None else _dtype_kind(sch[i].dataType)
                         for i, k in enumerate(kinds)
                     ]
                 except Exception:  # noqa: BLE001 — unanalyzable: native
                     kinds = [None]
-            if all(k in ENCODABLE_KINDS or k == "dyn" for k in kinds):
+            if all(
+                k in ENCODABLE_KINDS or k in ("dyn", "array") for k in kinds
+            ):
                 buckets = {
                     "num" if k in ("int", "float") else k
                     for k in kinds
                     if k not in (None, "null")
                 }
-                if len(buckets) > 1 or "dyn" in buckets:
-                    return F.array(
-                        *[encode_kind(c, k) for c, k in zip(cols, kinds)]
-                    )
+                hetero = len(buckets) > 1 or "dyn" in buckets
+                if not hetero and buckets == {"array"} and dtypes is not None:
+                    # lists-only literal: heterogeneous when the element
+                    # kinds conflict beyond numeric widening (native
+                    # coercion handles array<int> vs array<double>)
+                    eks = set()
+                    for dt in dtypes:
+                        if isinstance(dt, T.ArrayType):
+                            ek = (
+                                "dyn" if is_dyn(dt.elementType)
+                                else _dtype_kind(dt.elementType)
+                            )
+                            if ek not in (None, "null"):
+                                eks.add("num" if ek in ("int", "float") else ek)
+                    hetero = len(eks) > 1 or "dyn" in eks
+                if hetero:
+                    enc = []
+                    for i, (c, k) in enumerate(zip(cols, kinds)):
+                        if k == "array":
+                            dt = dtypes[i] if dtypes else None
+                            ek = None
+                            if isinstance(dt, T.ArrayType):
+                                ek = (
+                                    "dyn" if is_dyn(dt.elementType)
+                                    else _dtype_kind(dt.elementType)
+                                )
+                            ec = encode_array(c, ek or "")
+                            if ec is None:
+                                raise NotImplementedError(
+                                    "mixed-type list: a list element may "
+                                    "itself be a list of scalars, but "
+                                    "deeper nesting (lists of lists / "
+                                    "maps inside a mixed list) is not "
+                                    "orderable by this engine"
+                                )
+                        else:
+                            ec = encode_kind(c, k)
+                        enc.append(ec)
+                    return F.array(*enc)
         return F.array(*cols)
 
     def _c_MapLit(self, e: MapLit) -> Column:
@@ -536,8 +577,14 @@ class ExprCompiler:
                 buckets = {
                     "num" if k in ("int", "float") else k for k in ks
                 }
+                # "array" joins the encodable buckets: a list mixing
+                # lists with scalars compiles to the dynamic encoding
+                # too (lists-only literals stay kind 'array' via _unify
+                # above — they only encode when element types conflict,
+                # which static inference can't always see)
                 if buckets and buckets <= {
-                    "num", "string", "bool", "dyn", "date", "timestamp"
+                    "num", "string", "bool", "dyn", "date", "timestamp",
+                    "array",
                 }:
                     return "dyn"
             return u
@@ -841,6 +888,10 @@ class ExprCompiler:
             lk, rk = self._probe_pair_kinds(l, r, lk, rk)
         le = encode_kind(l, lk or "")
         re_ = encode_kind(r, rk or "")
+        if le is None and lk == "array":
+            le = self._encode_array_side(l)
+        if re_ is None and rk == "array":
+            re_ = self._encode_array_side(r)
         if le is None or re_ is None:
             return self._cross_type_cmp(op, l, r)
         if op == "=":
@@ -848,6 +899,26 @@ class ExprCompiler:
         if op == "<>":
             return le != re_
         return dyn_order_cmp(op, le, re_)
+
+    def _encode_array_side(self, c: Column) -> Column | None:
+        """A native array side of a dyn comparison -> encoded LIST value
+        (so `x = [1,2]` matches when a dynamic x holds the list [1,2]).
+        None when the element type can't encode (nested/map/entity) —
+        the caller falls back to cross-type semantics."""
+        from pycypher_nmetl_spark.compiler.dynval import (
+            encode_array, is_dyn,
+        )
+
+        try:
+            dt = self.bindings.dtype(c)
+        except Exception:  # noqa: BLE001 — unanalyzable
+            return None
+        if not isinstance(dt, T.ArrayType):
+            return None
+        ek = (
+            "dyn" if is_dyn(dt.elementType) else _dtype_kind(dt.elementType)
+        )
+        return encode_array(c, ek or "")
 
     @staticmethod
     def _cross_type_cmp(op: str, l: Column, r: Column) -> Column:
@@ -1025,6 +1096,8 @@ class ExprCompiler:
 
             if ek == "dyn":
                 probe = encode_kind(item, ik or "")
+                if probe is None and ik == "array":
+                    probe = self._encode_array_side(item)
                 if probe is not None:
                     return F.array_contains(coll, probe)
             elif ek not in (None, "null") and encode_kind(F.lit(None), ek) is not None:

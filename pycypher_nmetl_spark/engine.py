@@ -562,6 +562,27 @@ class CypherEngine:
                     f"_f{i}"
                 )
             )
+            # element ranks/integrality across LIST-valued rows (__cya
+            # is null on scalar rows; collect_set drops those)
+            aggs.append(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_set(
+                            F.transform(
+                                _qc(c)["__cya"], lambda e: e["__cyr"]
+                            )
+                        )
+                    )
+                ).alias(f"_er{i}")
+            )
+            aggs.append(
+                F.max(
+                    F.exists(
+                        _qc(c)["__cya"],
+                        lambda e: e["__cyd"] != F.floor(e["__cyd"]),
+                    )
+                ).alias(f"_ef{i}")
+            )
         for i, c in enumerate(arr_cols):
             # ranks across every element of every row's array (collect
             # over mixed values yields array<dyn>)
@@ -586,7 +607,13 @@ class CypherEngine:
         for i, c in enumerate(dyn_cols):
             try:
                 dec = decoded(
-                    _qc(c), set(row[f"_r{i}"] or []), not bool(row[f"_f{i}"])
+                    _qc(c),
+                    set(row[f"_r{i}"] or []),
+                    not bool(row[f"_f{i}"]),
+                    elem_ranks={
+                        r for r in (row[f"_er{i}"] or []) if r is not None
+                    },
+                    elem_integral=not bool(row[f"_ef{i}"]),
                 )
             except NotImplementedError:
                 if not mixed_ok:
