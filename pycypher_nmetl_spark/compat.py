@@ -191,6 +191,17 @@ NEO4J_COMPAT_NOTES: dict[str, dict[str, Any]] = {
     },
     "shortestPath": {"supported": True, "notes": "shortestPath and allShortestPaths, including lower bounds > 1."},
     "Variable-length paths": {"supported": True, "notes": "[*m..n] with edge-uniqueness; unbounded capped at 20 hops (configurable)."},
+    "Quantified path patterns": {
+        "supported": True,
+        "notes": (
+            "GQL ((a)-[r:T]->(b)){m,n} / + / * with inner labels, props "
+            "and inline WHERE; inner variables become group (list) "
+            "variables; zero repetitions bind the boundary nodes equal. "
+            "Not supported: nested QPP, var-length rels inside a QPP, a "
+            "path variable over a QPP path; unbounded quantifiers cap "
+            "at 8 repetitions."
+        ),
+    },
     "List comprehensions": {"supported": True, "notes": "Including pattern comprehensions and quantifiers (ALL/ANY/NONE/SINGLE)."},
     "Map projections": {"supported": True, "notes": "m{.k, var, .*} forms."},
     "Temporal types": {"supported": True, "notes": "date/datetime/duration with truncate, components, duration arithmetic."},

@@ -241,6 +241,15 @@ def build_path_frame(
     var_preds = var_preds or {}
     applied = applied if applied is not None else set()
 
+    from pycypher_nmetl_spark.cypher.ast_nodes import QuantPathPattern
+
+    if any(isinstance(e, QuantPathPattern) for e in elements):
+        from pycypher_nmetl_spark.compiler.qpp import build_qpp_path_frame
+
+        return build_qpp_path_frame(
+            engine, path, outer, params, var_preds, applied
+        )
+
     if path.shortest is not None or any(
         isinstance(e, RelPattern) and e.varlength for e in elements
     ):

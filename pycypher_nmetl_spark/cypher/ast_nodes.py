@@ -222,8 +222,22 @@ class RelPattern:
 
 
 @dataclass
+class QuantPathPattern:
+    """GQL quantified path pattern element: ((a)-[r:T]->(b)){m,n}.
+
+    Appears inside PathPattern.elements between (optional) outer node
+    patterns; `elements` is the inner NodePattern/RelPattern chain.
+    Desugared by compiler/qpp.py into a union of fixed-repetition
+    expansions (beyond-reference: the reference grammar has no QPP)."""
+
+    elements: list  # inner NodePattern/RelPattern alternating chain
+    min_reps: int
+    max_reps: int
+
+
+@dataclass
 class PathPattern:
-    elements: list  # NodePattern, RelPattern alternating
+    elements: list  # NodePattern, RelPattern alternating (+ QuantPathPattern)
     var: Optional[str] = None  # p = (a)-[..]->(b)
     shortest: Optional[str] = None  # 'shortest' | 'allshortest'
 

@@ -111,10 +111,35 @@ def _set_item(i: SetItem) -> str:
     raise NotImplementedError(i.kind)
 
 
+def _quantifier(lo: int, hi: int) -> str:
+    if (lo, hi) == (1, -1):
+        return "+"
+    if (lo, hi) == (0, -1):
+        return "*"
+    if hi == -1:
+        return f"{{{lo},}}"
+    if lo == hi:
+        return f"{{{lo}}}"
+    return f"{{{lo},{hi}}}"
+
+
 def _path(p: PathPattern) -> str:
+    body = _path_elements(p.elements)
+    if p.shortest:
+        fn = "shortestPath" if p.shortest == "shortest" else "allShortestPaths"
+        body = f"{fn}({body})"
+    return f"{p.var} = {body}" if p.var else body
+
+
+def _path_elements(elements: list) -> str:
     body = ""
-    for el in p.elements:
-        if isinstance(el, NodePattern):
+    for el in elements:
+        if not isinstance(el, (NodePattern, RelPattern)):
+            # GQL quantified path pattern
+            body += f"({_path_elements(el.elements)})" + _quantifier(
+                el.min_reps, el.max_reps
+            )
+        elif isinstance(el, NodePattern):
             inner = el.var or ""
             inner += "".join(f":{l}" for l in el.labels)
             if el.props:
@@ -141,10 +166,7 @@ def _path(p: PathPattern) -> str:
                 body += "<" + arrow
             else:
                 body += arrow
-    if p.shortest:
-        fn = "shortestPath" if p.shortest == "shortest" else "allShortestPaths"
-        body = f"{fn}({body})"
-    return f"{p.var} = {body}" if p.var else body
+    return body
 
 
 def _order(o: OrderItem) -> str:

@@ -16,7 +16,8 @@ from pycypher_nmetl_spark.cypher.ast_nodes import (
     Delete, ExistsSub, Expr, Foreach, FuncCall, Index, InList, IsNull,
     LabelPred, ListComp, ListLit, Literal, MapLit, MapProjection, Match,
     Merge, NodePattern, Not, OrderItem, Param, PathPattern, PatternComp,
-    PatternPred, Projection, Prop, Quantifier, Query, Reduce, RelPattern,
+    PatternPred, Projection, Prop, QuantPathPattern, Quantifier, Query,
+    Reduce, RelPattern,
     Remove, RemoveItem, ReturnItem, SetClause, SetItem, Slice, StringPred,
     UnaryOp, UnionQuery, Unwind, Var,
 )
@@ -285,6 +286,10 @@ class Parser:
             for e in p.elements:
                 if isinstance(e, NodePattern) and e.where is not None:
                     self.err(f"WHERE is not allowed inside a {clause} pattern")
+                if isinstance(e, QuantPathPattern):
+                    self.err(
+                        f"a quantified path pattern is not allowed in {clause}"
+                    )
 
     def parse_match(self, optional: bool) -> Match:
         paths = [self.parse_path_pattern()]
@@ -415,21 +420,83 @@ class Parser:
             inner = self.parse_path_elements()
             self.expect_sym(")")
             return PathPattern(inner, var=var, shortest=shortest)
-        # optional parenthesized path: p = ((a)-[..]->(b)) — peek for a
-        # '(' whose next token starts a nested node pattern
+        return PathPattern(
+            self.parse_path_elements(allow_plain_paren_first=True),
+            var=var,
+            shortest=None,
+        )
+
+    def parse_path_elements(self, allow_plain_paren_first: bool = False) -> list:
+        # first element: node pattern, quantified parenthesized path
+        # (GQL QPP), or — at the top of a path only — a plain
+        # parenthesized path p = ((a)-[..]->(b)) whose elements splice in
+        if allow_plain_paren_first and self.at_sym("(") and self.at_sym("(", k=1):
+            self.advance()
+            inner = self.parse_path_elements()
+            self.expect_sym(")")
+            q = self._parse_quantifier()
+            elements: list = (
+                inner if q is None else [QuantPathPattern(inner, q[0], q[1])]
+            )
+        else:
+            elements = [self._parse_path_element()]
+        while True:
+            if self.at_sym("-", "<-"):
+                elements.append(self.parse_rel_pattern())
+                elements.append(self._parse_path_element())
+            elif self.at_sym("(") and (
+                self.at_sym("(", k=1)
+                or isinstance(elements[-1], QuantPathPattern)
+            ):
+                # juxtaposition: a quantified pattern next to a node
+                # pattern or another quantified pattern — the boundary
+                # nodes are the same node (GQL path concatenation)
+                elements.append(self._parse_path_element())
+            else:
+                return elements
+
+    def _parse_path_element(self):
+        """One path element: a node pattern, or a parenthesized path
+        pattern with a quantifier (GQL QPP)."""
         if self.at_sym("(") and self.at_sym("(", k=1):
             self.advance()
             inner = self.parse_path_elements()
             self.expect_sym(")")
-            return PathPattern(inner, var=var, shortest=None)
-        return PathPattern(self.parse_path_elements(), var=var, shortest=None)
+            q = self._parse_quantifier()
+            if q is None:
+                self.err(
+                    "a parenthesized path pattern element requires a "
+                    "quantifier ({m,n}, {n}, + or *)"
+                )
+            return QuantPathPattern(inner, q[0], q[1])
+        return self.parse_node_pattern()
 
-    def parse_path_elements(self) -> list:
-        elements: list = [self.parse_node_pattern()]
-        while self.at_sym("-", "<-"):
-            elements.append(self.parse_rel_pattern())
-            elements.append(self.parse_node_pattern())
-        return elements
+    def _parse_quantifier(self) -> tuple[int, int] | None:
+        """GQL pattern quantifier after a parenthesized path: + | * |
+        {n} | {m,n} | {m,} | {,n}. None when no quantifier follows."""
+        if self.eat_sym("+"):
+            return (1, -1)  # -1 = unbounded (capped by the compiler)
+        if self.eat_sym("*"):
+            return (0, -1)
+        if not self.at_sym("{"):
+            return None
+        self.advance()
+        lo = None
+        if self.peek().kind == "INT":
+            lo = int(self.advance().value)
+        if self.eat_sym(","):
+            hi = -1
+            if self.peek().kind == "INT":
+                hi = int(self.advance().value)
+        else:
+            if lo is None:
+                self.err("empty path-pattern quantifier {}")
+            hi = lo  # {n} = exactly n
+        self.expect_sym("}")
+        lo = lo if lo is not None else 0
+        if hi != -1 and hi < lo:
+            self.err(f"invalid quantifier {{{lo},{hi}}}: max < min")
+        return (lo, hi)
 
     def parse_node_pattern(self) -> NodePattern:
         self.expect_sym("(")

@@ -665,18 +665,22 @@ class CypherEngine:
                 name = type(clause).__name__
                 detail = ""
                 if isinstance(clause, Match):
+                    def _pat_el(e) -> str:
+                        if hasattr(e, "labels"):  # NodePattern
+                            return f"({e.var or ''}:{'|'.join(e.labels)})"
+                        if hasattr(e, "min_reps"):  # QuantPathPattern
+                            inner = "".join(_pat_el(x) for x in e.elements)
+                            hi = "" if e.max_reps == -1 else e.max_reps
+                            return f"({inner}){{{e.min_reps},{hi}}}"
+                        return (
+                            f"-[{e.var or ''}:{'|'.join(e.types)}"
+                            + ("*" if e.varlength else "")
+                            + "]-"
+                        )
+
                     pats = []
                     for p in clause.paths:
-                        pats.append(
-                            "".join(
-                                f"({e.var or ''}:{'|'.join(e.labels)})"
-                                if hasattr(e, "labels")
-                                else f"-[{e.var or ''}:{'|'.join(e.types)}"
-                                + ("*" if e.varlength else "")
-                                + "]-"
-                                for e in p.elements
-                            )
-                        )
+                        pats.append("".join(_pat_el(e) for e in p.elements))
                     detail = (" OPTIONAL" if clause.optional else "") + " " + ", ".join(pats)
                     if clause.where is not None:
                         detail += " WHERE …"

@@ -412,6 +412,14 @@ class SemanticValidator:
             props = getattr(el, "props", None)
             if props is not None:
                 self._use_expr(props, scope)
+            inner = getattr(el, "elements", None)  # QuantPathPattern:
+            if inner is not None:  # inner vars become GROUP vars outside
+                for iel in inner:
+                    if isinstance(iel, (NodePattern, RelPattern)) and iel.var:
+                        scope.define(iel.var)
+                    iprops = getattr(iel, "props", None)
+                    if iprops is not None:
+                        self._use_expr(iprops, scope)
 
     def _use_set_item(self, item: Any, scope: VariableScope) -> None:
         self._use_expr(item.target, scope)

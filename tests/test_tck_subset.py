@@ -454,11 +454,29 @@ SCENARIOS: list[TCK] = [
         "UNION ALL WITH p RETURN p.age * 2 AS v } "
         "RETURN sum(v) AS s",
         [(165,)]),
+    # round-12: GQL QPP implemented (compiler/qpp.py — union of fixed-
+    # repetition expansions); beyond-reference, former strict-xfail
     TCK("quantified-path-pattern",
         "MATCH ((a:Person)-[:KNOWS]->(b:Person)){1,2} RETURN count(*) AS c",
-        [(3,)],
-        xfail="GQL quantified path patterns are outside the reference "
-              "grammar — unscoped"),
+        [(3,)]),
+    TCK("qpp-group-variables-are-lists",
+        "MATCH ((a:Person)-[r:KNOWS]->(b:Person)){1,2} "
+        "RETURN size(r) AS n ORDER BY n",
+        [(1,), (1,), (2,)], ordered=True),
+    TCK("qpp-anchored-exact-reps",
+        "MATCH (x:Person)((a)-[:KNOWS]->(b)){2}(y:Person) "
+        "RETURN x.name AS xs, y.name AS ys",
+        [("Alice", "Carol")]),
+    TCK("qpp-zero-reps-bind-same-node",
+        "MATCH (x:Person {name:'Alice'})((a)-[:KNOWS]->(b)){0,1}(y) "
+        "RETURN y.name AS yn ORDER BY yn",
+        [("Alice",), ("Bob",)], ordered=True),
+    TCK("qpp-plus-quantifier",
+        "MATCH (x:Person {name:'Alice'})((a)-[:KNOWS]->(b))+(y) "
+        "RETURN y.name AS yn ORDER BY yn",
+        [("Bob",), ("Carol",)], ordered=True),
+    TCK("qpp-rejected-in-create",
+        "CREATE ((a)-[:T]->(b)){1,2}", error="not allowed"),
     TCK("inline-where-in-node-pattern",
         "MATCH (a:Person WHERE a.age > 26) RETURN a.name AS n",
         [("Alice",)]),
@@ -1193,9 +1211,10 @@ def test_manifest_has_no_silent_gaps():
     # round 11: mixed-type-min-orderability left this list — dynamic
     # values encode as a rank-tagged struct (compiler/dynval.py) whose
     # native struct ordering IS the openCypher global sort order
-    assert unsupported == [
-        "quantified-path-pattern",
-    ]
+    # round 12: quantified-path-pattern left this list — GQL QPP
+    # compiles as a union of fixed-repetition expansions
+    # (compiler/qpp.py); the unsupported list is now EMPTY
+    assert unsupported == []
 
 
 # ---------------------------------------------------------------------- #
