@@ -35,9 +35,11 @@ monotone. The only blind spot is |v| within ~2^10 of 2^63, where the
 double image saturates past the long range (the correction is clamped
 to match Spark's saturating double->long cast). Temporals store in
 ``__cyt`` (dates cast to midnight timestamps; rank disambiguates
-decode). datetime and localdatetime share one rank — the compiler's
-kind vocabulary does not split them (documented divergence from the
-spec's DATETIME < LOCALDATETIME).
+decode). datetime (TimestampType / tz-aware Python values) and
+localdatetime (TimestampNTZType / naive Python values) carry distinct
+ranks, giving the spec's DATETIME < LOCALDATETIME order; both share the
+``__cyt`` slot (NTZ casts are instant-preserving under the engine's UTC
+session, and the rank disambiguates decode).
 
 LIST values encode into ``__cya`` (rank ``RANK_LIST``; null elements as
 a ``RANK_NULL`` sentinel struct so they sort LAST element-wise): Spark's
@@ -63,11 +65,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # openCypher ascending global sort order (CIP comparability/orderability):
-# … LIST < DATETIME < DATE < STRING < BOOLEAN < NUMBER < null. Gaps allow
-# later insertions (maps/entities/paths sort around lists in the full
-# spec; 5 is reserved for a localdatetime split).
+# … LIST < DATETIME < LOCALDATETIME < DATE < STRING < BOOLEAN < NUMBER
+# < null. Gaps allow later insertions (maps/entities/paths sort around
+# lists in the full spec).
 RANK_LIST = 2
 RANK_DATETIME = 4
+RANK_LOCALDATETIME = 5
 RANK_DATE = 6
 RANK_STRING = 10
 RANK_BOOL = 20
@@ -106,7 +109,10 @@ DYN_TYPE = T.StructType(
 
 #: static kinds (compiler/exprs.py vocabulary) encodable as dynamic
 ENCODABLE_KINDS = frozenset(
-    {"string", "bool", "int", "float", "null", "date", "timestamp"}
+    {
+        "string", "bool", "int", "float", "null", "date", "timestamp",
+        "timestampntz",
+    }
 )
 
 _LONG_MAX = (1 << 63) - 1
@@ -177,10 +183,16 @@ def encode_kind(col: Column, kind: str) -> Column | None:
             t=col.cast("timestamp"),
         )
     elif kind == "timestamp":
-        # covers datetime AND localdatetime (one rank; NTZ casts are
-        # instant-preserving under the engine's UTC session)
         enc = _pack(
             F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
+    elif kind == "timestampntz":
+        # localdatetime: its own rank (DATETIME < LOCALDATETIME in the
+        # global order); the NTZ->TZ cast is instant-preserving under
+        # the engine's UTC session and the rank disambiguates decode
+        enc = _pack(
+            F.lit(RANK_LOCALDATETIME), _NULL_S, _NULL_B, _NULL_D,
             t=col.cast("timestamp"),
         )
     elif kind == "null":
@@ -243,6 +255,11 @@ def elem_encode(col: Column, kind: str) -> Column | None:
             F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
             t=col.cast("timestamp"),
         )
+    elif kind == "timestampntz":
+        enc = _pack_elem(
+            F.lit(RANK_LOCALDATETIME), _NULL_S, _NULL_B, _NULL_D,
+            t=col.cast("timestamp"),
+        )
     elif kind == "null":
         return _NULL_ELEM
     else:
@@ -289,8 +306,11 @@ def encode_py(v) -> Column | None:
     if isinstance(v, float):
         return _num_pack(F.lit(v), F.lit(0).cast("long"))
     if isinstance(v, _dt.datetime):
+        # naive Python datetimes are LOCALDATETIME values (the Neo4j
+        # driver mapping); aware ones are zoned DATETIMEs
+        rank = RANK_DATETIME if v.tzinfo is not None else RANK_LOCALDATETIME
         return _pack(
-            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            F.lit(rank), _NULL_S, _NULL_B, _NULL_D,
             t=F.lit(v).cast("timestamp"),
         )
     if isinstance(v, _dt.date):
@@ -332,8 +352,9 @@ def _elem_encode_py(v) -> Column | None:
             l=F.lit(0).cast("long"),
         )
     if isinstance(v, _dt.datetime):
+        rank = RANK_DATETIME if v.tzinfo is not None else RANK_LOCALDATETIME
         return _pack_elem(
-            F.lit(RANK_DATETIME), _NULL_S, _NULL_B, _NULL_D,
+            F.lit(rank), _NULL_S, _NULL_B, _NULL_D,
             t=F.lit(v).cast("timestamp"),
         )
     if isinstance(v, _dt.date):
@@ -380,6 +401,10 @@ def dyn_to_string(col: Column) -> Column:
         .when(col[_MARKER] == RANK_NUMBER, num)
         .when(col[_MARKER] == RANK_DATE, col["__cyt"].cast("date").cast("string"))
         .when(col[_MARKER] == RANK_DATETIME, col["__cyt"].cast("string"))
+        .when(
+            col[_MARKER] == RANK_LOCALDATETIME,
+            col["__cyt"].cast("timestamp_ntz").cast("string"),
+        )
     )
 
 
@@ -411,6 +436,8 @@ def decoded(
         return col["__cyt"].cast("date")
     if ranks == {RANK_DATETIME}:
         return col["__cyt"]
+    if ranks == {RANK_LOCALDATETIME}:
+        return col["__cyt"].cast("timestamp_ntz")
     if ranks == {RANK_LIST}:
         if elem_ranks is None:
             # caller did not scan element ranks (e.g. array<dyn> decode
@@ -471,7 +498,9 @@ def decode_py(row_struct):
     if rank == RANK_DATE:
         t = row_struct[5]
         return t.date() if t is not None else None
-    if rank == RANK_DATETIME:
+    if rank in (RANK_DATETIME, RANK_LOCALDATETIME):
+        # Spark hands both back as naive Python datetimes (session-tz
+        # wall clock); the rank records which value type it was
         return row_struct[5]
     if rank == RANK_LIST:
         arr = row_struct[6] if len(row_struct) > 6 else None

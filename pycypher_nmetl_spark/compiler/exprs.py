@@ -73,8 +73,10 @@ def _dtype_kind(dt: T.DataType) -> str | None:
         return "bool"
     if isinstance(dt, T.DateType):
         return "date"
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
         return "timestamp"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestampntz"  # localdatetime: own dyn rank
     if isinstance(dt, T.ArrayType):
         return "array"
     if isinstance(dt, T.MapType):
@@ -111,10 +113,14 @@ def _py_kind(v) -> str | None:
 
 
 _NUMERIC_KINDS = {"int", "float"}
-_STRING_COERCIBLE = {"string", "int", "float", "bool", "date", "timestamp"}
+_STRING_COERCIBLE = {
+    "string", "int", "float", "bool", "date", "timestamp", "timestampntz",
+}
 
 
-_SCALAR_CMP_KINDS = {"int", "float", "string", "bool", "date", "timestamp"}
+_SCALAR_CMP_KINDS = {
+    "int", "float", "string", "bool", "date", "timestamp", "timestampntz",
+}
 
 
 def _statically_comparable(lk: str | None, rk: str | None) -> bool | str | None:
@@ -152,16 +158,20 @@ def _statically_comparable(lk: str | None, rk: str | None) -> bool | str | None:
         return True
     if lk in _NUMERIC_KINDS and rk in _NUMERIC_KINDS:
         return True
-    if {lk, rk} <= {"date", "timestamp"}:
+    if {lk, rk} <= {"date", "timestamp", "timestampntz"}:
         return True
-    if "string" in (lk, rk) and {lk, rk} <= {"string", "date", "timestamp"}:
+    if "string" in (lk, rk) and {lk, rk} <= {
+        "string", "date", "timestamp", "timestampntz",
+    }:
         return True
     if lk in _SCALAR_CMP_KINDS and rk in _SCALAR_CMP_KINDS:
         return "cross"
     return False
 
 
-_SCALAR_KINDS = {"int", "float", "string", "bool", "date", "timestamp"}
+_SCALAR_KINDS = {
+    "int", "float", "string", "bool", "date", "timestamp", "timestampntz",
+}
 
 
 def _array_elems_comparable(lek: str | None, rek: str | None) -> bool | None:
@@ -178,7 +188,9 @@ def _array_elems_comparable(lek: str | None, rek: str | None) -> bool | None:
         return None
     if lek == rek:
         return True if lek in _SCALAR_KINDS else None
-    if {lek, rek} <= _NUMERIC_KINDS or {lek, rek} <= {"date", "timestamp"}:
+    if {lek, rek} <= _NUMERIC_KINDS or {lek, rek} <= {
+        "date", "timestamp", "timestampntz",
+    }:
         return True
     if lek in _SCALAR_KINDS and rek in _SCALAR_KINDS:
         return False
@@ -584,7 +596,7 @@ class ExprCompiler:
                 # which static inference can't always see)
                 if buckets and buckets <= {
                     "num", "string", "bool", "dyn", "date", "timestamp",
-                    "array",
+                    "timestampntz", "array",
                 }:
                     return "dyn"
             return u
@@ -612,13 +624,20 @@ class ExprCompiler:
 
         if isinstance(collection, _LL):
             kinds = {self._static_kind(x) for x in collection.items}
-            if len(kinds) == 1:
-                return kinds.pop()
-            # mirror _static_elem_kind: a heterogeneous scalar literal
-            # compiles to the dynamic encoding, so its lambda elements
-            # are 'dyn' (toString etc. dispatch on this)
-            return self._static_elem_kind(collection)
-        if isinstance(collection, _FC) and collection.name == "range":
+            if None not in kinds:
+                if len(kinds) == 1:
+                    return kinds.pop()
+                # mirror _static_elem_kind: a heterogeneous scalar
+                # literal compiles to the dynamic encoding, so its
+                # lambda elements are 'dyn' (toString etc. dispatch on
+                # this)
+                return self._static_elem_kind(collection)
+            # an item of unknown static kind (e.g. a function call):
+            # the ListLit compiler may still have chosen the dynamic
+            # encoding after its own schema probe — fall through to the
+            # analyzer probe below rather than guess from the known
+            # items ([localdatetime(..), 1] is dyn, not 'int')
+        elif isinstance(collection, _FC) and collection.name == "range":
             return "int"
         if not self.lambda_vars:
             from pycypher_nmetl_spark.compiler.dynval import is_dyn

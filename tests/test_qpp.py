@@ -158,6 +158,31 @@ def test_boundary_merges_labels_and_filters(line_eng):
     assert rows[0].c == 1
 
 
+def test_qpp_inside_exists_correlated(line_eng):
+    rows = line_eng.run(
+        "MATCH (n:Person) WHERE EXISTS { (n)((a)-[:KNOWS]->(b)){2}(m) } "
+        "RETURN n.name AS nm"
+    )
+    assert [r.nm for r in rows] == ["Alice"]
+
+
+def test_multi_element_inner_chain(line_eng):
+    rows = line_eng.run(
+        "MATCH ((a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person)){1} "
+        "RETURN a, b, c"
+    )
+    assert [(r.a, r.b, r.c) for r in rows] == [([1], [2], [3])]
+
+
+def test_optional_match_with_qpp(line_eng):
+    rows = line_eng.run(
+        "MATCH (n:Person {name:'Carol'}) "
+        "OPTIONAL MATCH (n)((a)-[:KNOWS]->(b)){1,2}(m) "
+        "RETURN n.name AS nm, m.name AS mm"
+    )
+    assert [(r.nm, r.mm) for r in rows] == [("Carol", None)]
+
+
 # --------------------------------------------------------------------- #
 # guards
 # --------------------------------------------------------------------- #

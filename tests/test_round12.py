@@ -299,3 +299,72 @@ class TestExplainDynRendering:
             "UNWIND [1, 'a', 2] AS x WITH x WHERE NOT x = 'a' RETURN x"
         )
         assert "x: bigint" in out
+
+
+class TestLocalDatetimeRank:
+    """DATETIME < LOCALDATETIME in the global order (dynval rank 5).
+
+    This engine's own datetime() compiles to TIMESTAMP_NTZ (documented
+    divergence in functions/scalar.py — year-1 survivability + DuckDB
+    oracle parity), so engine-constructed datetimes are LOCAL values;
+    the zoned rank applies to TimestampType SOURCE columns and tz-aware
+    Python parameters."""
+
+    def test_zoned_column_sorts_before_local(self, spark):
+        from pyspark.sql import functions as F
+
+        from pycypher_nmetl_spark import CypherEngine, GraphCatalog
+
+        cat = GraphCatalog(spark)
+        df = spark.createDataFrame([(1,)], "id long").withColumn(
+            "zts", F.to_timestamp(F.lit("2030-01-01 00:00:00"))
+        )
+        cat.register_nodes("Q", df)
+        eng = CypherEngine(cat)
+        rows = eng.run(
+            "MATCH (q:Q) UNWIND "
+            "[q.zts, localdatetime('1999-01-01T00:00:00'), 'a'] AS x "
+            "RETURN x ORDER BY x"
+        )
+        import datetime as dt
+
+        # zoned 2030 ranks BEFORE local 1999 despite the later instant
+        assert rows[0].x == dt.datetime(2030, 1, 1)
+        assert rows[1].x == dt.datetime(1999, 1, 1)
+        assert rows[2].x == "a"
+
+    def test_aware_param_vs_naive_param_ranks(self, golden):
+        import datetime as dt
+
+        rows = golden.run(
+            "UNWIND $p AS x RETURN x ORDER BY x",
+            {
+                "p": [
+                    dt.datetime(1999, 1, 1),  # naive -> LOCALDATETIME
+                    dt.datetime(
+                        2030, 1, 1, tzinfo=dt.timezone.utc
+                    ),  # aware -> DATETIME
+                    "a",
+                ]
+            },
+        )
+        got = [r.x for r in rows]
+        assert got[0].year == 2030 and got[1].year == 1999 and got[2] == "a"
+
+    def test_uniform_localdatetime_decodes_ntz(self, golden):
+        df = golden.execute(
+            "UNWIND [localdatetime('2020-01-02T03:04:05'), 'z'] AS x "
+            "WITH x WHERE NOT x = 'z' RETURN x"
+        )
+        assert "timestamp_ntz" in dict(df.dtypes)["x"]
+
+    def test_lambda_tostring_probes_unknown_item_kind(self, golden):
+        # [localdatetime(..), 1]: one item's static kind is unknowable,
+        # the compiled literal is dyn-encoded — the lambda kind must come
+        # from the analyzer probe, not an optimistic unify over the
+        # known items (was: native struct cast printed the encoding)
+        rows = golden.run(
+            "RETURN [x IN [localdatetime('2020-01-02T03:04:05'), 1] "
+            "| toString(x)] AS s"
+        )
+        assert rows[0].s == ["2020-01-02 03:04:05", "1"]
