@@ -96,7 +96,19 @@ _CYPHER_QUERIES: dict[str, str] = {
         "p.name CONTAINS 'a' AS has_a, count(*) AS cnt"
     ),
     # §2.7 DISTINCT
-    "distinct_segments": "MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS seg",
+    # (distinct_segments retired under the 50-gate cap in favor of
+    # qpp_reach: bare DISTINCT projection stays covered by the dedup in
+    # call_union_branches/undirected_reverse_hops UNION gates, the TCK
+    # distinct rows and the read-query fuzzers.)
+    # §2.4 GQL quantified path pattern (round 12, compiler/qpp.py):
+    # union-of-fixed-repetition expansion over the NEXT_LINE chain; the
+    # SQL oracle is the SAME desugaring written by hand (UNION ALL of
+    # 1-hop and 2-hop joins), so it pins the expansion semantics
+    "qpp_reach": (
+        "MATCH (s:Lineitem)((a)-[r:NEXT_LINE]->(b)){1,2}(t:Lineitem) "
+        "WHERE s.linenumber = 1 "
+        "RETURN size(r) AS hops, count(*) AS cnt"
+    ),
     # §2.7 UNION + §2.10 CALL { } — UNION [not-ALL] between subquery
     # branches with per-branch imports (round 11; replaces the plain
     # top-level union_names gate under the 50-gate cap — that surface
@@ -298,7 +310,18 @@ _ORACLE: dict[str, str] = {
         "length(p_name) AS len, contains(p_name, 'a') AS has_a, "
         "count(*) AS cnt FROM part GROUP BY 1, 2, 3, 4"
     ),
-    "distinct_segments": "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    "qpp_reach": (
+        "WITH pairs AS ("
+        "  SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln FROM lineitem"
+        ") SELECT hops, count(*) AS cnt FROM ("
+        "  SELECT 1 AS hops FROM pairs a "
+        "  JOIN pairs b ON b.ok = a.ok AND b.ln = a.ln + 1 WHERE a.ln = 1 "
+        "  UNION ALL "
+        "  SELECT 2 FROM pairs a "
+        "  JOIN pairs b ON b.ok = a.ok AND b.ln = a.ln + 1 "
+        "  JOIN pairs c ON c.ok = b.ok AND c.ln = b.ln + 1 WHERE a.ln = 1"
+        ") GROUP BY hops"
+    ),
     "call_union_branches": (
         "SELECT rk, name FROM ("
         "SELECT r_regionkey AS rk, n_name AS name FROM region "

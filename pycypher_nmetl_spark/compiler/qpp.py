@@ -342,6 +342,20 @@ def build_qpp_path_frame(
             raise ValueError("quantified path pattern must contain a path")
 
     declared = _declared_group_vars(qpps)
+    anchor_vars = {
+        e.var
+        for e in path.elements
+        if isinstance(e, (NodePattern, RelPattern)) and e.var
+    }
+    for v in declared:
+        if v in anchor_vars or v in outer.vars:
+            # GQL: a variable declared inside a quantified pattern is a
+            # GROUP variable and cannot re-bind an outer singleton
+            raise ValueError(
+                f"variable `{v}` is declared inside a quantified path "
+                "pattern but is already bound outside it — group "
+                "variables cannot re-bind singletons"
+            )
     ranges = []
     for i, q in qpp_at.items():
         hi = q.max_reps if q.max_reps != -1 else MAX_REPS

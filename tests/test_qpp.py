@@ -277,3 +277,15 @@ def test_differential_vs_python_trail_enumeration(spark):
             (ns[:-1], es, ns[1:]) for ns, es in _trails(nodes, edges, lo, hi)
         )
         assert got == want, f"trial {trial}: lo={lo} hi={hi} edges={edges}"
+
+
+def test_group_var_rebinding_outer_singleton_raises(line_eng):
+    with pytest.raises(ValueError, match="group variables cannot re-bind"):
+        line_eng.run(
+            "MATCH (a:Person) MATCH ((a)-[:KNOWS]->(b)){1,2} RETURN a"
+        )
+
+
+def test_group_var_colliding_with_anchor_raises(line_eng):
+    with pytest.raises(ValueError, match="group variables cannot re-bind"):
+        line_eng.run("MATCH (a:Person)((a)-[:KNOWS]->(b)){1} RETURN a")
