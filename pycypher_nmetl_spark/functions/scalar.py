@@ -741,6 +741,33 @@ SCALAR_FUNCTIONS["ismap"] = _type_pred((T.MapType, T.StructType))
 def _value_type(cc, args):
     col = cc.col(args[0])
     dt = cc.bindings.dtype(col)
+    from pycypher_nmetl_spark.compiler.dynval import (
+        RANK_BOOL, RANK_DATE, RANK_DATETIME, RANK_LIST, RANK_LOCALDATETIME,
+        RANK_NUMBER, RANK_STRING, is_dyn,
+    )
+
+    if dt is not None and is_dyn(dt):
+        # dynamic (mixed-type) value: rank-dispatch per row. INTEGER vs
+        # FLOAT uses the integral heuristic (the double-normalized
+        # encoding erases the static split — same rule decode applies).
+        d = col["__cyd"]
+        return (
+            F.when(col.isNull(), F.lit("NULL"))
+            .when(col["__cyr"] == RANK_STRING, F.lit("STRING"))
+            .when(col["__cyr"] == RANK_BOOL, F.lit("BOOLEAN"))
+            .when(
+                col["__cyr"] == RANK_NUMBER,
+                F.when(d == F.floor(d), F.lit("INTEGER")).otherwise(
+                    F.lit("FLOAT")
+                ),
+            )
+            .when(col["__cyr"] == RANK_DATE, F.lit("DATE"))
+            .when(col["__cyr"] == RANK_DATETIME, F.lit("ZONED DATETIME"))
+            .when(
+                col["__cyr"] == RANK_LOCALDATETIME, F.lit("LOCAL DATETIME")
+            )
+            .when(col["__cyr"] == RANK_LIST, F.lit("LIST"))
+        )
     name = {
         T.StringType: "STRING", T.LongType: "INTEGER", T.IntegerType: "INTEGER",
         T.DoubleType: "FLOAT", T.FloatType: "FLOAT", T.BooleanType: "BOOLEAN",

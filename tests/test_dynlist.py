@@ -257,3 +257,15 @@ def test_nested_deeper_is_a_clear_error(eng):
 def test_null_only_list_elements(eng):
     rows = eng.run("UNWIND [[null],'a'] AS x RETURN x ORDER BY x")
     assert [r.x for r in rows] == [[None], "a"]
+
+
+def test_valuetype_rank_dispatches_over_dyn(eng):
+    rows = eng.run(
+        "UNWIND [[1,2],'a',3,2.5,true,date('2020-01-01'),"
+        "localdatetime('2020-01-01T00:00:00'),null] AS x "
+        "RETURN valueType(x) AS t"
+    )
+    assert [r.t for r in rows] == [
+        "LIST", "STRING", "INTEGER", "FLOAT", "BOOLEAN", "DATE",
+        "LOCAL DATETIME", "NULL",
+    ]
