@@ -58,6 +58,12 @@ SEED_QUERIES = [
     "RETURN all(x IN [1,2] WHERE x > 0) AS a, none(x IN [] WHERE true) AS n",
     "/* block */ MATCH (n) // line\nRETURN n",
     "RETURN 'üñïçödé' + \"文字\" AS mixed",
+    # round-12: quantified path patterns (new grammar surface)
+    "MATCH ((a:Person)-[r:KNOWS]->(b)){1,2} RETURN count(*) AS c",
+    "MATCH (x)((a)-[:R]->(b))+(y) RETURN x, y",
+    "MATCH (x)((a)-[:R]->(b)){0,3}(y)((c)--(d)){2}(z) RETURN z",
+    "MATCH ((a {k: 1} WHERE a.v > 0)-[:R]-(b:L)){2,} RETURN a",
+    "MATCH ((a)-[:R]->(b))* RETURN size(a) AS n",
 ]
 
 TOKEN_VOCAB = [
