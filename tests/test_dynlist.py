@@ -22,20 +22,45 @@ import pytest
 from pycypher_nmetl_spark import CypherEngine, GraphCatalog
 
 # ---------------------------------------------------------------------- #
-# pure-Python global-order model (scalars + one-level lists)
+# pure-Python global-order model (scalars + temporals + one-level lists)
+# openCypher ascending: LIST(2) < LOCALDATETIME(5) < DATE(6) <
+# STRING(10) < BOOLEAN(20) < NUMBER(30) < null(99)
+# (engine-constructed datetimes are LOCAL values — scalar.py stores NTZ)
 # ---------------------------------------------------------------------- #
-_RANKS = {str: 10, bool: 20, int: 30, float: 30}
+import datetime as _dt
+
+
+def _rank(v) -> int:
+    if isinstance(v, bool):
+        return 20
+    if isinstance(v, (int, float)):
+        return 30
+    if isinstance(v, str):
+        return 10
+    if isinstance(v, _dt.datetime):
+        return 5
+    if isinstance(v, _dt.date):
+        return 6
+    raise TypeError(type(v))
+
+
+def _scalar_key(v):
+    r = _rank(v)
+    if r == 30:
+        return (30, float(v), "")
+    if r == 20:
+        return (20, 1.0 if v else 0.0, "")
+    if r == 10:
+        return (10, 0.0, v)
+    if r == 5:
+        return (5, v.timestamp(), "")
+    return (6, _dt.datetime(v.year, v.month, v.day).timestamp(), "")
 
 
 def _elem_key(v):
     if v is None:
         return (99, 0.0, "")
-    r = _RANKS[type(v)]
-    if r == 30:
-        return (30, float(v), "")
-    if r == 20:
-        return (20, 1.0 if v else 0.0, "")
-    return (10, 0.0, v)
+    return _scalar_key(v)
 
 
 def _key(v):
@@ -43,12 +68,8 @@ def _key(v):
     agree (scalars carry a (num, str) pair, lists a tuple of elem keys)."""
     if isinstance(v, list):
         return (2, tuple(_elem_key(e) for e in v))
-    r = _RANKS[type(v)]
-    if r == 30:
-        return (30, (float(v), ""))
-    if r == 20:
-        return (20, (1.0 if v else 0.0, ""))
-    return (10, (0.0, v))
+    r, a, b = _scalar_key(v)
+    return (r, (a, b))
 
 
 def _cy(v) -> str:
@@ -62,6 +83,10 @@ def _cy(v) -> str:
         return repr(v)
     if isinstance(v, list):
         return "[" + ", ".join(_cy(e) for e in v) + "]"
+    if isinstance(v, _dt.datetime):
+        return f"localdatetime('{v.isoformat()}')"
+    if isinstance(v, _dt.date):
+        return f"date('{v.isoformat()}')"
     return str(v)
 
 
@@ -73,13 +98,17 @@ def eng(spark):
 
 
 def _gen_scalar(rng: random.Random):
-    k = rng.randrange(4)
+    k = rng.randrange(6)
     if k == 0:
         return rng.randint(-9, 9)
     if k == 1:
         return round(rng.uniform(-9, 9), 2)
     if k == 2:
         return rng.choice(["", "a", "b", "zz", "0"])
+    if k == 3:
+        return _dt.date(2020, rng.randint(1, 12), rng.randint(1, 28))
+    if k == 4:
+        return _dt.datetime(2020, 1, 1, rng.randint(0, 23), rng.randint(0, 59))
     return rng.choice([True, False])
 
 
