@@ -34,12 +34,18 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pycypher_nmetl_spark.llmops.lm import _grams, _toks
 
 DEFAULT_BUCKETS = 10_000
+# dsir_log_ratios collects the bucket histogram and re-emits it as a
+# local relation when the bucket space is at most this big: 2M rows of
+# three longs is ~50 MB on the driver, far above any published DSIR
+# config (the paper uses 10^4) and far below driver limits. Above it
+# the ratio table stays a lazy plan with window-derived totals.
+_LOCAL_RATIO_MAX_BUCKETS = 2_000_000
 # 2^53: the largest power of two where every integer fits in a double —
 # uniform u = (h + 0.5) / 2^53 stays in (0, 1) exactly
 _U53 = float(1 << 53)
@@ -78,45 +84,74 @@ def dsir_log_ratios(
     add-``smoothing`` estimates over ``buckets`` categories. At most
     ``buckets`` rows (absent buckets fall out of the join and score
     with the pure-smoothing ratio via the fill in :func:`dsir_weights`).
-    Two aggregations, one per corpus; nothing is collected."""
+
+    ONE histogram pass: the two exploded gram streams are unioned with
+    a target flag and aggregated by bucket in a single shuffle (the old
+    per-corpus aggregates + full-outer join recomputed both corpora for
+    every lazy reference — ``totals`` inside this function and the two
+    references in :func:`dsir_weights` multiplied the corpus scan 8x).
+    The bucket histogram is *bounded by construction* (``<= buckets``
+    rows of three longs), so for any sane ``buckets`` it is collected
+    and re-emitted as a local relation: totals become literals and every
+    downstream reference — the zero-ratio scalar, the broadcast join,
+    resampling — is free instead of a full corpus re-aggregation."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    tc = (
-        _doc_buckets(target_df, text_col, buckets, hash_fn)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    rc = (
-        _doc_buckets(raw_df, text_col, buckets, hash_fn)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("rc"))
-    )
-    joined = tc.join(rc, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("tc", F.lit(0)).alias("tc"),
-        F.coalesce("rc", F.lit(0)).alias("rc"),
-    )
-    # totals are two scalars; cross-join the 1-row agg instead of
-    # collecting so the whole ratio table stays one lazy plan
-    totals = joined.agg(
-        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
-    )
     s = float(smoothing)
-    return joined.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log((F.col("tc") + F.lit(s)) / (F.col("tt") + F.lit(s * buckets)))
-            - F.log((F.col("rc") + F.lit(s)) / (F.col("rt") + F.lit(s * buckets)))
-        ).alias("log_ratio"),
-        # the ratio a bucket with zero observed counts would get — the
-        # weights join fills misses with this (computed once here so
-        # dsir_weights needs no extra action)
-        (
-            F.log(F.lit(s) / (F.col("tt") + F.lit(s * buckets)))
-            - F.log(F.lit(s) / (F.col("rt") + F.lit(s * buckets)))
-        ).alias("zero_ratio"),
+    flagged = (
+        _doc_buckets(target_df, text_col, buckets, hash_fn)
+        .select("bucket", F.lit(1).alias("_t"))
+        .unionByName(
+            _doc_buckets(raw_df, text_col, buckets, hash_fn).select(
+                "bucket", F.lit(0).alias("_t")
+            )
+        )
+    )
+    hist = flagged.groupBy("bucket").agg(
+        F.sum("_t").alias("tc"),
+        (F.count(F.lit(1)) - F.sum("_t")).alias("rc"),
+    )
+
+    def _ratio_cols(src: DataFrame, tt, rt) -> DataFrame:
+        return src.select(
+            "bucket",
+            (
+                F.log((F.col("tc") + F.lit(s)) / (tt + F.lit(s * buckets)))
+                - F.log((F.col("rc") + F.lit(s)) / (rt + F.lit(s * buckets)))
+            ).alias("log_ratio"),
+            # the ratio a bucket with zero observed counts would get —
+            # the weights join fills misses with this (computed once
+            # here so dsir_weights needs no extra action)
+            (
+                F.log(F.lit(s) / (tt + F.lit(s * buckets)))
+                - F.log(F.lit(s) / (rt + F.lit(s * buckets)))
+            ).alias("zero_ratio"),
+        )
+
+    if buckets <= _LOCAL_RATIO_MAX_BUCKETS:
+        rows = hist.collect()  # bounded: <= buckets rows of 3 longs
+        tt = sum(r["tc"] for r in rows)
+        rt = sum(r["rc"] for r in rows)
+        local = target_df.sparkSession.createDataFrame(
+            [(r["bucket"], r["tc"], r["rc"]) for r in rows],
+            "bucket bigint, tc bigint, rc bigint",
+        )
+        # log() stays a Spark expression so values are bit-identical to
+        # the lazy path (and to what this produced before the rewrite)
+        return _ratio_cols(local, F.lit(tt), F.lit(rt))
+    # absurdly large bucket spaces: stay lazy; totals via a single-
+    # partition window over the (still bounded) histogram — one tiny
+    # extra exchange instead of a second corpus pass
+    w = Window.partitionBy(F.lit(1))
+    tot = hist.withColumn("_tt", F.sum("tc").over(w)).withColumn(
+        "_rt", F.sum("rc").over(w)
+    )
+    return _ratio_cols(
+        tot.select("bucket", "tc", "rc", "_tt", "_rt"),
+        F.col("_tt"),
+        F.col("_rt"),
     )
 
 

@@ -248,6 +248,15 @@ def near_dup_pairs(
             sh = np.zeros((len(vs), 0), dtype=np.int64)
         return pd.DataFrame({"sigs": list(sigs), "sh": list(sh)})
 
+    # The function IS deterministic; the flag only forbids the optimizer
+    # from duplicating it. Without it, the isnotnull constraints inferred
+    # from the join condition are pushed below this projection and the
+    # plan evaluates the signature UDF TWICE per side (one feeding the
+    # pushed filter, one feeding the projection) — every vector paid the
+    # hyperplane matmul twice. Measured plan: 4 ArrowEvalPython sig
+    # nodes -> 2 (one per self-join side, the minimum).
+    _sigs_udf = _sigs_udf.asNondeterministic()
+
     sh_cols = [
         F.element_at(F.col("_s.sh"), i + 1).alias(f"_sh{i}") for i in range(n_words)
     ]
@@ -419,6 +428,12 @@ def near_dup_pairs(
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(den == 0, 0.0, num / den)
         return pd.Series(out)
+
+    # deterministic in fact; flagged so the `cosine >= threshold` filter
+    # below is not pushed beneath the projection, which duplicated the
+    # ArrowEvalPython node — every surviving candidate paid the verify
+    # cosine twice (once for the filter, once for the output column)
+    _pair_cosine = _pair_cosine.asNondeterministic()
 
     va = base.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
     vb = base.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
