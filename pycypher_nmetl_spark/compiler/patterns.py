@@ -347,6 +347,27 @@ def _types_label_expr(cat, rvar: str, types: list[str], side: str):
     return chain.otherwise(F.lit(""))
 
 
+def _endpoint_label_guaranteed(
+    cat, use_types: list[str], direction: str, labels: list[str]
+) -> bool:
+    """True when the REGISTRATION of every traversed edge type already
+    proves the far endpoint carries one of ``labels`` — i.e. a node-table
+    join would be a pure no-op existence check. Undirected traversal can
+    land on either stored side, so both must be proven."""
+    for t in use_types:
+        sl, dl = cat.edge_endpoints(t)
+        if direction == "R":
+            sides = (dl,)
+        elif direction == "L":
+            sides = (sl,)
+        else:
+            sides = (sl, dl)
+        for s in sides:
+            if not s or s not in labels:
+                return False
+    return True
+
+
 def _label_guard(pb: Bindings, var: str, side_label) -> "F.Column":
     """Condition that `var`'s label space is compatible with an edge
     side's label column. Node ids are PER-LABEL spaces in this engine
@@ -616,6 +637,28 @@ def _expand(
         pb = pb.with_df(
             pb.df.filter((F.col(olcol) == "") | F.col(olcol).isin(*labels))
         )
+        if (
+            nxt.id_only
+            and not nxt.props
+            and _endpoint_label_guaranteed(cat, use_types, rel.direction, labels)
+        ):
+            # id-only binding (set by the QPP expander for repetition-
+            # boundary nodes nothing downstream reads): every edge of
+            # these types is REGISTERED with this endpoint label, so the
+            # node-table join would add neither a label check nor any
+            # property column — bind the bare edge endpoint instead.
+            # Same edge-implies-endpoint footing as the var-length hop
+            # table (_edge_hop_table), which never joins intermediate
+            # tips. At scale this removes one full node-table join per
+            # eliminated boundary.
+            df = pb.df.withColumn(nvar, F.col(other_col))
+            ninfo = VarInfo(
+                "node",
+                tuple(labels),
+                anon=nxt.var is None or nxt.var.startswith("_anon"),
+            )
+            pb = Bindings(df, {**pb.vars, nvar: ninfo})
+            return pb.with_df(pb.df.drop(jlcol, olcol)), rvar
         ndf, ninfo = node_scan(engine, nvar, labels)
         ninfo = VarInfo(ninfo.kind, ninfo.labels, anon=nxt.var is None or nxt.var.startswith("_anon"))
         df = pb.df.join(ndf, pb.df[other_col] == ndf[nvar], "inner").drop(ndf[nvar])

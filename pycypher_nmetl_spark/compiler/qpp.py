@@ -93,6 +93,20 @@ def _rename_element(el, mapping: dict[str, str]):
     return el2
 
 
+def _var_names(node, acc: set[str]) -> set[str]:
+    """Collect every Var name referenced in an AST fragment."""
+    if isinstance(node, Var):
+        acc.add(node.name)
+        return acc
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        for f in dataclasses.fields(node):
+            _var_names(getattr(node, f.name), acc)
+    elif isinstance(node, (list, tuple)):
+        for x in node:
+            _var_names(x, acc)
+    return acc
+
+
 def _merge_props(a, b):
     if a is None:
         return b
@@ -286,6 +300,25 @@ def _expand_combo(
     # away at a repetition boundary
     final_map = {k: chain.resolve(k) for k in chain.name_map}
     out_wheres = [rename_in_ast(w, final_map) for w, _ in wheres]
+
+    # Repetition-boundary nodes are internal (pfx-renamed, dropped after
+    # the union); when nothing reads them beyond their id — no props map,
+    # no inline WHERE reference; group arrays consume bare ids — mark
+    # them id_only so the hop compiler binds them from the edge endpoint
+    # column instead of joining the node table (patterns._expand honors
+    # the flag only when the edge registration proves the label).
+    where_refs: set[str] = set()
+    for w in out_wheres:
+        _var_names(w, where_refs)
+    for idx, el in enumerate(chain.elements):
+        if (
+            idx > 0  # element 0 seeds the scan, never an _expand target
+            and isinstance(el, NodePattern)
+            and (el.var is None or el.var.startswith(pfx))
+            and el.props is None
+            and el.var not in where_refs
+        ):
+            chain.elements[idx] = dataclasses.replace(el, id_only=True)
     return (
         chain.elements,
         out_wheres,

@@ -208,6 +208,13 @@ class NodePattern:
     # Neo4j-5 inline predicate `(n:L WHERE n.x > 1)` — hoisted by the
     # parser into the enclosing MATCH's WHERE (same semantics)
     where: Optional[Expr] = None
+    # compiler-internal (never set by the parser): the node's binding is
+    # consumed as a bare id only — no property/label-column reads follow
+    # — so the hop compiler may bind it from the edge endpoint column
+    # and skip the node-table join when the edge's registered endpoint
+    # label already proves the label constraint (the same edge-implies-
+    # endpoint footing the var-length hop table stands on)
+    id_only: bool = False
 
 
 @dataclass
