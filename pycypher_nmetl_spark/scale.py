@@ -111,8 +111,24 @@ def salted_agg(
     ``aggs`` maps output name -> (combiner, partial Column) where
     combiner is 'sum' | 'min' | 'max' (the re-aggregation applied to the
     per-salt partials). count() is expressed as ('sum', F.count(...)).
+
+    The salt is derived from the ROW CONTENT (xxhash64 over every
+    column), never from rand(): a rand-derived shuffle key is only
+    deterministic per (partition, row-index), so a fetch-failure retry
+    that re-runs part of the map stage with reordered input re-draws
+    salts and the partial aggregation double-counts or drops rows
+    (SPARK-38388 — the optimization guide's §2.5 hazard). Identical
+    rows collapsing onto one salt skews nothing that matters: partials
+    stay correct and a duplicate-heavy key still spreads across buckets
+    by content.
     """
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.lit(42)),
+            F.lit(salt_buckets),
+        ).cast("int"),
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(f"_p_{n}") for n, (_, c) in aggs.items()]
     )
