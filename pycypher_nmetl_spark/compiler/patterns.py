@@ -258,10 +258,44 @@ def build_path_frame(
         return build_varlength_path(engine, path, outer, params, var_preds, applied)
 
     first: NodePattern = elements[0]
-    pb = _scan_node_into(engine, None, first, outer, params)
-    pb = apply_var_preds(engine, pb, var_preds, applied, params)
-
+    pb = None
     i = 1
+    if (
+        first.id_only
+        and len(elements) >= 3
+        and not first.props
+        and first.where is None
+        and first.var not in var_preds
+    ):
+        # seed-from-edge (set by materialize_subpatterns for EXISTS flag
+        # subqueries whose seed var is consumed as a bare id): skip the
+        # seed node scan when the first edge's registered join-side
+        # label proves the seed's label
+        seed_labels = list(first.labels)
+        if not seed_labels and first.var in outer.vars:
+            seed_labels = list(outer.vars[first.var].labels)
+        rel0: RelPattern = elements[1]
+        use_types = list(rel0.types) if rel0.types else engine.catalog.rel_types()
+        seed_dir = {"R": "L", "L": "R", "U": "U"}[rel0.direction]
+        if (
+            not rel0.varlength
+            and seed_labels
+            and _endpoint_label_guaranteed(
+                engine.catalog, use_types, seed_dir, seed_labels
+            )
+        ):
+            var = _ensure_var(first)
+            pb, rvar = _expand(
+                engine, None, var, rel0, elements[2], outer, params,
+                seed_labels=seed_labels,
+            )
+            rel_vars.append((rvar, tuple(rel0.types)))
+            pb = apply_var_preds(engine, pb, var_preds, applied, params)
+            i = 3
+    if pb is None:
+        pb = _scan_node_into(engine, None, first, outer, params)
+        pb = apply_var_preds(engine, pb, var_preds, applied, params)
+
     while i < len(elements):
         rel: RelPattern = elements[i]
         nxt: NodePattern = elements[i + 1]
@@ -387,12 +421,13 @@ def _label_guard(pb: Bindings, var: str, side_label) -> "F.Column":
 
 def _try_fk_collapse(
     engine: "CypherEngine",
-    pb: Bindings,
+    pb: Bindings | None,
     prev_var: str,
     rel: RelPattern,
     nxt: NodePattern,
     outer: Bindings,
     params: dict,
+    seed_labels: list[str] | None = None,
 ) -> tuple[Bindings, str] | None:
     """FK-collapsed hop: when the edge table is a registered pure
     projection of one endpoint's node table (catalog.fk_collapse — e.g.
@@ -417,6 +452,65 @@ def _try_fk_collapse(
         return None
     prev_label = src_label if rel.direction == "R" else dst_label
     next_label = dst_label if rel.direction == "R" else src_label
+    if pb is None:
+        # seed-from-edge mode (EXISTS flag subqueries): prev binds from
+        # the owner row's fk column; only the next-is-owner shape helps
+        # (when prev is the owner, its table IS the edge source and the
+        # scan cannot be elided — the generic path handles it).
+        if list(seed_labels or ()) != [prev_label]:
+            return None
+        nvar = _ensure_var(nxt)
+        if nvar == prev_var:
+            return None  # cyclic: generic seed path handles it
+        owner_on_prev0 = (owner_side == "src") == (rel.direction == "R")
+        if owner_on_prev0:
+            return None
+        labels0 = list(nxt.labels)
+        if not labels0 and nvar in outer.vars and outer.vars[nvar].labels:
+            labels0 = list(outer.vars[nvar].labels)
+        if labels0 and labels0 != [next_label]:
+            return None
+        ndf, ninfo = node_scan(engine, nvar, [next_label])
+        fkc = pcol(nvar, fk_prop)
+        if fkc not in ndf.columns:
+            return None
+        rvar0 = rel.var or fresh_name("_anon")
+        rinfo0 = VarInfo(
+            "rel", (rt,), anon=rel.var is None,
+            src_var=prev_var if rel.direction == "R" else nvar,
+            dst_var=nvar if rel.direction == "R" else prev_var,
+        )
+        ninfo = VarInfo(
+            ninfo.kind, ninfo.labels,
+            anon=nxt.var is None or nxt.var.startswith("_anon"),
+        )
+        # one scan, zero joins: the owner row IS the edge; a NULL fk is
+        # not an edge; prev's existence/label is enforced by the flag
+        # join back to the outer frame (which scanned prev's table)
+        df = ndf.filter(F.col(fkc).isNotNull()).withColumn(
+            prev_var, F.col(fkc)
+        )
+        src_e = F.col(nvar) if owner_side == "src" else F.col(prev_var)
+        dst_e = F.col(prev_var) if owner_side == "src" else F.col(nvar)
+        df = df.withColumns({
+            pcol(rvar0, "src"): src_e,
+            pcol(rvar0, "dst"): dst_e,
+            rvar0: F.xxhash64(src_e, dst_e),
+        })
+        pb = Bindings(
+            df,
+            {
+                prev_var: VarInfo("node", (prev_label,)),
+                rvar0: rinfo0,
+                nvar: ninfo,
+            },
+        )
+        if nxt.props:
+            cc = ExprCompiler(pb, params)
+            for key, expr in prop_pairs(nxt.props, params):
+                target = entity_prop_col(pb.df, nvar, key)
+                pb = pb.with_df(pb.df.filter(target == cc.col(expr)))
+        return pb, rvar0
     pinfo = pb.vars.get(prev_var)
     if pinfo is None or pinfo.kind != "node" or pinfo.labels != (prev_label,):
         return None
@@ -449,7 +543,30 @@ def _try_fk_collapse(
             rvar: F.xxhash64(src_e, dst_e),
         })
         pb = Bindings(df, {**pb.vars, rvar: rinfo})
-        if nxt.var is None and not nxt.labels and not nxt.props:
+        if nxt.id_only and not nxt.props:
+            # id-only endpoint (elision marker): the fk value IS the
+            # binding and the label is the registration's by
+            # construction. For bound vars (seed/terminal elision) the
+            # merge back on nvar re-enforces existence — only ids the
+            # node scan produced can match — so neither the node join
+            # nor the semi join is needed; QPP repetition boundaries
+            # take the documented intermediate-tip semantics (edge
+            # implies endpoint), as in the var-length hop table. A NULL
+            # fk is not an edge.
+            df = df.filter(F.col(fkcol).isNotNull())
+            df = df.withColumn(nvar, F.col(fkcol))
+            pb = Bindings(
+                df,
+                {
+                    **pb.vars,
+                    nvar: VarInfo(
+                        "node",
+                        (next_label,),
+                        anon=nxt.var is None or nxt.var.startswith("_anon"),
+                    ),
+                },
+            )
+        elif nxt.var is None and not nxt.labels and not nxt.props:
             # anonymous endpoint: the fk value is the binding. Existence
             # must still hold — a NULL or dangling fk is not an edge, and
             # the generic path's inner join to the endpoint table drops
@@ -508,15 +625,27 @@ def _try_fk_collapse(
 
 def _expand(
     engine: "CypherEngine",
-    pb: Bindings,
+    pb: Bindings | None,
     prev_var: str,
     rel: RelPattern,
     nxt: NodePattern,
     outer: Bindings,
     params: dict,
+    seed_labels: list[str] | None = None,
 ) -> tuple[Bindings, str]:
-    """One fixed-length hop: bindings ⋈ edges ⋈ endpoint label table."""
-    collapsed = _try_fk_collapse(engine, pb, prev_var, rel, nxt, outer, params)
+    """One fixed-length hop: bindings ⋈ edges ⋈ endpoint label table.
+
+    ``pb=None`` is seed-from-edge mode (EXISTS flag subqueries whose
+    seed var needs only its id): ``prev_var`` binds directly from the
+    edge's join-side column instead of a node scan + join. The caller
+    must have proven via ``_endpoint_label_guaranteed`` that every
+    traversed edge type's registered join-side label is in
+    ``seed_labels``; existence of the seed is enforced by whatever the
+    flag later joins against (the outer frame's own scan).
+    """
+    collapsed = _try_fk_collapse(
+        engine, pb, prev_var, rel, nxt, outer, params, seed_labels=seed_labels
+    )
     if collapsed is not None:
         return collapsed
     cat = engine.catalog
@@ -579,9 +708,26 @@ def _expand(
             target = entity_prop_col(edf, rvar, key)
             edf = edf.filter(target == cc.col(expr))
 
-    cond = (pb.df[prev_var] == edf[join_col]) & _label_guard(pb, prev_var, edf[jlcol])
-    df = pb.df.join(edf, cond, "inner")
-    pb = Bindings(df, {**pb.vars, rvar: rinfo})
+    if pb is None:
+        # seed-from-edge: label-space guard (constant-folds when the
+        # registered label is static, which the caller guaranteed)
+        df = edf
+        if seed_labels:
+            df = df.filter(
+                (F.col(jlcol) == "") | F.col(jlcol).isin(*seed_labels)
+            )
+        df = df.withColumn(prev_var, F.col(join_col))
+        pb = Bindings(
+            df,
+            {
+                prev_var: VarInfo("node", tuple(seed_labels or ())),
+                rvar: rinfo,
+            },
+        )
+    else:
+        cond = (pb.df[prev_var] == edf[join_col]) & _label_guard(pb, prev_var, edf[jlcol])
+        df = pb.df.join(edf, cond, "inner")
+        pb = Bindings(df, {**pb.vars, rvar: rinfo})
 
     nvar = _ensure_var(nxt)
     # record the endpoint variables on the rel binding: direction R (and
@@ -769,6 +915,68 @@ def apply_rel_uniqueness(
 # ---------------------------------------------------------------------- #
 # MATCH clause
 # ---------------------------------------------------------------------- #
+def elide_id_only_seed(
+    p: PathPattern, known_vars: dict, refs: set[str]
+) -> PathPattern:
+    """Mark a path's node elements ``id_only`` when their var is already
+    bound in ``known_vars`` — a frame the built path will be joined back
+    to on that id, which re-enforces existence and label — and nothing
+    in the enclosing clause (``refs``: every Var mentioned in the
+    clause's paths / WHERE / projection) reads more than the node's id.
+    Applies to the seed, intermediate and terminal positions alike: a
+    bound, unreferenced node's table join contributes only an existence
+    check that the later merge on its id repeats.
+
+    This is only a *marker*: the hop compiler still requires the
+    adjacent edge's registered endpoint label to prove the node's label
+    (``_endpoint_label_guaranteed``) before it actually skips the
+    scan/join, and falls back otherwise, so setting it is always
+    result-preserving.  Named paths, shortest paths, var-length and QPP
+    elements are left untouched (their compilers bind nodes specially);
+    a var repeated within the path (cyclic back-reference) keeps its
+    scan."""
+    import dataclasses as _dc
+
+    from pycypher_nmetl_spark.cypher.ast_nodes import QuantPathPattern
+
+    if not (
+        p.var is None
+        and p.shortest is None
+        and len(p.elements) >= 3
+        and not any(
+            isinstance(e, QuantPathPattern)
+            or (isinstance(e, RelPattern) and e.varlength)
+            for e in p.elements
+        )
+    ):
+        return p
+    node_vars = [
+        e.var for e in p.elements if isinstance(e, NodePattern) and e.var
+    ]
+    elems = list(p.elements)
+    changed = False
+    for idx in range(0, len(elems), 2):
+        f = elems[idx]
+        if not (
+            isinstance(f, NodePattern)
+            and f.var is not None
+            and f.var in known_vars
+            and f.var not in refs
+            and not f.props
+            and f.where is None
+            and node_vars.count(f.var) == 1
+        ):
+            continue
+        info = known_vars[f.var]
+        if getattr(info, "kind", None) != "node" or not info.labels:
+            continue
+        if f.labels and set(f.labels) != set(info.labels):
+            continue
+        elems[idx] = _dc.replace(f, id_only=True, labels=list(info.labels))
+        changed = True
+    return _dc.replace(p, elements=elems) if changed else p
+
+
 def compile_match(
     engine: "CypherEngine", bindings: Bindings, m: Match, params: dict
 ) -> Bindings:
@@ -780,11 +988,24 @@ def compile_match(
     if residual:
         residual_where = residual[0] if len(residual) == 1 else BoolOp("AND", residual)
 
+    # Every var the clause references beyond a bare pattern mention
+    # (prop maps, inline WHEREs, the clause WHERE) — a seed whose var
+    # appears here still needs its property columns, so its scan stays.
+    clause_refs: set[str] = set()
+    for _f in list(m.paths) + ([m.where] if m.where is not None else []):
+        for _n in walk(_f):
+            if isinstance(_n, Var):
+                clause_refs.add(_n.name)
+
     # Build each path frame independently, merge on shared vars — the
     # declarative plan lets Catalyst reorder the resulting join tree.
     combined: Bindings | None = None
     all_rel_vars: list[tuple[str, tuple[str, ...]]] = []
     for path in m.paths:
+        known = dict(bindings.vars)
+        if combined is not None:
+            known.update(combined.vars)
+        path = elide_id_only_seed(path, known, clause_refs)
         frame, rel_vars = build_path_frame(
             engine, path, bindings, params, var_preds, applied
         )
@@ -846,8 +1067,29 @@ def materialize_subpatterns(
             paths = node.paths if isinstance(node, ExistsSub) else [node.path]
             where = node.where if isinstance(node, ExistsSub) else None
 
+        # Seed-scan elision: a path seed that is SHARED with the outer
+        # frame and never referenced beyond its id (no props map, no
+        # inline WHERE, no mention in the subquery WHERE / projection /
+        # other elements' prop maps) does not need its node scan — the
+        # flag join back to the outer frame can only match ids the
+        # outer's own scan produced, so existence and label are already
+        # enforced there. build_path_frame additionally requires the
+        # first edge's registered join-side label to prove the label
+        # before it actually elides (falls back to the scan otherwise).
+        refs: set[str] = set()
+        _frags: list = list(paths)
+        if where is not None:
+            _frags.append(where)
+        if isinstance(node, PatternComp):
+            _frags.append(node.projection)
+        for _f in _frags:
+            for _n in walk(_f):
+                if isinstance(_n, Var):
+                    refs.add(_n.name)
+
         sub: Bindings | None = None
         for p in paths:
+            p = elide_id_only_seed(p, bindings.vars, refs)
             frame, rel_vars = build_path_frame(engine, p, bindings, params)
             sub = frame if sub is None else _merge(sub, frame, "inner", engine)
         sub = apply_rel_uniqueness(sub, [])

@@ -13,6 +13,13 @@ regress.
 3. QPP: repetition-boundary nodes bind from edge endpoints when the
    registration proves the label (no node-table join); with unproven
    endpoints the node join must remain (fallback).
+4. Bound-node elision: a node whose var is already bound in the frame
+   the path joins back to, and that nothing reads beyond its id, skips
+   its node-table scan/join at ANY path position (seed via
+   seed-from-edge mode, middle/terminal via the id_only hop branch,
+   fk-collapsed owner hops via the fk id_only arm) — existence/label
+   are re-enforced by the merge on its id. Fallbacks (referenced
+   props, unregistered endpoints, cyclic repeats) keep the scan.
 """
 
 from __future__ import annotations
@@ -249,6 +256,139 @@ class TestQppBoundaryElimination:
         scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
         assert scans >= 5, plan
 
+    def test_exists_seed_scan_elided(self, chain_graph):
+        # EXISTS flag subquery: the shared seed var n needs only its id
+        # and the E registration proves src_label — the flag frame skips
+        # the seed scan (3 scans: outer nodes + edges + far endpoint's
+        # existence join, which dangling-edge semantics require for a
+        # real edge table; 4 before the elision)
+        q = "MATCH (n:N) WHERE EXISTS { (n)-[:E]->(:N) } RETURN n.name AS nm"
+        out = chain_graph.execute(q)
+        rows = sorted(tuple(r) for r in out.collect())
+        assert rows == [("n1",), ("n2",), ("n3",)]
+        plan = _plan(chain_graph.execute(q))
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan
+
+    def test_exists_seed_and_fk_collapse_single_scan(self, spark):
+        # fk-collapsed edge + seed elision: the flag frame is ONE scan
+        # of the owner table (distinct fk values), zero joins inside —
+        # the exists_anti gate shape (plans/r12/exists_anti_after.txt)
+        from pyspark.sql import functions as F
+
+        cat = GraphCatalog(spark)
+        customer = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+        )
+        orders = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 3)], "id long, custkey long"
+        )
+        cat.register_nodes("Customer", customer)
+        cat.register_nodes("Order", orders)
+        cat.register_edges(
+            "PLACED",
+            orders.select(F.col("custkey").alias("src"), F.col("id").alias("dst")),
+            src_label="Customer",
+            dst_label="Order",
+            fk_collapse=("Order", "dst", "custkey"),
+        )
+        eng = CypherEngine(cat)
+        q = (
+            "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(:Order) } "
+            "RETURN c.name AS nm"
+        )
+        # capture the plan BEFORE any action: once AQE finalizes,
+        # explain prints Final + Initial trees and the join (whose node
+        # differs between them, unlike the shared scan subtrees) is
+        # detail-listed twice
+        plan = _plan(eng.execute(q))
+        rows = sorted(tuple(r) for r in eng.execute(q).collect())
+        assert rows == [("b",)]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.M))
+        assert scans == 2, plan   # outer customers + owner table
+        assert joins == 1, plan   # only the flag left join itself
+
+    def test_exists_seed_prop_reference_keeps_scan(self, chain_graph):
+        # the subquery WHERE reads n.name — elision must not fire and
+        # the result must still be correct
+        q = (
+            "MATCH (n:N) WHERE EXISTS { (n)-[:E]->(b:N) "
+            "WHERE n.name < b.name } RETURN n.name AS nm"
+        )
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1",), ("n2",), ("n3",)]
+
+    def test_not_exists_seed_elided_results(self, chain_graph):
+        q = "MATCH (n:N) WHERE NOT EXISTS { (n)-[:E]->(:N) } RETURN n.name AS nm"
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n4",)]
+
+    def test_exists_unregistered_endpoints_keep_scan(self, unregistered_graph):
+        # without registered endpoint labels the seed-side label cannot
+        # be proven — the flag frame must keep the seed node scan
+        q = "MATCH (n:N) WHERE EXISTS { (n)-[:E]->(:N) } RETURN n.name AS nm"
+        rows = sorted(tuple(r) for r in unregistered_graph.execute(q).collect())
+        assert rows == [("n1",), ("n2",), ("n3",)]
+        plan = _plan(unregistered_graph.execute(q))
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans >= 3, plan
+
+    def test_optional_match_seed_elided(self, chain_graph):
+        # OPTIONAL MATCH whose shared seed n is consumed as a bare id:
+        # the optional branch binds n from the edge source instead of
+        # re-scanning the node table (3 scans: outer + edges + far
+        # endpoint; 4 before the elision)
+        q = (
+            "MATCH (n:N) OPTIONAL MATCH (n)-[:E]->(m:N) "
+            "RETURN n.name AS nm, count(m) AS c"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1", 1), ("n2", 1), ("n3", 1), ("n4", 0)]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan
+
+    def test_optional_match_where_on_seed_keeps_scan(self, chain_graph):
+        # the OPTIONAL MATCH's WHERE reads n.name — applied inside the
+        # optional branch (pre-left-join), so the seed scan must stay
+        # and results must be the reference semantics
+        q = (
+            "MATCH (n:N) OPTIONAL MATCH (n)-[:E]->(m:N) "
+            "WHERE n.name <> 'n2' RETURN n.name AS nm, count(m) AS c"
+        )
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1", 1), ("n2", 0), ("n3", 1), ("n4", 0)]
+
+    def test_second_match_clause_seed_elided(self, chain_graph):
+        # a second MATCH clause re-seeding a bound var: the inner merge
+        # back to the outer frame enforces existence, so the seed scan
+        # is skipped when the registration proves the label
+        q = (
+            "MATCH (n:N) MATCH (n)-[:E]->(m:N) "
+            "RETURN n.name AS nm, m.name AS mm"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1", "n2"), ("n2", "n3"), ("n3", "n4")]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan
+
+    def test_optional_match_unregistered_keeps_scan(self, unregistered_graph):
+        # unproven endpoint labels: the optional branch must keep its
+        # seed node scan (fallback) and stay correct
+        q = (
+            "MATCH (n:N) OPTIONAL MATCH (n)-[:E]->(m:N) "
+            "RETURN n.name AS nm, count(m) AS c"
+        )
+        rows = sorted(
+            tuple(r) for r in unregistered_graph.execute(q).collect()
+        )
+        assert rows == [("n1", 1), ("n2", 1), ("n3", 1), ("n4", 0)]
+        plan = _plan(unregistered_graph.execute(q))
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans >= 4, plan
+
     def test_inline_where_on_boundary_keeps_join(self, chain_graph):
         # a boundary constraint needs the node's properties — the
         # elimination must not fire when the hoisted WHERE references it
@@ -258,3 +398,86 @@ class TestQppBoundaryElimination:
         )
         rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
         assert rows == [("n1", "n3"), ("n2", "n4")]
+
+
+class TestTerminalAndMiddleElision:
+    """Round-12: id-only elision extended beyond the seed — a bound,
+    unreferenced node at ANY path position (terminal, intermediate)
+    needs no node-table join when the adjacent edge registration proves
+    its label; the merge back on its id re-enforces existence."""
+
+    def test_terminal_node_join_elided(self, chain_graph):
+        # second MATCH ending on the bound var n: the N-table join for n
+        # is gone (3 scans: outer + m scan + edges; 4 before)
+        q = (
+            "MATCH (n:N) MATCH (m:N)-[:E]->(n) "
+            "RETURN n.name AS nm, m.name AS mm"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n2", "n1"), ("n3", "n2"), ("n4", "n3")]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan
+
+    def test_middle_node_join_elided(self, chain_graph):
+        # bound var in the middle of a 2-hop path: its node-table join
+        # is gone (5 scans; 6 before)
+        q = (
+            "MATCH (n:N) MATCH (a:N)-[:E]->(n)-[:E]->(b:N) "
+            "RETURN a.name AS am, b.name AS bm"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1", "n3"), ("n2", "n4")]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 5, plan
+
+    def test_pattern_comprehension_terminal_elided(self, chain_graph):
+        # pattern comprehension whose path ends on the outer var: only
+        # the comprehension seed (m) scans; the n join is gone
+        q = (
+            "MATCH (n:N) RETURN n.name AS nm, "
+            "size([(m:N)-[:E]->(n) | m]) AS c"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n1", 0), ("n2", 1), ("n3", 1), ("n4", 1)]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan
+
+    def test_terminal_where_reference_keeps_scan(self, chain_graph):
+        # WHERE reads n.name → the terminal needs its property columns;
+        # elision must not fire and results stay the reference semantics
+        q = (
+            "MATCH (n:N) MATCH (m:N)-[:E]->(n) WHERE n.name <> 'n2' "
+            "RETURN m.name AS mm"
+        )
+        plan = _plan(chain_graph.execute(q))
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == [("n2",), ("n3",)]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 4, plan
+
+    def test_terminal_unregistered_keeps_scan(self, unregistered_graph):
+        # unproven endpoint label: fallback keeps the terminal node join
+        q = (
+            "MATCH (n:N) MATCH (m:N)-[:E]->(n) "
+            "RETURN n.name AS nm, m.name AS mm"
+        )
+        rows = sorted(
+            tuple(r) for r in unregistered_graph.execute(q).collect()
+        )
+        assert rows == [("n2", "n1"), ("n3", "n2"), ("n4", "n3")]
+        plan = _plan(unregistered_graph.execute(q))
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans >= 4, plan
+
+    def test_cyclic_repeat_keeps_scan(self, chain_graph):
+        # a var repeated inside one path (cyclic back-reference) is
+        # never marked — the cyclic filter machinery owns it
+        q = (
+            "MATCH (n:N) MATCH (n)-[:E]->(m:N)-[:E]->(n) "
+            "RETURN n.name AS nm"
+        )
+        rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
+        assert rows == []
