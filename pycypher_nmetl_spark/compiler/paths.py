@@ -279,9 +279,21 @@ def _expand_varlength(
                 df, {**pb.vars, nvar: VarInfo("node", tuple(labels), anon=nxt.var is None)}
             )
         elif nxt.var is not None:
-            # named endpoint without label knowledge: all-labels scan so
-            # property access works
-            ndf, _ = node_scan(engine, nvar, [])
+            # named endpoint without label knowledge: union-all scan so
+            # property access works — restricted to the labels a tip
+            # over these edge types can carry when every registration
+            # proves its sides (the _tipl guard can never match others)
+            from pycypher_nmetl_spark.compiler.patterns import other_side_labels
+
+            use_types = list(rel.types) if rel.types else cat.rel_types()
+            # a zero-hop tip IS the start node, whose label the edge
+            # registrations say nothing about — only restrict for lo>=1
+            tip_among = (
+                other_side_labels(cat, use_types, rel.direction)
+                if lo >= 1
+                else None
+            )
+            ndf, _ = node_scan(engine, nvar, [], among=tip_among)
             df = pb.df.join(
                 ndf,
                 (pb.df[tipname] == ndf[nvar])

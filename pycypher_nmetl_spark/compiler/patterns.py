@@ -147,8 +147,18 @@ def prop_pairs(props, params) -> list:
     return list(props.pairs)
 
 
-def node_scan(engine: "CypherEngine", var: str, labels: list[str]) -> tuple[DataFrame, VarInfo]:
-    """Scan a label (or all labels) into var-prefixed columns."""
+def node_scan(
+    engine: "CypherEngine",
+    var: str,
+    labels: list[str],
+    among: list[str] | None = None,
+) -> tuple[DataFrame, VarInfo]:
+    """Scan a label (or all labels) into var-prefixed columns.
+
+    ``among`` restricts the unlabeled (union-all) branch to a subset of
+    labels the caller has proven are the only possible matches (e.g.
+    the registered other-side labels of the edge types being
+    traversed); it does not change the returned VarInfo."""
     cat = engine.catalog
     if labels:
         if any(not cat.has_label(lb) for lb in labels):
@@ -173,7 +183,7 @@ def node_scan(engine: "CypherEngine", var: str, labels: list[str]) -> tuple[Data
     # unlabeled: union-all over every label with a var__label discriminator
     # (reference: pattern_matcher.py:152-284 __MULTI__ sentinel)
     frames = []
-    for label in cat.labels():
+    for label in (cat.labels() if among is None else among):
         df = cat.nodes(label)
         frames.append(
             df.select(
@@ -400,6 +410,32 @@ def _endpoint_label_guaranteed(
             if not s or s not in labels:
                 return False
     return True
+
+
+def other_side_labels(
+    cat, use_types: list[str], direction: str
+) -> list[str] | None:
+    """The complete set of labels the far endpoint of a hop over
+    ``use_types`` can carry, per the edge registrations — or ``None``
+    when any traversed type leaves it open (unregistered side, or a
+    registered label with no node table). Callers use a non-None result
+    to restrict the unlabeled union-all node scan (node_scan ``among``):
+    the hop's other-side label guard can never match outside this set."""
+    out: list[str] = []
+    for t in use_types:
+        sl, dl = cat.edge_endpoints(t)
+        if direction == "R":
+            sides = (dl,)
+        elif direction == "L":
+            sides = (sl,)
+        else:
+            sides = (sl, dl)
+        for s in sides:
+            if not s or not cat.has_label(s):
+                return None
+            if s not in out:
+                out.append(s)
+    return out or None
 
 
 def _label_guard(pb: Bindings, var: str, side_label) -> "F.Column":
@@ -816,9 +852,14 @@ def _expand(
         df = pb.df.withColumn(nvar, F.col(other_col))
         pb = Bindings(df, {**pb.vars, nvar: VarInfo("node", (), anon=True)})
     else:
-        # unknown label on a *named* var: union-all scan over every label
-        # so property access still works (pattern_matcher.py:152-284)
-        ndf, ninfo = node_scan(engine, nvar, [])
+        # unknown label on a *named* var: union-all scan so property
+        # access still works (pattern_matcher.py:152-284) — restricted
+        # to the traversed edge types' registered other-side labels
+        # when every type has one (the join's olcol guard can never
+        # match any other label; "" is impossible then), else every
+        # label in the catalog.
+        among = other_side_labels(cat, use_types, rel.direction)
+        ndf, ninfo = node_scan(engine, nvar, [], among=among)
         df = pb.df.join(
             ndf,
             (pb.df[other_col] == ndf[nvar])

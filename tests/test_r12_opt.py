@@ -481,3 +481,98 @@ class TestTerminalAndMiddleElision:
         )
         rows = sorted(tuple(r) for r in chain_graph.execute(q).collect())
         assert rows == []
+
+
+class TestUnlabeledEndpointUnionRestriction:
+    """Round-12: a named, unlabeled endpoint's union-all node scan is
+    restricted to the traversed edge types' registered other-side
+    labels — the hop's label guard can never match any other label.
+    Unregistered types keep the full catalog union (fallback)."""
+
+    @pytest.fixture()
+    def two_label_graph(self, spark):
+        cat = GraphCatalog(spark)
+        cat.register_nodes(
+            "A",
+            spark.createDataFrame(
+                [(1, "a1"), (2, "a2")], "id long, name string"
+            ),
+        )
+        cat.register_nodes(
+            "B",
+            spark.createDataFrame(
+                [(1, "b1"), (2, "b2"), (3, "b3")], "id long, name string"
+            ),
+        )
+        cat.register_nodes(
+            "C",
+            spark.createDataFrame([(9, "c9")], "id long, name string"),
+        )
+        cat.register_edges(
+            "T",
+            spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+            src_label="A",
+            dst_label="B",
+        )
+        return CypherEngine(cat)
+
+    def test_union_restricted_to_registered_side(self, two_label_graph):
+        # x can only be a B: one scan of B instead of the A+B+C union
+        q = "MATCH (a:A)-[:T]->(x) RETURN a.name AS an, x.name AS xn"
+        plan = _plan(two_label_graph.execute(q))
+        rows = sorted(tuple(r) for r in two_label_graph.execute(q).collect())
+        assert rows == [("a1", "b2"), ("a2", "b3")]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 3, plan  # A + edges + B (was 5: A + edges + A,B,C)
+
+    def test_undirected_union_restricted_both_sides(self, two_label_graph):
+        # undirected hop: x may be either registered side (A or B), not C
+        q = "MATCH (a:A)-[:T]-(x) RETURN a.name AS an, x.name AS xn"
+        plan = _plan(two_label_graph.execute(q))
+        rows = sorted(tuple(r) for r in two_label_graph.execute(q).collect())
+        assert rows == [("a1", "b2"), ("a2", "b3")]
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans == 4, plan  # A + edges + A,B (was 5 with C)
+
+    def test_unregistered_type_keeps_full_union(self, spark):
+        cat = GraphCatalog(spark)
+        cat.register_nodes(
+            "A",
+            spark.createDataFrame([(1, "a1")], "id long, name string"),
+        )
+        cat.register_nodes(
+            "B",
+            spark.createDataFrame([(2, "b2")], "id long, name string"),
+        )
+        cat.register_edges(
+            "T", spark.createDataFrame([(1, 2)], "src long, dst long")
+        )
+        eng = CypherEngine(cat)
+        q = "MATCH (a:A)-[:T]->(x) RETURN x.name AS xn"
+        rows = sorted(tuple(r) for r in eng.execute(q).collect())
+        # unregistered endpoints: id spaces are lenient — both labels'
+        # id=2 rows would match; here only B has id 2
+        assert rows == [("b2",)]
+        plan = _plan(eng.execute(q))
+        scans = len(re.findall(r"^\(\d+\) Scan ", plan, re.M))
+        assert scans >= 4, plan  # A + edges + full A,B union
+
+    def test_varlength_zero_hop_keeps_full_union(self, two_label_graph):
+        # *0..1 tips include the START (an A node): the union must NOT
+        # be restricted to the dst side, or zero-hop rows vanish
+        q = (
+            "MATCH (a:A)-[:T*0..1]->(x) "
+            "RETURN a.name AS an, x.name AS xn"
+        )
+        rows = sorted(tuple(r) for r in two_label_graph.execute(q).collect())
+        assert rows == [
+            ("a1", "a1"), ("a1", "b2"), ("a2", "a2"), ("a2", "b3"),
+        ]
+
+    def test_varlength_one_plus_restricted(self, two_label_graph):
+        # *1..2 tips are always a T-dst: union restricted to B
+        q = "MATCH (a:A)-[:T*1..2]->(x) RETURN a.name AS an, x.name AS xn"
+        rows = sorted(tuple(r) for r in two_label_graph.execute(q).collect())
+        assert rows == [("a1", "b2"), ("a2", "b3")]
+        plan = _plan(two_label_graph.execute(q))
+        assert "c9" not in plan
