@@ -20,6 +20,11 @@ regress.
    fk-collapsed owner hops via the fk id_only arm) — existence/label
    are re-enforced by the merge on its id. Fallbacks (referenced
    props, unregistered endpoints, cyclic repeats) keep the scan.
+5. Unlabeled-endpoint union restriction: the union-all node scan
+   behind a named, unlabeled endpoint only reads the traversed edge
+   types' registered other-side labels (the hop's label guard can
+   never match others); unregistered types and zero-hop var-length
+   tips keep the full catalog union.
 """
 
 from __future__ import annotations
