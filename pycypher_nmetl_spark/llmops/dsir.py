@@ -60,13 +60,24 @@ def _gram_hash(g: Column, hash_fn: str) -> Column:
 
 
 def _doc_buckets(
-    df: DataFrame, text_col: str, buckets: int, hash_fn: str, *keep: str
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    hash_fn: str,
+    *keep: str,
+    outer: bool = False,
 ) -> DataFrame:
     """One row per (doc, n-gram occurrence) with its hash bucket —
-    unigrams + bigrams, the paper's feature set. Narrow (explode only)."""
+    unigrams + bigrams, the paper's feature set. Narrow (explode only).
+
+    ``outer=True`` keeps zero-gram documents (null/empty text) as a
+    single ``bucket IS NULL`` row instead of dropping them — the weights
+    path uses this so empty docs flow through the one aggregation pass
+    rather than being resurrected by a second corpus scan + join."""
     t = _toks(text_col)
     grams = F.concat(_grams(t, 1), _grams(t, 2))
-    out = df.select(*[F.col(c) for c in keep], F.explode(grams).alias("_g"))
+    expl = F.explode_outer(grams) if outer else F.explode(grams)
+    out = df.select(*[F.col(c) for c in keep], expl.alias("_g"))
     return out.select(
         *keep, F.pmod(_gram_hash(F.col("_g"), hash_fn), F.lit(buckets)).alias("bucket")
     )
@@ -163,42 +174,44 @@ def dsir_weights(
     buckets: int = DEFAULT_BUCKETS,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """``(id, n_features, logw)`` for every row of ``df``. Documents with
-    no tokens get ``logw = 0`` (an empty product — the paper's weight 1).
+    """``(id, n_features, logw)`` for every distinct ``id`` of ``df``.
+    Documents with no tokens get ``logw = 0`` (an empty product — the
+    paper's weight 1; they surface as a single ``bucket IS NULL`` row
+    from the outer explode rather than via a second corpus scan).
 
-    Plan: explode -> groupBy(id, bucket) (the only raw-side exchange,
-    combiner-friendly) -> broadcast join the ratio table -> sum per id
-    (re-uses the (id, bucket) partitioning; AQE folds it into one
-    stage) -> left join back to ids.
+    Plan: explode_outer -> broadcast-join the ratio table per gram ->
+    ONE groupBy(id). The corpus is scanned exactly once and pays exactly
+    one exchange, whose map side partially aggregates every doc's grams
+    (contiguous after the explode) down to one row per id — strictly
+    fewer shuffled bytes than the old (id, bucket) pre-aggregate, and
+    the old ids-resurrection join (a second corpus scan + sort-merge
+    join on id) is gone outright. Per-gram summation also mirrors the
+    pure-Python/DuckDB references' arithmetic.
     """
-    per_doc = (
-        _doc_buckets(df, text_col, buckets, hash_fn, id_col)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    exploded = _doc_buckets(df, text_col, buckets, hash_fn, id_col, outer=True)
     # a bucket absent from BOTH corpora (possible when scoring held-out
     # docs) misses the join; zero_ratio rides the ratio rows, so its
-    # scalar is carried separately and coalesced in
+    # scalar is carried separately and coalesced in. A null bucket (the
+    # zero-gram marker row) contributes 0 to logw and is excluded from
+    # n_features by count("bucket").
     zr = log_ratios.select(F.min("zero_ratio").alias("zr"))
     scored = (
-        per_doc.join(F.broadcast(log_ratios.drop("zero_ratio")), "bucket", "left")
+        exploded.join(F.broadcast(log_ratios.drop("zero_ratio")), "bucket", "left")
         .crossJoin(F.broadcast(zr))
         .select(
-            id_col, "cnt", F.coalesce("log_ratio", F.col("zr")).alias("lr")
-        )
-    )
-    agg = scored.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_features"),
-        F.sum(F.col("cnt") * F.col("lr")).alias("logw"),
-    )
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
             id_col,
-            F.coalesce("n_features", F.lit(0)).alias("n_features"),
-            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+            "bucket",
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.coalesce("log_ratio", F.col("zr")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lr"),
         )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("bucket").alias("n_features"),
+        F.sum("lr").alias("logw"),
     )
 
 

@@ -116,7 +116,13 @@ class TestDsirOnePass:
         # re-planned that subtree on every reference (10 SMJs); the
         # ratio table is now a local relation
         assert "FullOuter" not in plan
-        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 4
+        # one-pass weights (r12): no ids-resurrection sort-merge join,
+        # a single gram explode (the corpus is touched exactly once),
+        # and at most 2 exchanges (per-id agg + the zero-ratio scalar
+        # over the bounded local ratio relation)
+        assert "SortMergeJoin" not in plan
+        assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
         # and the values still flow: every raw doc gets a row
         assert w.count() == raw.count()
 
