@@ -78,8 +78,16 @@ def build_varlength_path(
         rel: RelPattern = elements[i]
         nxt: NodePattern = elements[i + 1]
         if rel.varlength:
+            # i == 1: pb is still the pristine seed — a node_scan (unique
+            # on (id, label) by construction, also across an unlabeled
+            # union: each label table has unique ids) narrowed only by
+            # row filters (prop maps, pushable WHERE). Its start set
+            # needs no dedup, so the per-branch distinct (a full shuffle
+            # of the anchor id set) is elided. Any later segment has
+            # been through a join and may repeat starts.
             pb, rvar, hop_col = _expand_varlength(
-                engine, pb, prev_var, rel, nxt, outer, params, path.shortest
+                engine, pb, prev_var, rel, nxt, outer, params, path.shortest,
+                starts_unique=(i == 1),
             )
             hop_cols.append(hop_col)
         else:
@@ -186,6 +194,7 @@ def _expand_varlength(
     outer: Bindings,
     params: dict,
     shortest: str | None,
+    starts_unique: bool = False,
 ):
     from pycypher_nmetl_spark.compiler.patterns import (
         _ensure_var, entity_prop_col, node_scan, prop_pairs,
@@ -215,7 +224,15 @@ def _expand_varlength(
         prev_l = F.lit("")
     starts = pb.df.select(
         F.col(prev_var).alias("_start"), prev_l.alias("_startl")
-    ).dropDuplicates()
+    )
+    # Enumeration computes paths per start ROW and joins back on id, so
+    # duplicate starts would multiply result rows — the dedup is
+    # correctness-load-bearing in general. A pristine seed scan is
+    # already unique on (id, label); the caller proves it and the
+    # distinct (one Exchange over the whole anchor id set per branch)
+    # is skipped.
+    if not starts_unique:
+        starts = starts.dropDuplicates()
 
     if shortest:
         paths = _bfs_shortest(engine, starts, edges, lo, hi, shortest)

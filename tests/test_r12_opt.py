@@ -587,3 +587,37 @@ class TestUnlabeledEndpointUnionRestriction:
         assert rows == [("a1", "b2"), ("a2", "b3")]
         plan = _plan(two_label_graph.execute(q))
         assert "c9" not in plan
+
+
+# ---------------------------------------------------------------------- #
+# 7. var-length anchor-distinct elision (first-segment pristine seed)
+# ---------------------------------------------------------------------- #
+class TestVarlengthSeedDedupElision:
+    def test_fresh_seed_plan_has_no_dedup_aggregate(self, chain_graph):
+        # seed = node_scan + row filters, unique on (id, label): the
+        # per-branch dropDuplicates — the ONLY aggregate in this plan —
+        # is elided (on the parquet/TPC-H footing that removes the last
+        # shuffle Exchanges from the varlength_path bench query; on this
+        # statless in-memory fixture the joins themselves still exchange)
+        df = chain_graph.execute(
+            "MATCH (a:N)-[:E*1..2]->(b:N) RETURN a.name AS an, b.name AS bn"
+        )
+        plan = _plan(df)
+        assert not re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M), plan
+        rows = sorted(tuple(r) for r in df.collect())
+        assert rows == [
+            ("n1", "n2"), ("n1", "n3"), ("n2", "n3"),
+            ("n2", "n4"), ("n3", "n4"),
+        ]
+
+    def test_mid_path_varlength_keeps_dedup(self, chain_graph):
+        # the second segment's starts come out of a join (can repeat):
+        # the distinct must stay, and values must not multiply
+        df = chain_graph.execute(
+            "MATCH (a:N)-[:E]->(b:N)-[:E*1..2]->(c:N) "
+            "RETURN a.name AS an, c.name AS cn"
+        )
+        plan = _plan(df)
+        assert re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M), plan
+        rows = sorted(tuple(r) for r in df.collect())
+        assert rows == [("n1", "n3"), ("n1", "n4"), ("n2", "n4")]
