@@ -481,9 +481,13 @@ def _bfs_shortest(
         k += 1
         if k >= lo:
             found.append(nxt)
+        # nxt was anti-joined against visited (disjoint from it) and its
+        # keys are deduped within the level, and visited is a set by
+        # induction (starts is unique — proven or deduped upstream), so
+        # the union is already duplicate-free: re-deduping it would
+        # shuffle the whole accumulated visited set once per BFS level.
         visited = (
             visited.unionByName(nxt.select(*pair_keys).dropDuplicates())
-            .dropDuplicates()
             .localCheckpoint()
         )
         frontier = nxt
