@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # §6 file layout: zstd parquet for everything we write (graph
+        # projections, pipeline outputs) — smaller than snappy at similar
+        # read speed; env-overridable for A/B. Shuffle codec stays the
+        # lz4 default (bench-comparable locally; zstd is the candidate to
+        # measure on a real network, see OPTIMIZATION_r12.md).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's
