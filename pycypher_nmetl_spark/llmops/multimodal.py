@@ -207,13 +207,20 @@ def synth_wav(n_frames: int, sample_rate: int = 16_000) -> bytes:
 
 
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """media df -> per-image features via Arrow-batched mapInPandas."""
+    """media df -> per-image features via Arrow-batched mapInPandas.
+
+    The kind filter and a (media_id, content) projection run JVM-side,
+    *below* the Python boundary: only image rows' bytes cross into
+    Arrow, and the filter/pruning reach the source scan (mapInPandas is
+    opaque to Catalyst, so without the explicit select every column of
+    every row — audio payloads included — would be read and shipped).
+    """
+    src = df.filter(F.col("kind") == "image").select("media_id", "content")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            pdf = pdf[pdf["kind"] == "image"]
             if pdf.empty:
                 continue
             dims = pdf["content"].map(lambda c: decode_image(bytes(c), fake))
@@ -229,15 +236,18 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media df -> per-audio features; same JVM-side prefilter as
+    extract_image_features (only audio rows' bytes reach Python)."""
+    src = df.filter(F.col("kind") == "audio").select("media_id", "content")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            pdf = pdf[pdf["kind"] == "audio"]
             if pdf.empty:
                 continue
             meta = pdf["content"].map(lambda c: decode_audio(bytes(c), fake))
@@ -253,7 +263,7 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    return src.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(
