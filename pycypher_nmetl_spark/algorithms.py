@@ -17,6 +17,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _part_by(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition + sort ``df`` on ``key`` and cache it, eagerly.
+
+    The iterative algorithms join their (big) adjacency frame against a
+    (small) per-node state frame once per round; doing the partition and
+    sort once and letting every round's sort-merge join reuse them turns
+    the per-iteration cost from O(E) shuffle+sort into an O(V) shuffle
+    of the state side only. Partition count follows the session's
+    shuffle-partitions setting (scale-adaptive, not a local constant).
+    Callers unpersist before returning."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on managed deployments
+        n = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(n, F.col(key)).sortWithinPartitions(key).persist()
+    out.count()  # materialize so iteration plans see the cached layout
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -34,13 +53,24 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    # Degree-annotated adjacency, hash-partitioned + sorted on src and
+    # cached ONCE. Each iteration's checkpoint used to re-plan the whole
+    # lazy subtree — a full edge scan, the out-degree groupBy shuffle,
+    # and an edge-side join shuffle PER ITERATION. A cached plan's
+    # partitioning/ordering survive into consumers (AQE may not change
+    # them: canChangeCachedPlanOutputPartitioning=false default), unlike
+    # localCheckpoint under AQE, so every iteration's join arrives
+    # pre-partitioned and pre-sorted and shuffles only the rank side —
+    # the Pregel/GraphFrames shape the module docstring promises.
+    # Working-set cache for the loop only (unpersisted before return),
+    # not a cross-run result cache.
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    adj = _part_by(edges.select("src", "dst").join(out_deg, on="src"), "src")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["id"])
-            .join(out_deg, on="src")
+            adj.join(ranks, adj["src"] == ranks["id"])
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))
@@ -68,6 +98,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    adj.unpersist()  # ranks is a materialized checkpoint; adj done
     return ranks
 
 
@@ -83,10 +114,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Symmetrized adjacency, hash-partitioned + sorted on src and cached
+    # ONCE (each iteration's checkpoint otherwise re-scans AND
+    # re-shuffles the whole edge table; see _part_by).
+    adj = _part_by(sym, "src")
     for _ in range(max_iterations):
         # every node proposes its component to its neighbours; keep the min
         msgs = (
-            sym.join(comp, sym["src"] == comp["id"])
+            adj.join(comp, adj["src"] == comp["id"])
             .select(F.col("dst").alias("id"), F.col("component"))
             .groupBy("id")
             .agg(F.min("component").alias("_new"))
@@ -108,6 +143,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         comp = updated.drop("_changed")
         if changed == 0:
             break
+    adj.unpersist()  # comp is a materialized checkpoint; adj done
     return comp
 
 

@@ -621,3 +621,123 @@ class TestVarlengthSeedDedupElision:
         assert re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M), plan
         rows = sorted(tuple(r) for r in df.collect())
         assert rows == [("n1", "n3"), ("n1", "n4"), ("n2", "n4")]
+
+
+# ---------------------------------------------------------------------- #
+# 8. multimodal: kind filter + (media_id, content) projection JVM-side
+# ---------------------------------------------------------------------- #
+class TestMultimodalBoundaryPruning:
+    def test_only_two_columns_cross_into_python(self, spark):
+        from pycypher_nmetl_spark.llmops.multimodal import (
+            MEDIA_SCHEMA, extract_audio_features, extract_image_features,
+            synth_png, synth_wav,
+        )
+
+        rows = [
+            (1, "image", bytearray(synth_png(8, 4)), "image/png", {}),
+            (2, "audio", bytearray(synth_wav(100)), "audio/wav", {}),
+            (3, "video", bytearray(b"\x00" * 32), "video/mp4", {}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        for fn, kind in (
+            (extract_image_features, "image"),
+            (extract_audio_features, "audio"),
+        ):
+            plan = _plan(fn(media))
+            # mapInPandas is opaque to Catalyst: without the explicit
+            # JVM-side select, every column of every row (other kinds'
+            # payloads included) crosses the Arrow boundary
+            m = re.search(
+                r"^\(\d+\) MapInPandas\nInput \[(\d+)\]", plan, re.M
+            )
+            assert m and m.group(1) == "2", plan
+            # and the kind filter sits BELOW the Python boundary
+            assert re.search(rf"kind#\d+ = {kind}", plan), plan
+
+    def test_values_unchanged_with_mixed_kinds(self, spark):
+        from pycypher_nmetl_spark.llmops.multimodal import (
+            MEDIA_SCHEMA, extract_audio_features, extract_image_features,
+            synth_gif, synth_png, synth_wav,
+        )
+
+        rows = [
+            (1, "image", bytearray(synth_png(8, 4)), "image/png", {}),
+            (2, "audio", bytearray(synth_wav(160)), "audio/wav", {}),
+            (3, "image", bytearray(synth_gif(5, 7)), "image/gif", {}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        img = {r["media_id"]: r for r in extract_image_features(media).collect()}
+        assert set(img) == {1, 3}
+        assert (img[1]["width"], img[1]["height"]) == (8, 4)
+        assert (img[3]["width"], img[3]["height"]) == (5, 7)
+        aud = extract_audio_features(media).collect()
+        assert len(aud) == 1 and aud[0]["media_id"] == 2
+        assert aud[0]["duration_ms"] == 10  # 160 frames @ 16 kHz
+
+
+# ---------------------------------------------------------------------- #
+# 9. iterative algorithms: adjacency partitioned+sorted+cached ONCE
+# ---------------------------------------------------------------------- #
+class TestIterativeAlgoCachedAdjacency:
+    def test_part_by_layout_reused_by_join(self, spark):
+        # the property _part_by buys: a per-iteration sort-merge join
+        # against the cached adjacency needs no Exchange and no Sort on
+        # the adjacency side — only the (small) state side shuffles
+        from pycypher_nmetl_spark.algorithms import _part_by
+
+        edges = spark.createDataFrame(
+            [(i % 7, i % 5) for i in range(100)], "src: long, dst: long"
+        )
+        adj = _part_by(edges, "src")
+        try:
+            state = spark.createDataFrame(
+                [(i, 1.0) for i in range(7)], "id: long, r: double"
+            )
+            j = adj.join(
+                state.hint("merge"), adj["src"] == state["id"]
+            ).groupBy("dst").count()
+            plan = _plan(j)
+            assert "InMemoryTableScan" in plan
+            tree = plan.split("\n\n")[0]
+            # drop the cached plan's INTERNAL subtree (rendered inline,
+            # indented under InMemoryRelation) — it holds the one-time
+            # partition+sort; the outer tree must not repeat it
+            lines, keep, skip_deeper = tree.splitlines(), [], None
+            for ln in lines:
+                ind = len(re.match(r"^[\s:+\-*]*", ln).group(0))
+                if skip_deeper is not None and ind > skip_deeper:
+                    continue
+                skip_deeper = ind if "InMemoryRelation" in ln else None
+                keep.append(ln)
+            outer = "\n".join(keep)
+            # 2 exchanges: the state side + the groupBy — none for adj
+            assert len(re.findall(r"[-: ]Exchange \(\d+\)", outer)) == 2, plan
+            # 1 sort: the state side — adj is cached pre-sorted
+            assert len(re.findall(r"[-: ]Sort \(\d+\)", outer)) == 1, plan
+        finally:
+            adj.unpersist()
+
+    def test_pagerank_unpersists_and_values_stable(self, spark):
+        from pycypher_nmetl_spark.algorithms import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3)], "src: long, dst: long"
+        )
+        out = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
+        # reference power iteration (10 rounds, d=0.85) — independent
+        # pure-Python computation of the same recurrence
+        ranks = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+        deg = {1: 2, 2: 1, 3: 1}
+        for _ in range(10):
+            contrib = {1: 0.0, 2: 0.0, 3: 0.0}
+            for s, d in [(1, 2), (2, 3), (3, 1), (1, 3)]:
+                contrib[d] += ranks[s] / deg[s]
+            flowed = sum(contrib.values())
+            ranks = {
+                k: 0.15 / 3 + 0.85 * (contrib[k] + (1.0 - flowed) / 3.0)
+                for k in ranks
+            }
+        for k, v in ranks.items():
+            assert abs(out[k] - v) < 1e-12, (k, out[k], v)
+        # the working-set cache is released before return
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
