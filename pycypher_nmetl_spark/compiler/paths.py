@@ -467,10 +467,21 @@ def _bfs_shortest(
     # swallowed 1-hop paths whose endpoint shares the start's raw id in
     # a DIFFERENT label space — a different node entirely.
     frontier = _zero_hop(starts).localCheckpoint()
-    visited = frontier.select(*pair_keys).localCheckpoint()
+    # The visited set is kept as per-level key frames, each checkpointed
+    # once when its level is found, unioned lazily for the anti-join.
+    # Re-checkpointing one accumulated frame per level (the old shape)
+    # re-materialized the ENTIRE visited set every round — O(levels x
+    # |visited|) writes; this writes each level's keys exactly once.
+    # The parts stay pairwise disjoint (each level is anti-joined
+    # against everything before it) and level-deduped, so the union is
+    # still a set.
+    visited_parts = [frontier.select(*pair_keys).localCheckpoint()]
     found: list[DataFrame] = [] if lo > 0 else [frontier]
     k = 0
     while k < hi:
+        visited = visited_parts[0]
+        for p in visited_parts[1:]:
+            visited = visited.unionByName(p)
         nxt = (
             _next_hop(frontier, edges)
             .join(visited, on=pair_keys, how="left_anti")
@@ -481,14 +492,8 @@ def _bfs_shortest(
         k += 1
         if k >= lo:
             found.append(nxt)
-        # nxt was anti-joined against visited (disjoint from it) and its
-        # keys are deduped within the level, and visited is a set by
-        # induction (starts is unique — proven or deduped upstream), so
-        # the union is already duplicate-free: re-deduping it would
-        # shuffle the whole accumulated visited set once per BFS level.
-        visited = (
-            visited.unionByName(nxt.select(*pair_keys).dropDuplicates())
-            .localCheckpoint()
+        visited_parts.append(
+            nxt.select(*pair_keys).dropDuplicates().localCheckpoint()
         )
         frontier = nxt
     if not found:

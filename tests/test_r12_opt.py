@@ -741,3 +741,37 @@ class TestIterativeAlgoCachedAdjacency:
             assert abs(out[k] - v) < 1e-12, (k, out[k], v)
         # the working-set cache is released before return
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ---------------------------------------------------------------------- #
+# 10. BFS visited set kept as per-level checkpointed parts (shortestPath)
+# ---------------------------------------------------------------------- #
+class TestBfsIncrementalVisited:
+    def test_minimality_across_levels(self, spark):
+        # diamond + long way round: (1)->(2)->(4), (1)->(3)->(4),
+        # (1)->(5)->(6)->(4). Pair (1,4) is reachable at 2 and 3 hops;
+        # the visited set must prune the 3-hop path at level 3, and
+        # allShortestPaths must keep BOTH 2-hop paths.
+        rows = [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)]
+        nodes = [(i, f"n{i}") for i in range(1, 7)]
+        cat = GraphCatalog(spark)
+        cat.register_nodes(
+            "N", spark.createDataFrame(nodes, "id long, name string")
+        )
+        cat.register_edges(
+            "E",
+            spark.createDataFrame(rows, "src long, dst long"),
+            src_label="N",
+            dst_label="N",
+        )
+        eng = CypherEngine(cat)
+        one = eng.execute(
+            "MATCH p = shortestPath((a:N)-[:E*]->(b:N)) "
+            "WHERE a.name = 'n1' AND b.name = 'n4' RETURN length(p) AS l"
+        ).collect()
+        assert [r["l"] for r in one] == [2]
+        allp = eng.execute(
+            "MATCH p = allShortestPaths((a:N)-[:E*]->(b:N)) "
+            "WHERE a.name = 'n1' AND b.name = 'n4' RETURN length(p) AS l"
+        ).collect()
+        assert [r["l"] for r in allp] == [2, 2]
