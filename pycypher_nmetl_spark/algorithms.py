@@ -46,11 +46,15 @@ def pagerank(
     Power iteration: rank = (1-d)/N + d * sum(rank_in / out_degree).
     Dangling nodes' mass is redistributed uniformly each round.
     """
-    nodes = (
+    # node set cached partitioned+sorted on id like the adjacency: the
+    # per-iteration rank rebuild left-joins nodes against contribs
+    # (already hash-partitioned on id by its groupBy), so neither side
+    # of that join re-shuffles inside the loop
+    nodes = _part_by(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-        .localCheckpoint()
+        .dropDuplicates(),
+        "id",
     )
     n = nodes.count()
     # Degree-annotated adjacency, hash-partitioned + sorted on src and
@@ -99,6 +103,7 @@ def pagerank(
             .localCheckpoint()
         )
     adj.unpersist()  # ranks is a materialized checkpoint; adj done
+    nodes.unpersist()
     return ranks
 
 
