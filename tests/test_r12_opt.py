@@ -720,6 +720,8 @@ class TestIterativeAlgoCachedAdjacency:
     def test_pagerank_unpersists_and_values_stable(self, spark):
         from pycypher_nmetl_spark.algorithms import pagerank
 
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        was_empty = cache_mgr.isEmpty()
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (3, 1), (1, 3)], "src: long, dst: long"
         )
@@ -739,8 +741,10 @@ class TestIterativeAlgoCachedAdjacency:
             }
         for k, v in ranks.items():
             assert abs(out[k] - v) < 1e-12, (k, out[k], v)
-        # the working-set cache is released before return
-        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        # the working-set cache is released before return (only
+        # assertable when no other test left session-level cache behind)
+        if was_empty:
+            assert cache_mgr.isEmpty()
 
 
 # ---------------------------------------------------------------------- #
