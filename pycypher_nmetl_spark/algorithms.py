@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shuffle_parts(df: DataFrame) -> int:
+    """The session's shuffle-partition setting (scale-adaptive, not a
+    local constant), degrading gracefully where it is non-numeric."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on managed deployments
+        try:
+            return df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect sessions expose no sparkContext
+            return 200
+
+
 def _part_by(df: DataFrame, key: str) -> DataFrame:
     """Hash-partition + sort ``df`` on ``key`` and cache it, eagerly.
 
@@ -27,10 +39,7 @@ def _part_by(df: DataFrame, key: str) -> DataFrame:
     of the state side only. Partition count follows the session's
     shuffle-partitions setting (scale-adaptive, not a local constant).
     Callers unpersist before returning."""
-    try:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" on managed deployments
-        n = df.sparkSession.sparkContext.defaultParallelism
+    n = _shuffle_parts(df)
     out = df.repartition(n, F.col(key)).sortWithinPartitions(key).persist()
     out.count()  # materialize so iteration plans see the cached layout
     return out
@@ -56,55 +65,62 @@ def pagerank(
         .dropDuplicates(),
         "id",
     )
-    n = nodes.count()
-    # Degree-annotated adjacency, hash-partitioned + sorted on src and
-    # cached ONCE. Each iteration's checkpoint used to re-plan the whole
-    # lazy subtree — a full edge scan, the out-degree groupBy shuffle,
-    # and an edge-side join shuffle PER ITERATION. A cached plan's
-    # partitioning/ordering survive into consumers (AQE may not change
-    # them: canChangeCachedPlanOutputPartitioning=false default), unlike
-    # localCheckpoint under AQE, so every iteration's join arrives
-    # pre-partitioned and pre-sorted and shuffles only the rank side —
-    # the Pregel/GraphFrames shape the module docstring promises.
-    # Working-set cache for the loop only (unpersisted before return),
-    # not a cross-run result cache.
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    adj = _part_by(edges.select("src", "dst").join(out_deg, on="src"), "src")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    for _ in range(iterations):
-        contribs = (
-            adj.join(ranks, adj["src"] == ranks["id"])
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
-            .groupBy("id")
-            .agg(F.sum("_c").alias("_in"))
-        )
-        # dangling mass = 1 - sum of mass that flowed through edges.
-        # Folded into the plan as a broadcast 1-row aggregate instead of a
-        # driver-side first(): one job per iteration (the checkpoint), not
-        # two, and contribs is computed once, not twice.
-        flowed = contribs.agg(
-            F.coalesce(F.sum("_in"), F.lit(0.0)).alias("_fl")
-        )
-        ranks = (
-            nodes.join(contribs, on="id", how="left")
-            .crossJoin(F.broadcast(flowed))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + (F.lit(1.0) - F.col("_fl")) / F.lit(float(n))
-                    )
-                ).alias("rank"),
+    # try/finally: an exception (or interrupt) inside the iteration loop
+    # must not leak the cached frames into the shared session's cache
+    # manager for its whole lifetime (ADVICE r12)
+    adj = None
+    try:
+        n = nodes.count()
+        # Degree-annotated adjacency, hash-partitioned + sorted on src and
+        # cached ONCE. Each iteration's checkpoint used to re-plan the whole
+        # lazy subtree — a full edge scan, the out-degree groupBy shuffle,
+        # and an edge-side join shuffle PER ITERATION. A cached plan's
+        # partitioning/ordering survive into consumers (AQE may not change
+        # them: canChangeCachedPlanOutputPartitioning=false default), unlike
+        # localCheckpoint under AQE, so every iteration's join arrives
+        # pre-partitioned and pre-sorted and shuffles only the rank side —
+        # the Pregel/GraphFrames shape the module docstring promises.
+        # Working-set cache for the loop only (unpersisted before return),
+        # not a cross-run result cache.
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        adj = _part_by(edges.select("src", "dst").join(out_deg, on="src"), "src")
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            contribs = (
+                adj.join(ranks, adj["src"] == ranks["id"])
+                .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
             )
-            .localCheckpoint()
-        )
-    adj.unpersist()  # ranks is a materialized checkpoint; adj done
-    nodes.unpersist()
-    return ranks
+            # dangling mass = 1 - sum of mass that flowed through edges.
+            # Folded into the plan as a broadcast 1-row aggregate instead of a
+            # driver-side first(): one job per iteration (the checkpoint), not
+            # two, and contribs is computed once, not twice.
+            flowed = contribs.agg(
+                F.coalesce(F.sum("_in"), F.lit(0.0)).alias("_fl")
+            )
+            ranks = (
+                nodes.join(contribs, on="id", how="left")
+                .crossJoin(F.broadcast(flowed))
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_in"), F.lit(0.0))
+                            + (F.lit(1.0) - F.col("_fl")) / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        return ranks  # a materialized checkpoint; caches released below
+    finally:
+        if adj is not None:
+            adj.unpersist()
+        nodes.unpersist()
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -121,35 +137,38 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     )
     # Symmetrized adjacency, hash-partitioned + sorted on src and cached
     # ONCE (each iteration's checkpoint otherwise re-scans AND
-    # re-shuffles the whole edge table; see _part_by).
+    # re-shuffles the whole edge table; see _part_by). try/finally so an
+    # exception inside the loop cannot leak the cache (ADVICE r12).
     adj = _part_by(sym, "src")
-    for _ in range(max_iterations):
-        # every node proposes its component to its neighbours; keep the min
-        msgs = (
-            adj.join(comp, adj["src"] == comp["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("_new"))
-        )
-        updated = (
-            comp.join(msgs, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("_new"), F.col("component"))).alias(
-                    "component"
-                ),
-                (F.coalesce(F.col("_new"), F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
+    try:
+        for _ in range(max_iterations):
+            # every node proposes its component to its neighbours; keep the min
+            msgs = (
+                adj.join(comp, adj["src"] == comp["id"])
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("_new"))
             )
-            .localCheckpoint()
-        )
-        changed = updated.filter(F.col("_changed")).limit(1).count()
-        comp = updated.drop("_changed")
-        if changed == 0:
-            break
-    adj.unpersist()  # comp is a materialized checkpoint; adj done
-    return comp
+            updated = (
+                comp.join(msgs, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce(F.col("_new"), F.col("component"))).alias(
+                        "component"
+                    ),
+                    (F.coalesce(F.col("_new"), F.col("component")) < F.col("component")).alias(
+                        "_changed"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = updated.filter(F.col("_changed")).limit(1).count()
+            comp = updated.drop("_changed")
+            if changed == 0:
+                break
+        return comp  # a materialized checkpoint; cache released below
+    finally:
+        adj.unpersist()
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -157,40 +176,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     de-duplicated graph. Canonical-orientation join (each undirected edge
     kept once as lo<hi) so every triangle is built exactly once — the
     standard n-way-join formulation (no WCOJ; SURVEY.md §2.3 note)."""
+    # Canonical edge set hash-partitioned on `a` and CACHED once (the
+    # r12 treatment pagerank/CC got): HashPartitioning(a) satisfies every
+    # downstream clustered distribution whose keys include `a`, so the
+    # wedge join's e2 side (key a) and the closing join's e3 side (keys
+    # a, b) both consume the cache with NO Exchange — the previous
+    # localCheckpoint loses outputPartitioning under AQE and re-shuffled
+    # the edge set for each self-join reference. The (a, b) dedup
+    # aggregate also rides the cache's partitioning instead of paying
+    # its own exchange. Working-set cache for this call only: the result
+    # is checkpointed eagerly and the cache released before return.
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
+        .repartition(_shuffle_parts(edges), F.col("a"))
         .dropDuplicates()
-        .localCheckpoint()
+        .persist()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    try:
+        und.count()  # materialize so the join plans see the cached layout
+        e1 = und.alias("e1")
+        e2 = und.alias("e2")
+        e3 = und.alias("e3")
+        tris = (
+            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+            )
         )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        per_node = (
+            tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("triangles"))
         )
-    )
-    per_node = (
-        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    nodes = (
-        und.select(F.col("a").alias("id"))
-        .unionByName(und.select(F.col("b").alias("id")))
-        .dropDuplicates()
-    )
-    return nodes.join(per_node, on="id", how="left").select(
-        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
-    )
+        nodes = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .dropDuplicates()
+        )
+        out = nodes.join(per_node, on="id", how="left").select(
+            "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+        )
+        # eager checkpoint so the cache can be released before returning
+        # (same shape as minhash's signature persist; per-call working
+        # set, not a cross-run cache)
+        return out.localCheckpoint()
+    finally:
+        und.unpersist()
 
 
 # ------------------------------------------------------------------ #

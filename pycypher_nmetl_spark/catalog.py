@@ -443,6 +443,15 @@ class GraphCatalog:
         """Discard uncommitted shadows (reference: rollback_query)."""
         self._tl.nodes = None
         self._tl.edges = None
+        # endpoint registrations are not shadowed; entries promoted for
+        # types created inside the rolled-back transaction would go stale
+        # (set_edges' setdefault would later resurrect them for a
+        # different table) — prune registrations with no canonical table.
+        # Degradations (label -> None) persisting past a rollback are
+        # safe: they only forfeit an optimization.
+        for rt in list(self._edge_endpoints):
+            if rt not in self._edges:
+                self._edge_endpoints.pop(rt, None)
 
     def in_transaction(self) -> bool:
         return self._shadow_nodes is not None
@@ -484,6 +493,39 @@ class GraphCatalog:
         store[rel_type] = df
         self._edge_endpoints.setdefault(rel_type, (None, None))
         self._fk_collapse.pop(rel_type, None)
+
+    def reconcile_edge_endpoints(
+        self,
+        rel_type: str,
+        src_labels: tuple[str, ...] | None,
+        dst_labels: tuple[str, ...] | None,
+    ) -> None:
+        """Re-validate the (src_label, dst_label) endpoint registration
+        after a CREATE appends rows to ``rel_type`` (VERDICT r12 #4).
+
+        The compiler's label-proof guards (union-scan restriction,
+        id-only seed elision, fk-collapse label inference) treat the
+        registration as a PROOF that every endpoint of this type carries
+        the registered label.  ``src_labels`` / ``dst_labels`` are the
+        label sets the new rows' bound endpoint vars provably carry
+        (``None`` = nothing provable, e.g. an unlabeled or value-kind
+        var).  Each registered side survives only if its label appears
+        in the corresponding proof set; otherwise it degrades to None
+        and every guard falls back to the safe full-scan path.  For a
+        type with no registration yet (first CREATE of a new type), a
+        uniquely-proven label is *promoted* into the registration so
+        created graphs get the same scan restrictions loaded ones do.
+        """
+        s, d = self._edge_endpoints.get(rel_type, (None, None))
+        if rel_type in self._edge_endpoints:
+            if s is not None and (src_labels is None or s not in src_labels):
+                s = None
+            if d is not None and (dst_labels is None or d not in dst_labels):
+                d = None
+        else:  # brand-new type: promote uniquely-proven labels
+            s = src_labels[0] if src_labels and len(src_labels) == 1 else None
+            d = dst_labels[0] if dst_labels and len(dst_labels) == 1 else None
+        self._edge_endpoints[rel_type] = (s, d)
 
     def fk_collapse(self, rel_type: str) -> tuple[str, str, str] | None:
         """(owner_label, owner_side, fk_prop) when the edge table is a pure

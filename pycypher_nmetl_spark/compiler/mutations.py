@@ -279,6 +279,19 @@ def _create_edges(
         table = cat.edges(rtype).unionByName(new_rows, allowMissingColumns=True)
     else:
         table = new_rows
+    # Endpoint-registration enforcement (VERDICT r12 #4): the appended
+    # rows must not silently invalidate the (src_label, dst_label) proof
+    # the compiler's elisions lean on — degrade any side the bound vars
+    # cannot prove, promote proven labels for a brand-new type.
+    def _proven_labels(v: str) -> tuple[str, ...] | None:
+        info = bindings.vars.get(v)
+        if info is not None and info.kind == "node" and info.labels:
+            return tuple(info.labels)
+        return None
+
+    cat.reconcile_edge_endpoints(
+        rtype, _proven_labels(src_var), _proven_labels(dst_var)
+    )
     cat.set_edges(rtype, table)
     return Bindings(
         df, {**bindings.vars, rvar: VarInfo("rel", (rtype,), anon=rel.var is None)}

@@ -38,7 +38,7 @@ from pycypher_nmetl_spark.compiler.astutil import walk
 from pycypher_nmetl_spark.compiler.bindings import Bindings, VarInfo, fresh_name, pcol
 from pycypher_nmetl_spark.compiler.exprs import ExprCompiler
 from pycypher_nmetl_spark.cypher.ast_nodes import (
-    BoolOp, ExistsSub, ListComp, Match, NodePattern, PathPattern,
+    BoolOp, ExistsSub, ListComp, Match, NodePattern, Not, PathPattern,
     PatternComp, PatternPred, Quantifier, Reduce, RelPattern, Var,
 )
 
@@ -1025,9 +1025,6 @@ def compile_match(
     # path construction, pruning scans/joins/BFS early) and a residual.
     var_preds, residual = split_pushable_predicates(m.where, set(bindings.vars))
     applied: set[str] = set()
-    residual_where = None
-    if residual:
-        residual_where = residual[0] if len(residual) == 1 else BoolOp("AND", residual)
 
     # Every var the clause references beyond a bare pattern mention
     # (prop maps, inline WHEREs, the clause WHERE) — a seed whose var
@@ -1057,27 +1054,113 @@ def compile_match(
     combined = apply_var_preds(engine, combined, var_preds, applied, params)
 
     if m.optional:
-        if residual_where is not None:
-            combined, subst = materialize_subpatterns(
-                engine, combined, [residual_where], params
-            )
-            cc = ExprCompiler(combined, params, subst, engine.functions)
-            combined = combined.with_df(
-                combined.df.filter(cc.col(residual_where).cast("boolean"))
-            )
+        if residual:
+            combined = apply_residual_where(engine, combined, residual, params)
         return _merge(bindings, combined, "left", engine)
 
     out = _merge(bindings, combined, "inner", engine)
-    if residual_where is not None:
-        out, subst = materialize_subpatterns(engine, out, [residual_where], params)
-        cc = ExprCompiler(out, params, subst, engine.functions)
-        out = out.with_df(out.df.filter(cc.col(residual_where).cast("boolean")))
+    if residual:
+        out = apply_residual_where(engine, out, residual, params)
     return out
+
+
+def _bare_exists_pred(e):
+    """``(paths, where, negated)`` when ``e`` is exactly a bare
+    EXISTS {...} / pattern predicate, optionally under a single NOT;
+    None for anything composed (OR/AND/comparison around it)."""
+    neg = False
+    if isinstance(e, Not):
+        e, neg = e.operand, True
+    if isinstance(e, ExistsSub):
+        return e.paths, e.where, neg
+    if isinstance(e, PatternPred):
+        return [e.path], None, neg ^ bool(e.negated)
+    return None
+
+
+def apply_residual_where(engine, frame: Bindings, residual: list, params: dict) -> Bindings:
+    """Apply a MATCH clause's residual WHERE conjuncts to ``frame``.
+
+    A conjunct that is exactly a bare (NOT) EXISTS / pattern predicate
+    correlated with the frame compiles to a ``left_semi`` / ``left_anti``
+    join on the shared variables: set-semantic joins need no
+    deduplication, so the flag path's distinct aggregate — one full
+    Exchange of the subquery's key set — disappears (guide §2.4, remove
+    shuffles outright).  Everything else (composed booleans like
+    ``NOT EXISTS {..} OR x > 5``, uncorrelated subqueries) keeps the
+    boolean-flag-column machinery, which composes under arbitrary
+    boolean structure.  Equivalence of the two shapes: the flag join
+    matches on exactly the same shared-variable keys, and null keys
+    behave identically (never match; semi drops them where the flag is
+    false, anti keeps them where NOT false is true).
+    """
+    kept = []
+    for e in residual:
+        hit = _bare_exists_pred(e)
+        if hit is not None:
+            paths, where, neg = hit
+            refs = _sub_refs(paths, where)
+            sub = _build_exists_frame(engine, frame, paths, where, refs, params)
+            shared = [v for v in sub.vars if v in frame.vars]
+            if shared:
+                how = "left_anti" if neg else "left_semi"
+                frame = frame.with_df(
+                    frame.df.join(sub.df.select(*shared), on=shared, how=how)
+                )
+                continue
+        kept.append(e)
+    if kept:
+        where = kept[0] if len(kept) == 1 else BoolOp("AND", kept)
+        frame, subst = materialize_subpatterns(engine, frame, [where], params)
+        cc = ExprCompiler(frame, params, subst, engine.functions)
+        frame = frame.with_df(frame.df.filter(cc.col(where).cast("boolean")))
+    return frame
 
 
 # ---------------------------------------------------------------------- #
 # EXISTS / pattern predicates / pattern comprehensions
 # ---------------------------------------------------------------------- #
+def _sub_refs(paths, where, extra=()) -> set[str]:
+    """Every var a subquery references (paths, WHERE, extra fragments)."""
+    refs: set[str] = set()
+    frags: list = list(paths)
+    if where is not None:
+        frags.append(where)
+    frags.extend(extra)
+    for _f in frags:
+        for _n in walk(_f):
+            if isinstance(_n, Var):
+                refs.add(_n.name)
+    return refs
+
+
+def _build_exists_frame(
+    engine: "CypherEngine",
+    bindings: Bindings,
+    paths: list,
+    where,
+    refs: set[str],
+    params: dict,
+) -> Bindings:
+    """Compile an EXISTS/pattern subquery's paths (+ inner WHERE) into a
+    frame correlated with ``bindings`` — the shared build behind both the
+    flag-column and the left_semi/left_anti compilations.  ``refs`` gates
+    the seed-scan elision (see materialize_subpatterns docstring)."""
+    sub: Bindings | None = None
+    for p in paths:
+        p = elide_id_only_seed(p, bindings.vars, refs)
+        frame, _rel_vars = build_path_frame(engine, p, bindings, params)
+        sub = frame if sub is None else _merge(sub, frame, "inner", engine)
+    sub = apply_rel_uniqueness(sub, [])
+    if where is not None:
+        # allow outer vars inside the subquery WHERE via correlation:
+        # any var shared with the outer frame is already a column here
+        sub, inner_subst = materialize_subpatterns(engine, sub, [where], params)
+        cc = ExprCompiler(sub, params, inner_subst, engine.functions)
+        sub = sub.with_df(sub.df.filter(cc.col(where).cast("boolean")))
+    return sub
+
+
 def materialize_subpatterns(
     engine: "CypherEngine",
     bindings: Bindings,
@@ -1117,29 +1200,9 @@ def materialize_subpatterns(
         # enforced there. build_path_frame additionally requires the
         # first edge's registered join-side label to prove the label
         # before it actually elides (falls back to the scan otherwise).
-        refs: set[str] = set()
-        _frags: list = list(paths)
-        if where is not None:
-            _frags.append(where)
-        if isinstance(node, PatternComp):
-            _frags.append(node.projection)
-        for _f in _frags:
-            for _n in walk(_f):
-                if isinstance(_n, Var):
-                    refs.add(_n.name)
-
-        sub: Bindings | None = None
-        for p in paths:
-            p = elide_id_only_seed(p, bindings.vars, refs)
-            frame, rel_vars = build_path_frame(engine, p, bindings, params)
-            sub = frame if sub is None else _merge(sub, frame, "inner", engine)
-        sub = apply_rel_uniqueness(sub, [])
-        if where is not None:
-            # allow outer vars inside the subquery WHERE via correlation:
-            # any var shared with the outer frame is already a column here
-            sub, inner_subst = materialize_subpatterns(engine, sub, [where], params)
-            cc = ExprCompiler(sub, params, inner_subst, engine.functions)
-            sub = sub.with_df(sub.df.filter(cc.col(where).cast("boolean")))
+        extra = (node.projection,) if isinstance(node, PatternComp) else ()
+        refs = _sub_refs(paths, where, extra)
+        sub = _build_exists_frame(engine, bindings, paths, where, refs, params)
 
         shared = [v for v in sub.vars if v in bindings.vars]
         if isinstance(node, PatternComp):

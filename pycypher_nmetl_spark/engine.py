@@ -196,6 +196,14 @@ class CypherEngine:
             from pycypher_nmetl_spark.guards import RateLimiter
 
             self.rate_limiter = RateLimiter(rate_limit_qps)
+        # Pre-warm the Python worker fleet once per session so the first
+        # Python-boundary stage (pandas UDFs, mapInPandas operators) does
+        # not absorb every worker's interpreter+pandas import (~3.6-28 s
+        # measured; guide §4.5 / VERDICT r12 #7). No-op when already
+        # warmed or SPARK_GRAFT_NO_PYWARM=1.
+        from pycypher_nmetl_spark.session import warm_python_workers
+
+        warm_python_workers(self.spark)
 
     # ------------------------------------------------------------------ #
     # registration (reference: relational_models.py:710-718, 228-275)

@@ -53,3 +53,59 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# sessions (by JVM app id) whose Python worker fleet was already warmed
+_WARMED: set[str] = set()
+
+
+def warm_python_workers(
+    spark: SparkSession, parts: int | None = None, blocking: bool = False
+) -> None:
+    """Spawn the local Python worker fleet off the query path.
+
+    The first Python-boundary action of a process pays every worker's
+    interpreter start + pandas/pyarrow import (measured on this engine:
+    ~3.6 s idle and up to ~28 s under suite load for the first llm_*
+    gate — guide §4).  One no-op Arrow batch through ``mapInPandas`` on
+    ``parts`` single-row partitions forces that cost NOW;
+    ``spark.python.worker.reuse`` (default on) keeps the warmed fleet
+    alive for every later stage.  By default the warm job runs on a
+    background daemon thread (guide §2.6 — independent jobs overlap), so
+    it hides behind catalog setup and the leading JVM-only queries
+    instead of serializing into engine construction (measured: a
+    blocking warm added its full ~2-5 s to init while saving less than
+    that on the first action).  Idempotent per session; disable with
+    ``SPARK_GRAFT_NO_PYWARM=1``.
+    """
+    key = spark.sparkContext.applicationId
+    if key in _WARMED or os.environ.get("SPARK_GRAFT_NO_PYWARM"):
+        return
+    _WARMED.add(key)
+
+    def _noop(batches):
+        yield from batches
+
+    n = parts or spark.sparkContext.defaultParallelism
+
+    def _run() -> None:
+        # job description/group are thread-local, so labeling here never
+        # leaks onto caller-submitted jobs
+        try:
+            spark.sparkContext.setJobDescription("warm_python_workers")
+            (
+                spark.range(n, numPartitions=n)
+                .mapInPandas(_noop, "id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception:  # session stopped mid-warm etc. — warm is best-effort
+            pass
+
+    if blocking:
+        _run()
+    else:
+        import threading
+
+        threading.Thread(target=_run, name="pywarm", daemon=True).start()

@@ -69,6 +69,19 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # The committed llm_ivf_topk oracle is a literal VALUES table generated
+    # by tools/gen_ivf_oracle.py for the driver's sf0.01 footing; sweeping
+    # any other dataset against that literal reports a bogus value
+    # mismatch (the round-12 "sf0.1 divergence" was exactly this artifact
+    # — the engine matches a regenerated oracle bit-for-bit at sf0.1).
+    # Regenerate the literal for the dataset actually being swept.
+    if "llm_ivf_topk" in oracles and os.path.realpath(sf_dir) != os.path.realpath(
+        "/root/testdata/sf0.01"
+    ):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from gen_ivf_oracle import ivf_topk_oracle, to_sql
+
+        oracles["llm_ivf_topk"] = to_sql(ivf_topk_oracle(sf_dir))
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
