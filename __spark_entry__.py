@@ -16,6 +16,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CATALOGS: dict = {}
 
+# Gate-swap protocol (VERDICT r12 #8): the driver records at most 50
+# gates, so adding a new operator gate retires an old one.  A retirement
+# is a roster rotation, not lost coverage — every retired surface names
+# the gates/tests that still exercise it.  Machine-readable so a
+# `queries_dropped` entry in any PERF comparison is explainable from the
+# repo alone.
+RETIRED_GATES: dict[str, str] = {
+    "union_names": (
+        "retired r11 for call_union_branches; plain top-level UNION stays "
+        "covered by the union differential fuzzer, TCK union rows, and "
+        "undirected_reverse_hops (UNION ALL)"
+    ),
+    "math_fns": (
+        "retired r11 for asof_join_latest; round/sqrt/abs/sign + int "
+        "truncation/% stay covered by TCK math rows, the expression "
+        "differential fuzzer, and rounds in agg_pricing_summary/"
+        "stats_percentiles"
+    ),
+    "events_by_type": (
+        "retired r11 for llm_decontaminate; implicit groupBy+count+"
+        "round(sum()) stays covered by agg_pricing_summary, with_having "
+        "and the aggregation fuzzer; Event reads by the streaming gates"
+    ),
+    "distinct_segments": (
+        "retired r12 for qpp_reach; bare DISTINCT projection stays "
+        "covered by call_union_branches/undirected_reverse_hops dedup, "
+        "TCK distinct rows and the read-query fuzzers"
+    ),
+    "optional_anti": (
+        "retired r10 (absorbed into optional_hop_count's CASE + "
+        "exists_anti's anti-join shape)"
+    ),
+    "regex_in_concat_hash": (
+        "retired r11 for range_join_windows; =~ covered by TCK regex "
+        "rows + string fuzzer, IN by param_in_cross_type, concat by "
+        "collect_quantifier, md5/sha256 by the llm_* md5 oracles"
+    ),
+}
+
 
 def _engine(spark: SparkSession, sf_dir: str):
     from pycypher_nmetl_spark import CypherEngine, GraphCatalog

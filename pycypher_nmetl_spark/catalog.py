@@ -535,6 +535,61 @@ class GraphCatalog:
     # ------------------------------------------------------------------ #
     # materialization of derived tables
     # ------------------------------------------------------------------ #
+    def _layout_files(self, df: DataFrame) -> int:
+        """Scale-adaptive output file count for a materialized table
+        (guide §6 file layout).
+
+        Two regimes, take the max:
+          * by_size: one file per SPARK_GRAFT_TARGET_FILE_BYTES
+            (default 256 MB) of estimated data, so big tables land in
+            the 128 MB - 1 GB band at cluster scale;
+          * by_cores: spread across the session's cores so a scan of a
+            small table still parallelizes — the driver testdata is one
+            single-row-group file per table, which pins every scan (and
+            the 8-vs-32-core bench ratio) to ONE task regardless of
+            data size — but never below ~64 KB per file, so tiny
+            dimension tables stay compact instead of exploding into
+            per-core shards.
+
+        Returns 0 when no trustworthy size estimate exists (the caller
+        keeps the write's natural partitioning): plan statistics for
+        RDD-backed frames are the defaultSizeInBytes sentinel, not data.
+        """
+        import math
+        from urllib.parse import urlparse
+
+        est = 0
+        try:  # real bytes of the backing files, when file-backed
+            for f in df.inputFiles():
+                try:
+                    est += os.path.getsize(urlparse(f).path)
+                except OSError:
+                    pass
+        except Exception:  # noqa: BLE001
+            est = 0
+        if not est:
+            # fall back to optimizer stats, but only when plausible:
+            # in-memory LocalRelations carry honest estimates, RDD-backed
+            # plans report the defaultSizeInBytes sentinel (huge)
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:  # noqa: BLE001
+                return 0
+            if est <= 0 or est >= (16 << 30):
+                return 0
+        target = int(
+            os.environ.get("SPARK_GRAFT_TARGET_FILE_BYTES", str(256 << 20))
+        )
+        by_size = max(1, math.ceil(est / target))
+        try:
+            cores = self.spark.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001
+            cores = 8
+        by_cores = min(cores, max(1, est // (64 << 10)))
+        return max(by_size, by_cores)
+
     def materialize(
         self,
         labels: list[str] = (),
@@ -570,13 +625,17 @@ class GraphCatalog:
             os.remove(probe)
         except OSError:
             path = tempfile.mkdtemp(prefix="pycypher_materialized_")
+        def _write(df, p):
+            n = self._layout_files(df)
+            (df.repartition(n) if n else df).write.mode("overwrite").parquet(p)
+
         for label in labels:
             p = f"{path}/nodes_{label}"
-            self.nodes(label).write.mode("overwrite").parquet(p)
+            _write(self.nodes(label), p)
             self._nodes[label] = self.spark.read.parquet(p)
         for rtype in rel_types:
             p = f"{path}/edges_{rtype}"
-            self.edges(rtype).write.mode("overwrite").parquet(p)
+            _write(self.edges(rtype), p)
             self._edges[rtype] = self.spark.read.parquet(p)
 
     # ------------------------------------------------------------------ #
@@ -786,9 +845,21 @@ class GraphCatalog:
             dst_label="Supplier",
         )
         if materialize_derived:
-            # the only tables that are aggregation *products* rather than
-            # column-pruned scans of the raw parquet
-            cat.materialize(labels=["Lineitem"], rel_types=["NEXT_LINE"])
+            # The graph-projection build step: the aggregation *products*
+            # (Lineitem, NEXT_LINE) plus the scan-heavy fact tables whose
+            # driver-testdata source is ONE single-row-group parquet file
+            # — unsplittable, so every scan is one task no matter the
+            # core count (guide §2.5 input skew / §6 input splits).
+            # materialize() re-lays each out as multi-part parquet sized
+            # by _layout_files, which also stores Order/CONTAINS
+            # timestamps natively (the raw files are TIMESTAMP(NANOS)
+            # read as long + converted per row, an expression no filter
+            # can push through). Small dimensions (Region/Nation/
+            # Supplier/Part) stay raw: they broadcast anyway.
+            cat.materialize(
+                labels=["Lineitem", "Order", "Customer"],
+                rel_types=["NEXT_LINE", "CONTAINS"],
+            )
         return cat
 
     @classmethod

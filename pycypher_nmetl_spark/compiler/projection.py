@@ -287,9 +287,16 @@ def compile_projection(
     out = Bindings(df.select(*keep_cols), vars_)
 
     if proj.where is not None:
-        out, wsubst = materialize_subpatterns(engine, out, [proj.where], params)
-        cc = ExprCompiler(out, params, wsubst, engine.functions)
-        out = out.with_df(out.df.filter(cc.col(proj.where).cast("boolean")))
+        # same residual-WHERE machinery as compile_match: bare (NOT)
+        # EXISTS conjuncts become left_semi/left_anti joins (no distinct
+        # Exchange), everything else filters through the flag columns
+        from pycypher_nmetl_spark.compiler.patterns import (
+            _split_conjuncts, apply_residual_where,
+        )
+
+        out = apply_residual_where(
+            engine, out, _split_conjuncts(proj.where), params
+        )
     return out, None
 
 
