@@ -495,6 +495,18 @@ def _bfs_shortest(
         visited_parts.append(
             nxt.select(*pair_keys).dropDuplicates().localCheckpoint()
         )
+        # Bound the anti-join's union width for deep searches (ADVICE
+        # r12): at level k the lazy union holds k branches, so planning
+        # cost across a run grows O(levels^2). Every 16 populated levels,
+        # merge the parts into ONE checkpointed frame — they are pairwise
+        # disjoint, so the merge is a plain union (no dedup shuffle) and
+        # costs one visited-set write per 16 levels, keeping the
+        # per-level incremental-write savings for typical hop bounds.
+        if len(visited_parts) >= 16:
+            merged = visited_parts[0]
+            for p in visited_parts[1:]:
+                merged = merged.unionByName(p)
+            visited_parts = [merged.localCheckpoint()]
         frontier = nxt
     if not found:
         return _zero_hop(starts).limit(0)

@@ -311,3 +311,31 @@ class TestPyWarm:
         assert key in sess._WARMED
         # second call is a no-op (guard set)
         sess.warm_python_workers(spark, parts=2, blocking=True)
+
+
+# ---------------------------------------------------------------------- #
+# 6. BFS visited-parts coalescing for deep searches (ADVICE r12)
+# ---------------------------------------------------------------------- #
+class TestBfsDeepChain:
+    def test_shortest_path_beyond_coalesce_threshold(self, spark):
+        # an 18-hop chain walk crosses the 16-level visited-parts merge
+        # (and stays under the MAX_HOPS=20 unbounded-* cap); the answer
+        # must be the exact chain distance
+        cat = GraphCatalog(spark)
+        cat.register_nodes(
+            "N", spark.createDataFrame([(i,) for i in range(20)], "id long")
+        )
+        cat.register_edges(
+            "NXT",
+            spark.createDataFrame(
+                [(i, i, i + 1) for i in range(19)], "id long, src long, dst long"
+            ),
+            src_label="N",
+            dst_label="N",
+        )
+        eng = CypherEngine(cat)
+        out = eng.execute(
+            "MATCH p = shortestPath((a:N)-[:NXT*]->(b:N)) "
+            "WHERE a.id = 0 AND b.id = 18 RETURN length(p) AS hops"
+        ).collect()
+        assert [r["hops"] for r in out] == [18]
