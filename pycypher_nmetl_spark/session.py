@@ -78,7 +78,10 @@ def warm_python_workers(
     that on the first action).  Idempotent per session; disable with
     ``SPARK_GRAFT_NO_PYWARM=1``.
     """
-    key = spark.sparkContext.applicationId
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: remote executors, nothing local to warm
+        return
     if key in _WARMED or os.environ.get("SPARK_GRAFT_NO_PYWARM"):
         return
     _WARMED.add(key)
