@@ -175,60 +175,54 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts -> (id, triangles) on the undirected,
     de-duplicated graph. Canonical-orientation join (each undirected edge
     kept once as lo<hi) so every triangle is built exactly once — the
-    standard n-way-join formulation (no WCOJ; SURVEY.md §2.3 note)."""
-    # Canonical edge set hash-partitioned on `a` and CACHED once (the
-    # r12 treatment pagerank/CC got): HashPartitioning(a) satisfies every
-    # downstream clustered distribution whose keys include `a`, so the
-    # wedge join's e2 side (key a) and the closing join's e3 side (keys
-    # a, b) both consume the cache with NO Exchange — the previous
-    # localCheckpoint loses outputPartitioning under AQE and re-shuffled
-    # the edge set for each self-join reference. The (a, b) dedup
-    # aggregate also rides the cache's partitioning instead of paying
-    # its own exchange. Working-set cache for this call only: the result
-    # is checkpointed eagerly and the cache released before return.
+    standard n-way-join formulation (no WCOJ; SURVEY.md §2.3 note).
+
+    Round-13 note: the cached-partitioned-adjacency treatment the
+    ITERATIVE siblings got in r12 was implemented here in two variants
+    (persist+eager result checkpoint; lazy shared repartition exchange)
+    and MEASURED SLOWER both times, at sf0.1 and at the genuine 10x
+    (persist variant 1.59->2.01 s / 3.0->3.3 s; lazy variant
+    1.39->1.72 s / 2.9->3.7 s): a single-pass operator cannot amortize
+    the extra materialization, and the self-join sides broadcast at
+    these sizes, so a hash-partitioned layout saves no exchange that
+    ReuseExchange was paying. The localCheckpoint-once shape below is
+    the measured optimum (guide §1: switch back when the "ideal" plan
+    loses empirically). Do not re-apply without fresh measurements.
+    """
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .repartition(_shuffle_parts(edges), F.col("a"))
         .dropDuplicates()
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        und.count()  # materialize so the join plans see the cached layout
-        e1 = und.alias("e1")
-        e2 = und.alias("e2")
-        e3 = und.alias("e3")
-        tris = (
-            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-            .join(
-                e3,
-                (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-            )
-            .select(
-                F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-            )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
-        per_node = (
-            tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("triangles"))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
         )
-        nodes = (
-            und.select(F.col("a").alias("id"))
-            .unionByName(und.select(F.col("b").alias("id")))
-            .dropDuplicates()
-        )
-        out = nodes.join(per_node, on="id", how="left").select(
-            "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
-        )
-        # eager checkpoint so the cache can be released before returning
-        # (same shape as minhash's signature persist; per-call working
-        # set, not a cross-run cache)
-        return out.localCheckpoint()
-    finally:
-        und.unpersist()
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .dropDuplicates()
+    )
+    return nodes.join(per_node, on="id", how="left").select(
+        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
 
 
 # ------------------------------------------------------------------ #

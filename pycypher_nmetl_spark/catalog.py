@@ -587,7 +587,8 @@ class GraphCatalog:
             cores = self.spark.sparkContext.defaultParallelism
         except Exception:  # noqa: BLE001
             cores = 8
-        by_cores = min(cores, max(1, est // (64 << 10)))
+        floor = int(os.environ.get("SPARK_GRAFT_MIN_FILE_BYTES", str(64 << 10)))
+        by_cores = min(cores, max(1, est // floor))
         return max(by_size, by_cores)
 
     def materialize(

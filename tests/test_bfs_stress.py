@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import pytest
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 def _engine(spark, nodes, edges):
     from pycypher_nmetl_spark import CypherEngine, GraphCatalog

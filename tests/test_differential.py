@@ -17,6 +17,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 class E:
     """Expression as (cypher_text, sql_text, kind) with kind in

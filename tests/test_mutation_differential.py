@@ -21,6 +21,11 @@ from hypothesis import HealthCheck, given, settings
 
 from tests import mutgen as M
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 EXAMPLES = int(os.environ.get("MUT_EXAMPLES", "85"))
 
 SETTINGS = dict(

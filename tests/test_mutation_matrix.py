@@ -5,6 +5,11 @@ All Spark-side re-implementation; expected values hand-derived.
 
 import pytest
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 def test_set_computed_from_own_property(golden, run):
     golden.execute("MATCH (n:Person) SET n.age = n.age + 1")

@@ -25,6 +25,13 @@ import time
 from pycypher_nmetl_spark.cypher.parser import parse
 from pycypher_nmetl_spark.cypher.tokenizer import CypherSyntaxError
 
+import pytest
+
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 SEED_QUERIES = [
     "MATCH (n:Person) RETURN n.name AS name",
     "MATCH (a)-[r:KNOWS*1..3]->(b) WHERE a.age > 30 RETURN b, length(r) AS l",

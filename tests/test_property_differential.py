@@ -20,6 +20,11 @@ from hypothesis import strategies as st
 
 from tests import propgen as G
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 EXAMPLES = int(os.environ.get("PROP_EXAMPLES", "85"))
 
 SETTINGS = dict(

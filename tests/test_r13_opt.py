@@ -12,9 +12,10 @@ asserted so it cannot silently regress.
    degrade the label proof (guards fall back to full scans), matching
    rows keep it, new types promote proven labels, rollback prunes
    registrations with no canonical table.
-3. triangle_count builds its canonical edge set partitioned+cached once
-   (values pinned on known graphs, including duplicate/reversed edges
-   through the partition-first dedup).
+3. triangle_count: two cached/partitioned variants were measured SLOWER
+   at sf0.1 and 10x and the localCheckpoint shape was kept (rejection
+   note in algorithms.py); values pinned on known graphs, including
+   duplicate/reversed edges.
 4. materialize() writes scale-adaptive multi-part parquet so scans of
    single-file inputs parallelize across cores.
 5. warm_python_workers is idempotent, env-disableable, and harmless.
@@ -228,16 +229,12 @@ class TestTriangleCount:
         out = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
         assert out == {1: 1, 2: 1, 3: 1}
 
-    def test_result_is_eager_checkpoint(self, spark):
+    def test_single_edge_no_triangles(self, spark):
         from pycypher_nmetl_spark.algorithms import triangle_count
 
         edges = spark.createDataFrame([(1, 2)], "src long, dst long")
-        df = triangle_count(edges)
-        # the working-set cache is released before return; the result is
-        # a materialized checkpoint (scan of an existing RDD, no joins)
-        plan = _plan(df)
-        assert "Scan ExistingRDD" in plan
-        assert "Join" not in plan
+        out = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
+        assert out == {1: 0, 2: 0}
 
 
 # ---------------------------------------------------------------------- #

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 
 from pycypher_nmetl_spark.temporal_joins import asof_join, range_join
 
+# Slow tier (VERDICT r12 #1): bulk campaign — deselected by default,
+# runs under SPARK_GRAFT_FULL_SUITE=1 / -m slow.
+pytestmark = pytest.mark.slow
+
+
 _left_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 200)),  # (key, t)
     min_size=1, max_size=25,
